@@ -1,0 +1,172 @@
+"""Combination sweep: all 2^n - 1 grouping sets over the insight columns.
+
+Two modes with identical output semantics:
+
+- ``sweep_loop`` — faithful port of the reference's Python combination loop
+  (get_insights_from_df_with_possible_combinations_parallely,
+  main.py:328-361): ``itertools.combinations`` per size, batches of <=128
+  aggregation subtrees unioned into one job. Kept as the golden-fidelity
+  mode; O(2^n) passes over the input.
+
+- ``sweep_grouping_sets`` — the Spark-native rewrite (SURVEY.md §4.3): ONE
+  aggregation using ``cube``/``groupingSets`` + ``grouping_id`` with the
+  reference's per-set semantics reproduced by post-filters:
+    * rows whose grouped column is NULL are dropped per set (equals the
+      reference's pre-agg isNotNull filter, main.py:288)
+    * the grand-total set (nothing grouped) is excluded (ref sweeps k>=1)
+  Scale design: before the cube, the input is PRE-AGGREGATED to one row per
+  distinct key tuple (bucketing collapses cardinality enormously at 100 TB),
+  so the Expand operator's 2^n fan-out applies to the distinct-tuple table,
+  not the raw rows. count = sum of pre-counts, min(display) = min of
+  pre-mins. ``expand_batch_size`` additionally splits the grouping sets into
+  chunks so each job's Expand factor is bounded.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.config import InsightsConfig
+from app_insights_generator_spark.operators.insights import (
+    INSIGHT_DELIM,
+    format_value,
+    insight_query,
+    qcol,
+    threshold_count,
+)
+
+
+def all_combinations(cfg: InsightsConfig, cols: Sequence[str] | None = None):
+    cols = list(cols or cfg.agg_cols)
+    for size in cfg.combo_sizes():
+        if size > len(cols):
+            break
+        yield from itertools.combinations(cols, size)
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Linear union tree; Catalyst CombineUnions flattens it
+    (reference union_all_dfs, main.py:318-325)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
+
+
+def sweep_loop(
+    df: DataFrame,
+    cfg: InsightsConfig,
+    cols: Sequence[str] | None = None,
+    total_count: int | None = None,
+    batch_size: int = 128,
+) -> list[DataFrame]:
+    """Faithful mode: one lazy DataFrame per batch of <=``batch_size``
+    combinations (reference main.py:345-358, default_parallelism=128).
+
+    Returns the batch DataFrames; callers either write each (reference
+    behavior) or union them all for a single result.
+    """
+    if total_count is None:
+        total_count = df.count()
+    combos = list(all_combinations(cfg, cols))
+    batches = []
+    for i in range(0, len(combos), batch_size):
+        chunk = combos[i : i + batch_size]
+        batches.append(union_all([insight_query(df, c, cfg, total_count) for c in chunk]))
+    return batches
+
+
+def sweep_loop_df(
+    df: DataFrame,
+    cfg: InsightsConfig,
+    cols: Sequence[str] | None = None,
+    total_count: int | None = None,
+) -> DataFrame:
+    """Faithful mode as a single unioned DataFrame (for oracle checks)."""
+    return union_all(sweep_loop(df, cfg, cols, total_count, batch_size=1 << 20))
+
+
+def _preaggregate(df: DataFrame, cols: Sequence[str], display: Sequence[str]) -> DataFrame:
+    """Collapse the input to one row per distinct key tuple.
+
+    At 100 TB this is THE load-bearing step: the cube's Expand fan-out then
+    multiplies the distinct-tuple count (bounded by the product of bucket
+    cardinalities), not the raw row count. Shuffles once on all key columns.
+    """
+    aggs = [F.min(qcol(v)).alias(v) for v in display]
+    aggs.append(F.count(F.lit(1)).alias("_pre_count"))
+    return df.groupBy(*[qcol(c) for c in cols]).agg(*aggs)
+
+
+def sweep_grouping_sets(
+    df: DataFrame,
+    cfg: InsightsConfig,
+    cols: Sequence[str] | None = None,
+    total_count: int | None = None,
+    preaggregate: bool = True,
+    expand_batch_size: int | None = None,
+) -> DataFrame:
+    """Native mode -> DataFrame[Insights], semantics identical to sweep_loop.
+
+    ``expand_batch_size``: max grouping sets per aggregation job; None means
+    a single ``cube`` (fan-out 2^n). With pre-aggregation on bucketed data
+    the cube is usually fine for n<=14; batching bounds worst-case memory.
+    """
+    cols = list(cols or cfg.agg_cols)
+    if total_count is None:
+        total_count = df.count()
+    t = threshold_count(cfg, total_count)
+
+    ids_in_cols = [c for c in cols if c in cfg.id_cols]
+    display = [v for c in ids_in_cols for v in cfg.id_to_value[c]]
+
+    base = _preaggregate(df, cols, display) if preaggregate else df
+    count_expr = F.sum("_pre_count") if preaggregate else F.count(F.lit(1))
+
+    aggs = [F.min(qcol(v)).alias(v) for v in display]
+    aggs.append(count_expr.cast("long").alias("count"))
+    aggs.extend(F.grouping(qcol(c)).alias(f"_g{i}") for i, c in enumerate(cols))
+
+    max_size = cfg.max_combo_size or len(cols)
+    key_cols = [qcol(c) for c in cols]
+
+    if expand_batch_size is None:
+        grouped = [base.cube(*key_cols).agg(*aggs)]
+    else:
+        sets = [list(c) for c in all_combinations(cfg, cols)]
+        grouped = [
+            base.groupingSets([[qcol(c) for c in s] for s in chunk], *key_cols).agg(*aggs)
+            for chunk in (
+                sets[i : i + expand_batch_size] for i in range(0, len(sets), expand_batch_size)
+            )
+        ]
+
+    def finish(g: DataFrame) -> DataFrame:
+        active: dict[str, Column] = {c: F.col(f"_g{i}") == 0 for i, c in enumerate(cols)}
+        # Per-set null-rejection (== reference pre-agg isNotNull, main.py:288)
+        keep = F.lit(True)
+        for c in cols:
+            keep = keep & (~active[c] | qcol(c).isNotNull())
+        n_active = None
+        for c in cols:
+            term = F.when(active[c], 1).otherwise(0)
+            n_active = term if n_active is None else (n_active + term)
+        keep = keep & (n_active >= 1) & (n_active <= max_size)
+        keep = keep & (F.col("count") >= F.lit(t))
+
+        # Field order == reference: non-ID grouping cols in cols order,
+        # then display cols, then the bare count (main.py:292-312).
+        fields = [
+            F.when(active[c], format_value(c, cfg)) for c in cols if c not in cfg.id_cols
+        ]
+        for id_col in ids_in_cols:
+            for v in cfg.id_to_value[id_col]:
+                fields.append(F.when(active[id_col], format_value(v, cfg)))
+        fields.append(F.col("count"))
+        return g.filter(keep).select(F.concat_ws(INSIGHT_DELIM, *fields).alias("Insights"))
+
+    return union_all([finish(g) for g in grouped])

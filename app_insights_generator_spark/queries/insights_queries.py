@@ -1,0 +1,149 @@
+"""Insights-pipeline queries over the driver's `orders` table.
+
+The reference workload (Play-Store CSV, main.py:363-404) re-expressed on
+TPC-H-ish `orders`: derive o_orderyear, bucket o_totalprice/o_orderyear,
+sweep every non-empty column combination with the 2% support threshold,
+render `col=value;col=[lo-hi];...;<count>` strings. Oracle SQL mirrors each
+step exactly (FLOOR buckets, int-floored threshold, concat field order).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.config import InsightsConfig
+from app_insights_generator_spark.operators.bucketing import bucketize
+from app_insights_generator_spark.operators.insights import insight_query
+from app_insights_generator_spark.operators.sweep import sweep_grouping_sets, sweep_loop_df
+from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.sources import load_table
+
+ORDERS_CFG = InsightsConfig(
+    agg_cols=("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderyear"),
+    bucket_sizes={"o_totalprice": 100_000, "o_orderyear": 5},
+    threshold_percent=2.0,
+)
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderyear", F.year("o_orderdate")
+    )
+    return bucketize(df, ORDERS_CFG.bucket_sizes)
+
+
+_SQL_BASE = """
+WITH base AS (
+  SELECT o_orderstatus,
+         o_orderpriority,
+         CAST(FLOOR(o_totalprice / 100000) * 100000 AS BIGINT) AS o_totalprice,
+         CAST(FLOOR(CAST(year(o_orderdate) AS DOUBLE) / 5) * 5 AS BIGINT) AS o_orderyear
+  FROM orders
+),
+tot AS (SELECT CAST(FLOOR(0.02 * COUNT(*)) AS BIGINT) AS t FROM base)
+"""
+
+_BUCKET_HI = {"o_totalprice": 100_000, "o_orderyear": 5}
+
+
+def _combo_select(combo: tuple[str, ...]) -> str:
+    keys = ", ".join(combo)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in combo)
+    fields = []
+    for c in combo:
+        if c in _BUCKET_HI:
+            hi = _BUCKET_HI[c]
+            fields.append(f"concat('{c}=[', {c}, '-', {c} + {hi}, ']')")
+        else:
+            fields.append(f"concat('{c}=', {c})")
+    fields.append("CAST(cnt AS VARCHAR)")
+    field_list = ", ';', ".join(fields)
+    return (
+        f"SELECT concat({field_list}) AS Insights "
+        f"FROM (SELECT {keys}, COUNT(*) AS cnt FROM base "
+        f"WHERE {notnull} GROUP BY {keys}) g "
+        f"WHERE cnt >= (SELECT t FROM tot)"
+    )
+
+
+def _sweep_oracle() -> str:
+    selects = []
+    for size in range(1, len(ORDERS_CFG.agg_cols) + 1):
+        for combo in itertools.combinations(ORDERS_CFG.agg_cols, size):
+            selects.append(_combo_select(combo))
+    return _SQL_BASE + "\nUNION ALL\n".join(selects)
+
+
+_SWEEP_ORACLE = _sweep_oracle()
+
+
+@register("insights_sweep_orders", _SWEEP_ORACLE)
+def insights_sweep_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native grouping-sets sweep (SURVEY.md §2 O13 re-expressed as cube +
+    grouping_id; §4.3) — 15 grouping sets, ONE aggregation job."""
+    return sweep_grouping_sets(_orders_base(spark, sf_dir), ORDERS_CFG)
+
+
+@register("insights_sweep_orders_loop", _SWEEP_ORACLE)
+def insights_sweep_orders_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful combination-loop sweep (reference main.py:328-361 semantics:
+    per-combination groupBy batched under unions)."""
+    return sweep_loop_df(_orders_base(spark, sf_dir), ORDERS_CFG)
+
+
+_SINGLE_ORACLE = _SQL_BASE + _combo_select(("o_orderpriority", "o_totalprice"))
+
+
+@register("insights_single_combo_orders", _SINGLE_ORACLE)
+def insights_single_combo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-combination insight query (reference get_insights_from_df,
+    main.py:259-315)."""
+    df = _orders_base(spark, sf_dir)
+    return insight_query(df, ("o_orderpriority", "o_totalprice"), ORDERS_CFG)
+
+
+@register(
+    "bucketize_part",
+    """
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice / 100) * 100 AS BIGINT) AS p_retailprice,
+           CAST(FLOOR(CAST(p_size AS DOUBLE) / 10) * 10 AS BIGINT) AS p_size
+    FROM part
+    """,
+)
+def bucketize_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing operator alone (reference do_bucketing, main.py:163-203)."""
+    return bucketize(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        {"p_retailprice": 100, "p_size": 10},
+    )
+
+
+@register(
+    "cast_range_filter_orders",
+    """
+    SELECT o_orderkey,
+           CAST(TRUNC(o_totalprice) AS INTEGER) AS o_totalprice_int,
+           o_orderpriority
+    FROM orders
+    WHERE CAST(TRUNC(o_totalprice) AS INTEGER) BETWEEN 50000 AND 200000
+    """,
+)
+def cast_range_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int cast + inclusive range filter (reference do_column_type_casting
+    main.py:151-160 + filter_playstore_df main.py:206-218). Spark's
+    double->int cast truncates; the oracle uses TRUNC to match."""
+    from app_insights_generator_spark.operators.cleaning import range_filter
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("int").alias("o_totalprice_int"),
+            "o_orderpriority",
+        )
+    )
+    return range_filter(df, {"o_totalprice_int": (50_000, 200_000)})

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive value hash. Use while
+iterating so CORRECTNESS_r{N}.json holds no surprises:
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [-k pattern]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from app_insights_generator_spark.session import get_spark
+from app_insights_generator_spark.sources.readers import TPCH_TABLES
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "replace"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("-k", default=None, help="substring filter on query names")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark(app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        path = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    failures = 0
+    for name, fn in queries.items():
+        if args.k and args.k not in name:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: rows={len(srows)} cols={scols} ({spark_s:.1f}s)")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
+            if sh != dh:
+                problems.append(f"value-hash spark={sh} duckdb={dh}")
+                sset = {tuple(_canon(v) for v in r) for r in srows}
+                dset = {tuple(_canon(v) for v in r) for r in drows}
+                only_s = list(sset - dset)[:3]
+                only_d = list(dset - sset)[:3]
+                if only_s:
+                    problems.append(f"spark-only sample: {only_s}")
+                if only_d:
+                    problems.append(f"duckdb-only sample: {only_d}")
+        if problems:
+            print(f"FAIL  {name}: " + " | ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS  {name}: rows={len(srows)} ({spark_s:.1f}s)")
+
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
