@@ -31,4 +31,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Import for side effect: each module registers its queries.
-from app_insights_generator_spark.queries import insights_queries  # noqa: E402,F401
+from app_insights_generator_spark.queries import (  # noqa: E402,F401
+    events_queries,
+    insights_queries,
+    relational_queries,
+)

@@ -1,0 +1,213 @@
+"""Temporal / event-stream queries (SURVEY.md §7 M6 batch twins + M4
+range/as-of joins) over the `events` table.
+
+These are the BATCH twins of the streaming operators in
+``app_insights_generator_spark/streaming`` — identical window semantics, so
+each one is DuckDB-oracle-checkable. Window starts are emitted as epoch
+seconds (BIGINT): epoch arithmetic is engine- and timezone-proof where
+formatted timestamps are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators.joins import asof_join
+from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.sources import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "tumbling_window_events",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows (F.window is epoch-aligned, matching the
+    oracle's floor(epoch/600))."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_events",
+    """
+    WITH starts AS (
+      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch, value
+      FROM events
+      UNION ALL
+      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - 300 AS BIGINT), value FROM events
+    )
+    SELECT window_start_epoch, COUNT(*) AS n_events, ROUND(AVG(value) + 1e-9, 2) AS avg_value
+    FROM starts GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly two
+    windows (the oracle enumerates both starts explicitly)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value") + 1e-9, 2).alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "session_window_events",
+    """
+    WITH e AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+    flagged AS (
+      SELECT user_id, t, value,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+                  OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, t, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(MIN(t)) AS BIGINT) AS session_start_epoch,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window); oracle is the classic gaps-and-islands rewrite."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "asof_join_purchase_signup",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           s.event_id AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's latest
+    signup at-or-before it (operators/joins.py asof_join — union+window
+    composition, one shuffle)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        purchases,
+        signups.withColumnRenamed("event_id", "signup_event_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["signup_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("signup_event_id_asof").alias("signup_event_id"),
+    )
+
+
+@register(
+    "range_join_clicks_before_error",
+    """
+    SELECT err.event_id, COUNT(c.event_id) AS n_clicks_5m
+    FROM (SELECT * FROM events WHERE event_type = 'error') err
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = err.user_id
+     AND c.ts >= err.ts - INTERVAL 5 MINUTE
+     AND c.ts < err.ts
+    GROUP BY err.event_id
+    """,
+)
+def range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks in the 5 minutes before each error,
+    per user. Equi on user_id + range predicate — Spark plans the equi part
+    as a real join and the range as a join-condition filter."""
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    return (
+        err.join(clk, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("c_event_id").alias("n_clicks_5m"))
+    )
+
+
+@register(
+    "dedup_first_event_per_user_type",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: first event per (user, type) by time
+    — the batch twin of dropDuplicatesWithinWatermark."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

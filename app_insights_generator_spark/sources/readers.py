@@ -39,6 +39,9 @@ _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated table from ``{sf_dir}/{name}.parquet``."""
     spark.conf.set(_NANOS_AS_LONG, "true")
+    # Pin UTC so date_format/year()/unix_timestamp render stored instants
+    # identically to DuckDB's naive-timestamp functions, whatever the host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NS_TIMESTAMP_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

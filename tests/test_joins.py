@@ -1,0 +1,66 @@
+"""asof_join operator semantics (operators/joins.py): backward match,
+exact-timestamp match, no-match NULL, tolerance cutoff."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators.joins import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(5), "t1"), (1, _ts(20), "t2"), (2, _ts(10), "t3"), (3, _ts(1), "t4")],
+        ["key", "ts", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(20), 150.0), (2, _ts(11), 300.0)],
+        ["key", "ts", "quote"],
+    )
+    return trades, quotes
+
+
+def test_backward_match_and_exact_and_missing(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, on=["key"], left_ts="ts", right_ts="ts", value_cols=["quote"])
+    got = {r.trade_id: r.quote_asof for r in out.collect()}
+    assert got == {
+        "t1": 100.0,  # backward: quote at 10:00 <= 10:05
+        "t2": 150.0,  # exact timestamp match allowed
+        "t3": None,   # only later quote exists for key 2
+        "t4": None,   # no quotes at all for key 3
+    }
+
+
+def test_tolerance_cutoff(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="ts", right_ts="ts",
+        value_cols=["quote"], tolerance="2 MINUTE",
+    )
+    got = {r.trade_id: r.quote_asof for r in out.collect()}
+    # t1's only candidate (10:00) is 5 min old -> outside 2-min tolerance
+    assert got == {"t1": None, "t2": 150.0, "t3": None, "t4": None}
+
+
+def test_left_rows_preserved(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, on=["key"], left_ts="ts", right_ts="ts", value_cols=["quote"])
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"key", "ts", "trade_id", "quote_asof"}
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    from app_insights_generator_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) / max(r.exact, 1) < 0.05
