@@ -1,0 +1,212 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §7 M5):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard verification.
+
+Design for 100 TB:
+- exact dedup is one hash-partitioned groupBy on a 32-byte digest (never
+  shuffles full documents);
+- MinHash/SimHash sketches are computed by explode(shingles) -> one
+  groupBy(doc) with 64 min/sum aggregates: the shingle expression is
+  evaluated ONCE per document (inlining 64 per-seed array expressions made
+  Catalyst re-evaluate the shingling 64x per row), and partial aggregation
+  does the mins map-side;
+- LSH banding turns the O(n^2) pair space into per-bucket candidate joins:
+  explode b bands -> shuffle on (band, band_hash) -> join inside buckets
+  only. Skewed buckets (boilerplate docs) are bounded by AQE skew-join.
+- candidate pairs are verified with exact Jaccard on shingle arrays, so
+  the output has no LSH false positives — only (tunable) false negatives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators.text import normalized_text, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One surviving row id per distinct normalized text.
+
+    Returns [keep_id, n_copies]. Grouping key is the sha256 digest of the
+    normalized text: constant-width shuffle keys at any document size.
+    """
+    return (
+        df.select(
+            F.sha2(normalized_text(F.col(text_col)), 256).alias("_h"),
+            F.col(id_col).alias("keep_id"),
+        )
+        .groupBy("_h")
+        .agg(F.min("keep_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """One row per (doc, distinct shingle); empty docs keep one NULL row
+    (explode_outer) so every document still gets a sketch."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """Wide MinHash signature table [_id, _m0.._m{k-1}]: for seed i,
+    min over shingles of xxhash64(shingle, i). One explode + one groupBy;
+    partial aggregation computes the mins before the shuffle."""
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return ex.groupBy("_id").agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs [id_a, id_b] (id_a < id_b) whose signatures
+    collide in >=1 of ``bands`` bands (rows-per-band = num_hashes/bands)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[f"_m{b * rows + r}" for r in range(rows)])
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= threshold.
+    Output: [id_a, id_b, jaccard]."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verification."""
+    cand = minhash_candidates(df, id_col, text_col, shingle_n, num_hashes, bands)
+    return jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """[_id, _sim]: 64-bit SimHash as bigint. Bit i is the sign of
+    sum over shingles of (bit i of xxhash64(shingle) ? +1 : -1).
+    Same explode+groupBy shape as MinHash: one pass, map-side partials."""
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n).select(
+        "_id", F.xxhash64("_sh").alias("_h")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    sums = ex.groupBy("_id").agg(*bit_aggs)
+    out = F.lit(0).cast("bigint")
+    for i in range(64):
+        weight = -(2**63) if i == 63 else 2**i
+        out = out + F.when(F.col(f"_b{i}") > 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sums.select("_id", out.alias("_sim"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks (any
+    pair within hamming distance 3 shares >=1 exact chunk), verify with
+    bit_count(xor) <= max_hamming. Output [id_a, id_b, hamming]."""
+    sh = simhash_signatures(df, id_col, text_col, shingle_n)
+    chunked = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("_sim", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_sim", "ck.chunk", "ck.cval")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M5).
+
+- Brute-force cosine top-k: the exact baseline, all built-in array
+  expressions (zip_with + aggregate), fully distributed map-side work plus
+  one top-k — scales as one scan of the embedding table.
+- Random-hyperplane LSH: the 100 TB path. Hyperplanes come from a seeded
+  NumPy RNG on the driver (a few KB, shipped as literals); each vector maps
+  to a bit-signature bucket; candidate generation joins inside buckets
+  only; exact cosine re-ranks, so results have no false positives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    """Sequential-fold dot product of two array<numeric> columns (exactly
+    reproducible: left-to-right double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def lit_vector(vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+    Output [id, cos_sim] — deterministic via (sim desc, id) ordering;
+    Spark plans TakeOrderedAndProject (no global sort)."""
+    q = lit_vector(query_vec)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return planes / np.linalg.norm(planes, axis=1, keepdims=True)
+
+
+def lsh_bucket(vec_col, planes: np.ndarray):
+    """Pack sign(v . plane_i) into a bigint bucket id."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec_col, lit_vector(p)) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("bigint")
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus all buckets
+    within hamming distance ``multiprobe`` (multiprobe recovers neighbors
+    that straddle one hyperplane — the dominant LSH failure mode), then
+    exact-cosine re-rank. One scan with a bucket IN-filter that Catalyst
+    folds to a cheap per-row expression; at 100 TB, write the table
+    partitioned by bucket and this becomes partition pruning instead."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = [1 if float(np.dot(query_vec, p)) >= 0 else 0 for p in planes]
+    qbucket = sum(b << i for i, b in enumerate(qbits))
+    probes = {qbucket}
+    if multiprobe >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = lit_vector(query_vec)
+    return (
+        bucketed.filter(F.col("_bucket").isin([int(p) for p in probes]))
+        .select("id", F.round(cosine(F.col("_v"), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def similarity_join_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs near-neighbor join: ``n_tables`` independent hyperplane
+    signatures (OR-amplification — a pair is a candidate if it collides in
+    ANY table), join within buckets, exact-cosine verify >= threshold.
+    Output [id_a, id_b, cos_sim] with id_a < id_b (no false positives;
+    false-negative rate shrinks with n_tables, candidate count grows)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
+    dim = len(first[0])
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("_id", "_v", "tb.table", "tb.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = cosine(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

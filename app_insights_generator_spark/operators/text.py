@@ -1,0 +1,116 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §7 M5):
+tokenization, language ID, quality scoring, fingerprinting, shingling.
+
+Everything here is built-in Spark SQL expressions — no Python UDFs — so the
+whole text pipeline stays inside whole-stage codegen and scales linearly
+with executors. Heuristics are deliberately simple + deterministic so each
+one has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram-free language-ID heuristic.
+# Scores are raw occurrence counts of ' word ' in the padded, lowercased
+# text; ties break by this dict's order (first wins).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "una"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array (split of '' gives
+    [''], filtered out here)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Occurrence count of ``needle`` via the length-difference trick —
+    exactly reproducible in ANSI SQL (no regex engine differences)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Total marker-word occurrences for one language over padded text."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    score = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        score = score + occurrences(padded, f" {w} ")
+    return score
+
+
+def lang_id(col: Column) -> Column:
+    """Deterministic argmax over language scores; 'und' when all zero.
+    Tie-break: LANG_MARKERS insertion order."""
+    scores = {lang: lang_score(col, lang) for lang in LANG_MARKERS}
+    best = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] > 0
+        for other in LANG_MARKERS:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        # ties resolve to the FIRST matching clause in this when-chain,
+        # i.e. LANG_MARKERS declaration order
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """English stopword tokens / total tokens (0 for empty docs)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    stop = F.lit(0)
+    for w in LANG_MARKERS["en"]:
+        stop = stop + occurrences(padded, f" {w} ")
+    n = token_count(col)
+    return F.when(n > 0, stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence. Deterministic arithmetic, SQL-twin-able."""
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 100_000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
+def normalized_text(col: Column) -> Column:
+    """Casefold + collapse whitespace + trim — the canonical form used for
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 renders
+    identically in every engine, unlike hash())."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text, as an array<string>.
+    Documents shorter than n tokens yield their full token string."""
+    toks = tokens(normalized_text(col))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )

@@ -34,5 +34,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 from app_insights_generator_spark.queries import (  # noqa: E402,F401
     events_queries,
     insights_queries,
+    llm_queries,
     relational_queries,
 )

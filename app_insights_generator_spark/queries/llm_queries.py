@@ -1,0 +1,313 @@
+"""LLM-data-pipeline queries (SURVEY.md §7 M5) over `documents` and
+`embeddings`: dedup (exact / MinHash / SimHash / n-gram Jaccard),
+similarity search, text analysis, binary-column features.
+
+Oracle notes: normalization/shingling/Jaccard are replicated in DuckDB with
+list functions; ratio roundings carry the +1e-9 halfway-bias used across
+the engine; LSH-based queries are rows-only (sketches aren't
+SQL-expressible) and are instead verified by pytest against exact
+ground truth on constructed corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators import dedup as D
+from app_insights_generator_spark.operators import similarity as S
+from app_insights_generator_spark.operators import text as T
+from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.sources import load_table
+
+# DuckDB twin of operators/text.py normalized_text
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB twin of operators/text.py tokens(normalized_text)
+_TOKS = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x != '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup -------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    f"""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256({_NORM})
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the sha256 of normalized text (operators/dedup.py
+    exact_dedup): constant-width shuffle keys, one groupBy."""
+    return D.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "fingerprint_documents",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (operators/text.py fingerprint_md5)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "ngram_jaccard_adjacent_docs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')) END) AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                 THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(a.grams || b.grams))
+                 ELSE 0.0 END + 1e-9, 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard (operators/dedup.py jaccard_pairs) on a
+    deterministic candidate set: consecutive doc_id pairs."""
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select((F.col("doc_id")).alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    pairs = D.jaccard_pairs(docs, cand, "doc_id", "text", shingle_n=3, threshold=0.0)
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard"))
+
+
+@register("dedup_minhash_documents")  # rows-only: LSH sketch, no SQL twin
+def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs verified by exact Jaccard
+    >= 0.5 (operators/dedup.py near_dedup_minhash). pytest checks candidate
+    recall vs brute-force Jaccard on a constructed corpus."""
+    return D.near_dedup_minhash(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+@register("dedup_simhash_documents")  # rows-only: sketch, no SQL twin
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within hamming distance 3 via 16-bit-chunk
+    bucketing (operators/dedup.py simhash_pairs)."""
+    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+# --- text analysis -----------------------------------------------------------
+
+@register(
+    "text_stats_documents",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                      / length(text) ELSE 0.0 END + 1e-9, 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts + punctuation ratio (operators/text.py), all
+    JVM-side expressions."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(T.punct_ratio(F.col("text")) + 1e-9, 4).alias("punct_ratio"),
+    )
+
+
+def _sql_occurrences(padded: str, needle: str) -> str:
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INTEGER)"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    return " + ".join(_sql_occurrences(padded, f" {w} ") for w in T.LANG_MARKERS[lang])
+
+
+def _lang_id_oracle() -> str:
+    langs = list(T.LANG_MARKERS)
+    scores = ", ".join(f"({_sql_lang_score(lang)}) AS s_{lang}" for lang in langs)
+    cases = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    SELECT {case} AS lang_pred, COUNT(*) AS n
+    FROM (SELECT {scores} FROM documents)
+    GROUP BY 1
+    """
+
+
+@register("lang_id_documents", _lang_id_oracle())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (operators/text.py lang_id), counted per
+    predicted language."""
+    return (
+        _docs(spark, sf_dir)
+        .select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _quality_oracle() -> str:
+    n_toks = f"len({_TOKS})"
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_sql_occurrences(padded, f" {w} ") for w in T.LANG_MARKERS["en"])
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) "
+        "ELSE 0.0 END"
+    )
+    stop_ratio = f"CASE WHEN {n_toks} > 0 THEN CAST(({stop}) AS DOUBLE) / {n_toks} ELSE 0.0 END"
+    score = (
+        f"(CASE WHEN {n_toks} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END"
+        f" + CASE WHEN ({punct}) < 0.1 THEN 0.3 ELSE 0.0 END"
+        f" + CASE WHEN ({stop_ratio}) > 0.01 THEN 0.3 ELSE 0.0 END)"
+    )
+    return f"""
+    SELECT ROUND({score} + 1e-9, 1) AS quality, COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """
+
+
+@register("quality_score_documents", _quality_oracle())
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-score histogram (operators/text.py quality_score)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("quality"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- binary / multimodal plumbing -------------------------------------------
+
+@register(
+    "binary_features_documents",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def binary_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column features (byte length + content digest) — the
+    deterministic core of the multimodal ingestion path
+    (operators/multimodal.py handles the decode plumbing)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length("text").alias("byte_len"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("content_sha"),
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id,
+       ROUND(CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv)) > 0
+             THEN list_dot_product(e.embedding::DOUBLE[], q.qv)
+                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(q.qv, q.qv)))
+             ELSE 0.0 END + 1e-9, 6) AS cos_sim
+FROM embeddings e, q
+ORDER BY cos_sim DESC, id
+LIMIT 10
+"""
+
+
+@register("cosine_topk_embeddings", _COS_SQL)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector
+    (operators/similarity.py cosine_topk): exact baseline, one scan +
+    TakeOrderedAndProject."""
+    embs = _embs(spark, sf_dir)
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = S.lit_vector(qvec)
+    return (
+        embs.select(
+            F.col("vec_id").alias("id"),
+            F.round(S.cosine(F.col("embedding"), q) + 1e-9, 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) + 1e-9, 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — pure map-side array fold, no shuffle at all."""
+    return _embs(spark, sf_dir).select(
+        "vec_id", F.round(S.norm(F.col("embedding")) + 1e-9, 6).alias("l2_norm")
+    )
+
+
+@register("ann_topk_lsh_embeddings")  # rows-only: LSH bucket probe
+def ann_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucket probe
+    (operators/similarity.py ann_topk_lsh); pytest measures recall vs the
+    exact top-k."""
+    embs = _embs(spark, sf_dir)
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ann_topk_lsh(embs, "embedding", "vec_id", qvec, k=10, n_planes=8)
+
+
+@register("multimodal_features")  # rows-only: mapInPandas feature extraction
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline (operators/multimodal.py): documents wrapped
+    as typed binary media rows -> Arrow-batched mapInPandas feature
+    extraction (stubbed codec; real schema/batch plumbing)."""
+    from app_insights_generator_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    return extract_media_features(documents_as_media(_docs(spark, sf_dir)))
+
+
+@register("similarity_join_lsh_embeddings")  # rows-only: LSH bucket join
+def similarity_join_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-neighbor join >= 0.3 cosine within LSH buckets, OR-
+    amplified over 4 hash tables (operators/similarity.py
+    similarity_join_lsh). The driver tables' embeddings are isotropic
+    random, so high-cosine pairs don't exist; pytest validates recall on a
+    constructed clustered corpus instead."""
+    return S.similarity_join_lsh(
+        _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3, n_planes=8, n_tables=4
+    )

@@ -1,0 +1,126 @@
+"""Dedup operators (operators/dedup.py) on constructed corpora with known
+ground truth: exact dedup, MinHash-LSH recall vs brute-force Jaccard,
+SimHash distances."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators import dedup as D
+from app_insights_generator_spark.operators.text import shingles
+
+VOCAB = [f"w{i}" for i in range(50)]
+
+
+def _corpus(spark, n_docs=40, seed=7):
+    """Docs in near-dup pairs: (2k, 2k+1) share ~90% of tokens."""
+    rng = random.Random(seed)
+    rows = []
+    for k in range(n_docs // 2):
+        base = [rng.choice(VOCAB) for _ in range(60)]
+        variant = list(base)
+        for _ in range(6):  # ~10% token edits
+            variant[rng.randrange(len(variant))] = rng.choice(VOCAB)
+        rows.append((2 * k, " ".join(base)))
+        rows.append((2 * k + 1, " ".join(variant)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text"), (4, "HELLO WORLD ")],
+        ["doc_id", "text"],
+    )
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _corpus(spark).cache()
+
+
+def _true_pairs(spark, corpus, threshold):
+    """Brute-force all-pairs Jaccard ground truth."""
+    sh = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), (inter / union).alias("j"))
+        .filter(F.col("j") >= threshold)
+    )
+    return {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark, corpus):
+    truth = _true_pairs(spark, corpus, 0.5)
+    assert len(truth) >= 10  # the construction guarantees near-dup pairs
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.near_dedup_minhash(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    # exact-Jaccard verification -> no false positives
+    assert got <= truth
+    # 16 bands x 4 rows: collision prob at j=0.5 is 1-(1-0.5^4)^16 ~ 0.65,
+    # and our true pairs sit well above 0.5 -> expect high recall
+    assert len(got) >= 0.8 * len(truth)
+
+
+def test_simhash_deterministic_and_discriminative(spark, corpus):
+    sig = D.simhash_signatures(corpus, "doc_id", "text")
+    vals = {r._id: r._sim for r in sig.collect()}
+    df2 = corpus.withColumn("doc_id", F.col("doc_id") + 1000)
+    vals2 = {r._id - 1000: r._sim for r in D.simhash_signatures(df2, "doc_id", "text").collect()}
+    assert vals == vals2  # deterministic
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(vals[2 * k], vals[2 * k + 1]) for k in range(20)]
+    far = [ham(vals[2 * k], vals[(2 * k + 5) % 40]) for k in range(20)]
+    # near-dup pairs are markedly closer in hamming space than random pairs
+    assert sum(near) / len(near) < 0.6 * (sum(far) / len(far))
+
+
+def test_simhash_pairs_catch_tiny_edits(spark):
+    # 1-token edits out of 60 flip few shingles -> hamming stays small;
+    # the 4x16-bit chunk banding GUARANTEES candidates at hamming <= 3 and
+    # probabilistically catches slightly larger distances.
+    rng = random.Random(11)
+    rows = []
+    for k in range(10):
+        base = [rng.choice(VOCAB) for _ in range(60)]
+        variant = list(base)
+        variant[30] = "CHANGED"
+        rows.append((2 * k, " ".join(base)))
+        rows.append((2 * k + 1, " ".join(variant)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=12).collect()
+    }
+    near = [(2 * k, 2 * k + 1) for k in range(10)]
+    assert sum(1 for p in near if p in found) >= 5
+    # identical docs -> hamming 0, always found
+    df_same = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    same = D.simhash_pairs(df_same, "doc_id", "text", max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in same] == [(1, 2, 0)]
+
+
+def test_jaccard_pairs_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           D.jaccard_pairs(df, cand, "doc_id", "text", threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0

@@ -1,0 +1,77 @@
+"""Similarity operators (operators/similarity.py) on constructed clustered
+vectors: exact cosine top-k, LSH bucket recall, LSH similarity join."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators import similarity as S
+
+DIM = 16
+
+
+def _clustered(spark, n_clusters=5, per_cluster=20, seed=3):
+    """Vectors tightly clustered around n_clusters random centers."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.08 * rng.standard_normal(DIM)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return centers, spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    centers, df = _clustered(spark)
+    return centers, df.cache()
+
+
+def test_cosine_basic(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    got = df.select(
+        S.cosine(F.col("a"), F.col("a")).alias("same"),
+        S.cosine(F.col("a"), F.col("b")).alias("orth"),
+    ).first()
+    assert abs(got.same - 1.0) < 1e-12
+    assert abs(got.orth) < 1e-12
+
+
+def test_cosine_topk_finds_cluster(clustered):
+    centers, df = clustered
+    top = S.cosine_topk(df, "embedding", "vec_id", centers[0], k=20).collect()
+    ids = {r.id for r in top}
+    assert ids == set(range(20))  # cluster 0 occupies vec_ids 0..19
+
+
+def test_ann_lsh_recall(clustered):
+    centers, df = clustered
+    exact = {r.id for r in S.cosine_topk(df, "embedding", "vec_id", centers[0], k=10).collect()}
+    approx = {r.id for r in S.ann_topk_lsh(df, "embedding", "vec_id", centers[0], k=10, n_planes=6).collect()}
+    # multiprobe bucket scan on tightly clustered data keeps most of the
+    # true top-k
+    assert len(exact & approx) >= 8
+
+
+def test_similarity_join_clusters(clustered):
+    centers, df = clustered
+    pairs = S.similarity_join_lsh(
+        df, "embedding", "vec_id", threshold=0.9, n_planes=6, n_tables=6
+    ).collect()
+    assert len(pairs) > 100
+    same_cluster = sum(1 for r in pairs if r.id_a // 20 == r.id_b // 20)
+    assert same_cluster == len(pairs)  # 0.9 threshold -> only intra-cluster
+    for r in pairs:
+        assert r.id_a < r.id_b
+
+
+def test_dot_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    a, b = rng.standard_normal(DIM), rng.standard_normal(DIM)
+    df = spark.createDataFrame([([float(x) for x in a], [float(y) for y in b])], ["a", "b"])
+    got = df.select(S.dot(F.col("a"), F.col("b")).alias("d")).first().d
+    assert abs(got - float(np.dot(a, b))) < 1e-9

@@ -1,0 +1,47 @@
+"""Text operators (operators/text.py): tokens, lang-id, quality,
+fingerprint, shingles."""
+
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators import text as T
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["t"]).select(expr.alias("v")).first().v
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", T.token_count(F.col("t"))) == 3
+    assert _one(spark, "   ", T.token_count(F.col("t"))) == 0
+    assert _one(spark, "", T.token_count(F.col("t"))) == 0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog of the house", T.lang_id(F.col("t"))) == "en"
+    assert _one(spark, "der hund und die katze ist da", T.lang_id(F.col("t"))) == "de"
+    assert _one(spark, "le chat et la maison est grande", T.lang_id(F.col("t"))) == "fr"
+    assert _one(spark, "el gato es una casa los perros", T.lang_id(F.col("t"))) == "es"
+    assert _one(spark, "xyzzy plugh", T.lang_id(F.col("t"))) == "und"
+    # tie between en and de markers -> first declared (en) wins
+    assert _one(spark, "the und", T.lang_id(F.col("t"))) == "en"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", T.fingerprint_md5(F.col("t")))
+    b = _one(spark, "  hello world ", T.fingerprint_md5(F.col("t")))
+    c = _one(spark, "hello worlds", T.fingerprint_md5(F.col("t")))
+    assert a == b != c
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", T.shingles(F.col("t"), 3))
+    assert got == ["a b c", "b c d"]
+    # short doc -> single full-text shingle
+    assert _one(spark, "a b", T.shingles(F.col("t"), 3)) == ["a b"]
+
+
+def test_occurrences_and_quality(spark):
+    assert _one(spark, " the x the ", T.occurrences(F.col("t"), " the ")) == 2
+    long_clean = " ".join(["the quick brown fox jumps"] * 5)
+    assert _one(spark, long_clean, T.quality_score(F.col("t"))) == 1.0
+    assert _one(spark, "!!!", T.quality_score(F.col("t"))) == 0.0
