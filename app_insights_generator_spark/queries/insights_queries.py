@@ -105,6 +105,88 @@ def insights_single_combo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return insight_query(df, ("o_orderpriority", "o_totalprice"), ORDERS_CFG)
 
 
+LINEITEM_CFG = InsightsConfig(
+    agg_cols=(
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipyear",
+    ),
+    bucket_sizes={"l_quantity": 10, "l_extendedprice": 20_000, "l_shipyear": 5},
+    threshold_percent=2.0,
+)
+
+
+def _lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipyear", F.year("l_shipdate")
+    )
+    return bucketize(df, LINEITEM_CFG.bucket_sizes)
+
+
+_LI_SQL_BASE = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus, l_linenumber,
+         CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS l_quantity,
+         CAST(FLOOR(l_extendedprice / 20000) * 20000 AS BIGINT) AS l_extendedprice,
+         CAST(FLOOR(CAST(year(l_shipdate) AS DOUBLE) / 5) * 5 AS BIGINT) AS l_shipyear
+  FROM lineitem
+),
+tot AS (SELECT CAST(FLOOR(0.02 * COUNT(*)) AS BIGINT) AS t FROM base)
+"""
+
+_LI_BUCKET_HI = {"l_quantity": 10, "l_extendedprice": 20_000, "l_shipyear": 5}
+
+
+def _li_combo_select(combo: tuple[str, ...]) -> str:
+    keys = ", ".join(combo)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in combo)
+    fields = []
+    for c in combo:
+        if c in _LI_BUCKET_HI:
+            hi = _LI_BUCKET_HI[c]
+            fields.append(f"concat('{c}=[', {c}, '-', {c} + {hi}, ']')")
+        else:
+            fields.append(f"concat('{c}=', {c})")
+    fields.append("CAST(cnt AS VARCHAR)")
+    field_list = ", ';', ".join(fields)
+    return (
+        f"SELECT concat({field_list}) AS Insights "
+        f"FROM (SELECT {keys}, COUNT(*) AS cnt FROM base "
+        f"WHERE {notnull} GROUP BY {keys}) g "
+        f"WHERE cnt >= (SELECT t FROM tot)"
+    )
+
+
+def _li_sweep_oracle() -> str:
+    selects = [
+        _li_combo_select(combo)
+        for size in range(1, len(LINEITEM_CFG.agg_cols) + 1)
+        for combo in itertools.combinations(LINEITEM_CFG.agg_cols, size)
+    ]
+    return _LI_SQL_BASE + "\nUNION ALL\n".join(selects)
+
+
+_LI_SWEEP_ORACLE = _li_sweep_oracle()
+
+
+@register("insights_sweep_lineitem", _LI_SWEEP_ORACLE)
+def insights_sweep_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline sweep: 63 grouping sets over 6 lineitem columns as ONE
+    pre-aggregated cube (SURVEY.md §4.3) — the scale path for the
+    reference's 16,383-query loop."""
+    return sweep_grouping_sets(_lineitem_base(spark, sf_dir), LINEITEM_CFG)
+
+
+@register("insights_sweep_lineitem_loop", _LI_SWEEP_ORACLE)
+def insights_sweep_lineitem_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 63-set sweep in faithful reference mode (63 separate
+    aggregations unioned) — the BASELINE.md comparison workload."""
+    return sweep_loop_df(_lineitem_base(spark, sf_dir), LINEITEM_CFG)
+
+
 @register(
     "bucketize_part",
     """

@@ -1,0 +1,8 @@
+from app_insights_generator_spark.streaming.windows import (  # noqa: F401
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_sums_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)

@@ -1,0 +1,139 @@
+"""Structured Streaming slice (SURVEY.md §7 M6) over the events table.
+
+Each windowed operator here is the streaming twin of a batch query in
+queries/events_queries.py — same window/gap parameters, so
+batch-vs-stream equality is testable with trigger(availableNow) and the
+batch queries' DuckDB oracles transitively cover the streaming semantics.
+
+Scale notes: watermarks bound the state store (late data beyond the
+watermark is dropped); the shuffle partitions the state by group key, so
+state scales horizontally with executors. The file source here stands in
+for Kafka — swap ``readStream.parquet`` for ``readStream.format("kafka")``
+and the rest of the pipeline is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet carries TIMESTAMP(NANOS) which Spark reads only as long
+# (see sources/readers.py); the stream schema declares the raw long and the
+# reader converts with integer division.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file stream source requires a directory; pathGlobFilter narrows
+    # it to the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of queries tumbling_window_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of queries sliding_window_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value") + 1e-9, 2).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_sums_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of queries session_window_events (dynamic-gap session
+    windows merge in the state store as events arrive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with bounded state: duplicates arriving within the
+    watermark horizon are dropped; state for older keys is evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the available data
+    (trigger availableNow) into an in-memory table; returns the result as a
+    batch DataFrame. Test/dev harness — production uses a real sink."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)

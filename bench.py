@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side result transfer). The headline is the 63-set lineitem insight
+sweep in native grouping-sets mode; its faithful-loop twin runs too so
+BASELINE.md's M2-vs-M3 comparison is re-measured every round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from app_insights_generator_spark.session import get_spark  # noqa: E402
+from app_insights_generator_spark.queries import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "insights_sweep_lineitem",        # native grouping-sets sweep (M3)
+    "insights_sweep_lineitem_loop",   # faithful reference loop (M2 baseline)
+    "insights_sweep_orders",
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top3_orders_per_customer",
+    "distinct_parts_per_flag",
+    "tumbling_window_events",
+    "session_window_events",
+    "asof_join_purchase_signup",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "cosine_topk_embeddings",
+    "similarity_join_lsh_embeddings",
+    "text_stats_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite-wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

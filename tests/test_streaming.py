@@ -1,0 +1,77 @@
+"""Structured Streaming slice: every streaming operator must agree with
+its batch twin on the same data (trigger availableNow -> memory sink)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.queries import QUERIES
+from app_insights_generator_spark.sources import load_table
+from app_insights_generator_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_sums_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)
+from app_insights_generator_spark.streaming.stateful import user_running_totals
+
+
+def _multiset(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
+    got = run_to_memory(tumbling_counts_stream(events_stream), "t_tumbling")
+    batch = QUERIES["tumbling_window_events"](spark, sf_dir)
+    assert _multiset(got) == _multiset(batch)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_stream):
+    got = run_to_memory(sliding_counts_stream(events_stream), "t_sliding")
+    batch = QUERIES["sliding_window_events"](spark, sf_dir)
+    assert _multiset(got) == _multiset(batch)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_stream):
+    got = run_to_memory(session_sums_stream(events_stream), "t_session")
+    batch = QUERIES["session_window_events"](spark, sf_dir)
+    assert _multiset(got) == _multiset(batch)
+
+
+def test_dedup_within_watermark(spark, sf_dir, events_stream):
+    got = run_to_memory(
+        dedup_within_watermark(events_stream, ["user_id", "event_type"]),
+        "t_dedup",
+        output_mode="append",
+    )
+    # one row per (user, type) pair present in the data
+    batch_pairs = (
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    assert got.select("user_id", "event_type").distinct().count() == batch_pairs.count()
+    assert got.count() == batch_pairs.count()
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream):
+    got = run_to_memory(user_running_totals(events_stream), "t_state", output_mode="update")
+    # final state per user = the row with the max n_events (updates only grow)
+    final: dict = {}
+    for r in got.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    assert final == batch
