@@ -21,7 +21,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from app_insights_generator_spark.operators.text import normalized_text, shingles
+from app_insights_generator_spark.operators.text import (
+    normalized_text,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """[_id, _sh: array<string>] distinct shingle set per document.
+
+    Two projections on purpose: tokens are materialized as an attribute
+    before shingles_from_tokens builds n-grams from them, keeping the
+    tokenize work out of the per-element transform() lambda (see
+    operators/text.py shingles_from_tokens)."""
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(normalized_text(F.col(text_col))).alias("_toks"),
+    )
+    return toked.select(
+        "_id",
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("_sh"),
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -44,9 +65,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     """One row per (doc, distinct shingle); empty docs keep one NULL row
     (explode_outer) so every document still gets a sketch."""
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    return _shingle_sets(df, id_col, text_col, shingle_n).select(
+        "_id", F.explode_outer("_sh").alias("_sh")
     )
 
 
@@ -54,8 +74,12 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """Wide MinHash signature table [_id, _m0.._m{k-1}]: for seed i,
-    min over shingles of xxhash64(shingle, i). One explode + one groupBy;
-    partial aggregation computes the mins before the shuffle."""
+    min over shingles of xxhash64(shingle, i). Explode + groupBy on purpose:
+    the 64 hashes run inside whole-stage codegen and partial HashAggregate
+    takes the mins map-side, so the exchange carries ~one 64-long row per
+    doc per partition, not the exploded shingles. (A zero-shuffle
+    array_min(transform(...)) variant measured ~2x slower: higher-order
+    functions evaluate per-element outside codegen.)"""
     ex = _exploded_shingles(df, id_col, text_col, shingle_n)
     aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
     return ex.groupBy("_id").agg(*aggs)
@@ -113,12 +137,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= threshold.
     Output: [id_a, id_b, jaccard]."""
-    sh = df.select(
-        F.col(id_col).alias("_jid"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
-    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -149,7 +170,9 @@ def simhash_signatures(
 ) -> DataFrame:
     """[_id, _sim]: 64-bit SimHash as bigint. Bit i is the sign of
     sum over shingles of (bit i of xxhash64(shingle) ? +1 : -1).
-    Same explode+groupBy shape as MinHash: one pass, map-side partials."""
+    Same explode+groupBy shape as MinHash (codegen'd hashing, map-side
+    partial sums; a per-element higher-order-function variant measured
+    slower — see minhash_signatures)."""
     ex = _exploded_shingles(df, id_col, text_col, shingle_n).select(
         "_id", F.xxhash64("_sh").alias("_h")
     )

@@ -105,12 +105,24 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text, as an array<string>.
-    Documents shorter than n tokens yield their full token string."""
-    toks = tokens(normalized_text(col))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
+
+    ``toks`` must be a plain attribute (produced by a previous projection),
+    not an expression tree: the transform() lambda body re-evaluates its
+    free subexpressions once per output element, so an inline
+    regexp+split+filter token expression would run O(tokens) times per
+    document (measured 50x slowdown on the minhash path)."""
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
     return F.when(k <= n, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text, as an array<string>.
+    Documents shorter than n tokens yield their full token string.
+    For hot paths, project ``tokens(normalized_text(col))`` into a column
+    first and call :func:`shingles_from_tokens` on it (see docstring there)."""
+    return shingles_from_tokens(tokens(normalized_text(col)), n)
