@@ -35,5 +35,6 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
     events_queries,
     insights_queries,
     llm_queries,
+    pipeline_queries,
     relational_queries,
 )

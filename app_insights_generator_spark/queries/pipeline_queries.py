@@ -1,0 +1,62 @@
+"""Source/sink and end-to-end pipeline queries (SURVEY.md §2 O1/O2/O17/O20).
+
+These exercise the CSV reader/writer and the full extract_data pipeline
+under the driver's oracle gate: each query materializes real files under a
+scratch directory, reads them back, and returns the re-read DataFrame, so
+the round-trip itself is what gets hash-compared.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.pipeline import extract_data
+from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries.insights_queries import (
+    ORDERS_CFG,
+    _SWEEP_ORACLE,
+)
+from app_insights_generator_spark.sources import load_table
+from app_insights_generator_spark.sources.readers import read_csv
+from app_insights_generator_spark.sources.writers import write_csv
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"aig_{tag}_")
+
+
+@register(
+    "csv_roundtrip_nation",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip (reference write_to_csv main.py:241-256
+    and read_csv_file main.py:221-238): write `nation` as headered CSV,
+    read it back with the original schema (explicit schema, not
+    inferSchema — schema inference is a second full scan at 100 TB)."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(_scratch("csv_nation"), "nation_csv")
+    write_csv(nation, out, header=True, mode="overwrite")
+    return read_csv(spark, out, header=True, schema=nation.schema)
+
+
+@register("pipeline_extract_orders", _SWEEP_ORACLE)
+def pipeline_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extract_data pipeline (reference main.py:363-404): orders
+    exported to CSV, then CSV scan -> bucket -> native grouping-sets sweep
+    -> CSV write -> re-read. Oracled by the same sweep SQL as the in-memory
+    sweep queries, proving file-boundary fidelity end to end."""
+    scratch = _scratch("pipeline")
+    csv_in = os.path.join(scratch, "orders_csv")
+    csv_out = os.path.join(scratch, "insights_csv")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderyear", F.year("o_orderdate"))
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderyear")
+    )
+    write_csv(base, csv_in, header=True, mode="overwrite")
+    return extract_data(spark, csv_in, csv_out, ORDERS_CFG, mode="native")
