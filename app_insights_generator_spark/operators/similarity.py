@@ -144,6 +144,115 @@ def ann_topk_lsh(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9,
+    round_bias: float = 0.0,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup: [id_a, id_b, cos_sim] with
+    id_a < id_b and raw cos_sim >= threshold (the filter runs on the
+    unrounded value; ``round_bias`` only biases the displayed rounding,
+    the engine-wide +1e-9 halfway convention).
+
+    O(n^2) by construction — this is the ORACLE baseline for the LSH/IVF
+    candidate generators, not the scale path (SURVEY.md §2.2: use
+    similarity_join_lsh at 100 TB). Norms are precomputed per side so the
+    join multiplies but never re-folds them."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    denom = F.col("a._n") * F.col("b._n")
+    sim = F.when(denom > 0, dot(F.col("a._v"), F.col("b._v")) / denom).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            sim.alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("_sim") + F.lit(round_bias), 6).alias("cos_sim")
+        )
+    )
+
+
+def _kmeans_centroids(
+    vectors: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side SAMPLE (the coarse quantizer
+    for IVF). Deterministic: seeded init, ties to the lowest centroid id."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(vectors), size=min(k, len(vectors)), replace=False)
+    centroids = vectors[np.sort(idx)].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((vectors[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = vectors[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Pandas UDF: vector -> nearest-centroid list id (one GEMM per batch)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    c = centroids.astype(np.float64)
+    c_sq = (c**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        # argmin over ||v-c||^2 = -2 v.c + ||c||^2 (+ ||v||^2, constant per row)
+        d = -2.0 * (m @ c.T) + c_sq[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer fit on a driver-side
+    sample, every vector assigned to its nearest centroid list, query
+    probes the ``n_probe`` nearest lists, exact cosine re-ranks inside.
+
+    Scale path: at 100 TB the assignment is one map-side UDF pass and the
+    table is written partitioned by list id, so a probe reads n_probe/n_lists
+    of the data via partition pruning (same role the bucket filter plays
+    here)."""
+    sample = df.select(vec_col).limit(sample_size).collect()
+    vectors = np.array([r[0] for r in sample], dtype=np.float64)
+    centroids = _kmeans_centroids(vectors, n_lists, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe_lists = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]
+    assign = ivf_assign_udf(centroids)
+    qcol = lit_vector(query_vec)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            assign(F.col(vec_col)).alias("_list"),
+        )
+        .filter(F.col("_list").isin([int(x) for x in probe_lists]))
+        .select("id", F.round(cosine(F.col("_v"), qcol), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def similarity_join_lsh(
     df: DataFrame,
     vec_col: str,

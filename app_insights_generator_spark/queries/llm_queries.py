@@ -301,6 +301,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(documents_as_media(_docs(spark, sf_dir)))
 
 
+_COS_PAIRS_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.n * b.n) + 1e-9, 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE a.n * b.n > 0
+  AND list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", _COS_PAIRS_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT all-pairs baseline
+    (operators/similarity.py cosine_pairs_exact). SQL-oracle-able ground
+    truth for the LSH join; the LSH path is what runs at 100 TB."""
+    return S.cosine_pairs_exact(
+        _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3, round_bias=1e-9
+    )
+
+
+@register("ann_topk_ivf_embeddings")  # rows-only: sampled k-means quantizer
+def ann_topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (operators/similarity.py ann_topk_ivf):
+    sampled k-means coarse quantizer, n_probe nearest lists, exact re-rank;
+    pytest measures recall vs the exact top-k."""
+    embs = _embs(spark, sf_dir)
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ann_topk_ivf(embs, "embedding", "vec_id", qvec, k=10, n_lists=16, n_probe=4)
+
+
 @register("similarity_join_lsh_embeddings")  # rows-only: LSH bucket join
 def similarity_join_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs near-neighbor join >= 0.3 cosine within LSH buckets, OR-

@@ -69,6 +69,38 @@ def test_similarity_join_clusters(clustered):
         assert r.id_a < r.id_b
 
 
+def test_ann_ivf_recall(clustered):
+    centers, df = clustered
+    exact = {r.id for r in S.cosine_topk(df, "embedding", "vec_id", centers[0], k=10).collect()}
+    approx = {
+        r.id
+        for r in S.ann_topk_ivf(
+            df, "embedding", "vec_id", centers[0], k=10, n_lists=8, n_probe=2
+        ).collect()
+    }
+    # 8 lists over 5 tight clusters: the probe covers cluster 0's list(s)
+    assert len(exact & approx) >= 8
+
+
+def test_cosine_pairs_exact_is_lsh_superset(clustered):
+    centers, df = clustered
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_exact(df, "embedding", "vec_id", threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.similarity_join_lsh(
+            df, "embedding", "vec_id", threshold=0.9, n_planes=6, n_tables=6
+        ).collect()
+    }
+    assert lsh <= exact  # LSH verifies with exact cosine -> no false positives
+    assert len(lsh) >= 0.9 * len(exact)  # OR-amplified recall on tight clusters
+    # intra-cluster only at 0.9, ordered ids
+    for ia, ib in exact:
+        assert ia < ib and ia // 20 == ib // 20
+
+
 def test_dot_matches_numpy(spark):
     rng = np.random.default_rng(0)
     a, b = rng.standard_normal(DIM), rng.standard_normal(DIM)
