@@ -105,6 +105,30 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+# BPE-ish subword splitting: letter runs, digit runs, or single non-space
+# symbols — the pre-tokenization regex shape GPT-style BPE vocabularies use.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (JVM regex engine; the pattern uses
+    only portable constructs so the DuckDB oracle matches exactly)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def fingerprint_rolling(col: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Karp–Rabin polynomial rolling hash of the normalized text:
+    h = sum(h*base + ascii(char)) mod m, folded left-to-right over the
+    characters. Stays in JVM expressions (aggregate over split chars);
+    the same fold is expressible in SQL for the oracle."""
+    chars = F.split(normalized_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % F.lit(mod).cast("bigint"),
+    )
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
 

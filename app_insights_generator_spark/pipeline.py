@@ -72,3 +72,49 @@ def extract_data(
         raise ValueError(f"unknown mode {mode!r} (want 'native' or 'loop')")
     finally:
         bucketed.unpersist()
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry point (reference __main__, main.py:407-421): run the
+    pipeline on a CSV with a workload described on the command line."""
+    import argparse
+    import json
+
+    from app_insights_generator_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="insights pipeline over a CSV")
+    p.add_argument("--csv_file_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--agg_cols", required=True, help="comma-separated sweep columns")
+    p.add_argument("--bucket_sizes", default="{}", help='JSON, e.g. {"price": 100}')
+    p.add_argument("--range_filters", default="{}", help='JSON, e.g. {"year": [1971, 2023]}')
+    p.add_argument("--int_cast_cols", default="", help="comma-separated")
+    p.add_argument("--threshold_percent", type=float, default=2.0)
+    p.add_argument("--mode", choices=("native", "loop"), default="native")
+    p.add_argument("--single_file", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = InsightsConfig(
+        agg_cols=tuple(c for c in args.agg_cols.split(",") if c),
+        bucket_sizes=json.loads(args.bucket_sizes),
+        range_filters={
+            k: (float(lo), float(hi))
+            for k, (lo, hi) in json.loads(args.range_filters).items()
+        },
+        int_cast_cols=tuple(c for c in args.int_cast_cols.split(",") if c),
+        threshold_percent=args.threshold_percent,
+    )
+    spark = get_spark(app_name="insights-pipeline")
+    out = extract_data(
+        spark,
+        args.csv_file_path,
+        args.output_path,
+        cfg,
+        mode=args.mode,
+        single_file=args.single_file,
+    )
+    print(f"insights rows: {out.count()}")
+
+
+if __name__ == "__main__":
+    main()

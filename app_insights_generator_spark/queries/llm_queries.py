@@ -207,6 +207,45 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_count_bpe_documents",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counting (operators/text.py bpe_token_count):
+    letter runs / digit runs / single symbols, the GPT-style
+    pre-tokenization split."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "fingerprint_rolling_documents",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length({_NORM}) + 1),
+                 i -> CAST(ord(({_NORM})[i]) AS BIGINT))),
+             (a, x) -> (a * 31 + x) % 2147483647) AS rolling_hash
+    FROM documents
+    """,
+)
+def fingerprint_rolling_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash fingerprint of the normalized text
+    (operators/text.py fingerprint_rolling), folded left-to-right inside
+    JVM expressions."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint_rolling(F.col("text")).alias("rolling_hash")
+    )
+
+
 # --- binary / multimodal plumbing -------------------------------------------
 
 @register(

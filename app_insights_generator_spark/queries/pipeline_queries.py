@@ -60,3 +60,20 @@ def pipeline_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_csv(base, csv_in, header=True, mode="overwrite")
     return extract_data(spark, csv_in, csv_out, ORDERS_CFG, mode="native")
+
+
+@register("pipeline_extract_orders_loop", _SWEEP_ORACLE)
+def pipeline_extract_orders_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful-loop pipeline variant: batched append writes into
+    `<out>_partitioned` plus the reference's two-phase compaction merge
+    (main.py:391-393), oracled by the same sweep SQL."""
+    scratch = _scratch("pipeline_loop")
+    csv_in = os.path.join(scratch, "orders_csv")
+    csv_out = os.path.join(scratch, "insights_csv")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderyear", F.year("o_orderdate"))
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderyear")
+    )
+    write_csv(base, csv_in, header=True, mode="overwrite")
+    return extract_data(spark, csv_in, csv_out, ORDERS_CFG, mode="loop", batch_size=8)

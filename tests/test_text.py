@@ -45,3 +45,25 @@ def test_occurrences_and_quality(spark):
     long_clean = " ".join(["the quick brown fox jumps"] * 5)
     assert _one(spark, long_clean, T.quality_score(F.col("t"))) == 1.0
     assert _one(spark, "!!!", T.quality_score(F.col("t"))) == 0.0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("don't stop!",), ("abc123",), ("",)], ["text"]
+    )
+    got = [r.n for r in df.select(T.bpe_token_count(F.col("text")).alias("n")).collect()]
+    # don|'|t|stop|! , abc|123 , empty
+    assert got == [5, 2, 0]
+
+
+def test_fingerprint_rolling_deterministic_and_normalized(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("other",)], ["text"]
+    )
+    got = [r.h for r in df.select(T.fingerprint_rolling(F.col("text")).alias("h")).collect()]
+    assert got[0] == got[1]  # normalization collapses case/whitespace
+    assert got[0] != got[2]
+    h = 0
+    for ch in "hello world":
+        h = (h * 31 + ord(ch)) % (2**31 - 1)
+    assert got[0] == h
