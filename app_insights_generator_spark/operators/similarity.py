@@ -266,32 +266,48 @@ def similarity_join_lsh(
     signatures (OR-amplification — a pair is a candidate if it collides in
     ANY table), join within buckets, exact-cosine verify >= threshold.
     Output [id_a, id_b, cos_sim] with id_a < id_b (no false positives;
-    false-negative rate shrinks with n_tables, candidate count grows)."""
+    false-negative rate shrinks with n_tables, candidate count grows).
+
+    Cost shape: candidate generation ships (id, table, bucket) triples
+    only; pairs are DISTINCTed before verification so a pair colliding in
+    several tables is verified once; verification joins back vectors with
+    PRE-FOLDED norms (one norm fold per row, not per pair) so each unique
+    pair costs a single dot-product fold plus a scalar divide."""
     first = df.select(vec_col).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
     dim = len(first[0])
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     buckets = lsh_buckets_vectorized(tables)
-    bucketed = df.select(
+    sig = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = cosine(F.col("a._v"), F.col("b._v"))
-    return (
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(sim, 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
+    )
+    base = df.select(
+        F.col(id_col).alias("_uid"),
+        F.col(vec_col).alias("_u"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    ua, ub = base.alias("ua"), base.alias("ub")
+    denom = F.col("ua._n") * F.col("ub._n")
+    sim = F.when(denom > 0, dot(F.col("ua._u"), F.col("ub._u")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        pairs.join(ua, F.col("id_a") == F.col("ua._uid"))
+        .join(ub, F.col("id_b") == F.col("ub._uid"))
+        .select("id_a", "id_b", sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 6).alias("cos_sim"))
     )
