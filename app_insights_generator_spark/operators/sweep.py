@@ -170,3 +170,95 @@ def sweep_grouping_sets(
         return g.filter(keep).select(F.concat_ws(INSIGHT_DELIM, *fields).alias("Insights"))
 
     return union_all([finish(g) for g in grouped])
+
+
+def sweep_apriori(
+    df: DataFrame,
+    cfg: InsightsConfig,
+    cols: Sequence[str] | None = None,
+    total_count: int | None = None,
+) -> DataFrame:
+    """Level-wise sweep with frequent-pattern (Apriori) pruning — output
+    IDENTICAL to sweep_loop / sweep_grouping_sets.
+
+    The support threshold is anti-monotone: every group of column set
+    S ∪ {c} is a subset of some group of S restricted to rows non-null in
+    c, so max group count can only shrink as columns are added. Hence if a
+    set S has NO group reaching the threshold, no superset of S can emit
+    any output row, and the classic Apriori candidate generation applies:
+    level k+1 evaluates only sets whose every k-subset produced at least
+    one qualifying group.
+
+    Scale story (the reference's 16,383-set workload at 100 TB): a 2%
+    support threshold kills most multi-column sets after 2–3 levels, so the
+    2^n sweep collapses to a handful of level jobs, each ONE groupingSets
+    aggregation over the pre-aggregated distinct-tuple table. Driver-side
+    data is only the per-set survival bitmap (<= sets-per-level rows).
+    Each level is persisted: it is consumed twice (survival collect now,
+    final unioned result at the caller's action) — recomputation, not
+    memory, is the expensive resource at scale.
+    """
+    cols = list(cols or cfg.agg_cols)
+    if total_count is None:
+        total_count = df.count()
+    t = threshold_count(cfg, total_count)
+    max_size = cfg.max_combo_size or len(cols)
+
+    ids_in_cols = [c for c in cols if c in cfg.id_cols]
+    display = [v for c in ids_in_cols for v in cfg.id_to_value[c]]
+
+    base = _preaggregate(df, cols, display).persist()
+    key_cols = [qcol(c) for c in cols]
+    aggs = [F.min(qcol(v)).alias(v) for v in display]
+    aggs.append(F.sum("_pre_count").cast("long").alias("count"))
+    aggs.extend(F.grouping(qcol(c)).alias(f"_g{i}") for i, c in enumerate(cols))
+
+    def level_df(sets: list[tuple[str, ...]]) -> DataFrame:
+        g = base.groupingSets([[qcol(c) for c in s] for s in sets], *key_cols).agg(*aggs)
+        keep = F.col("count") >= F.lit(t)
+        for i, c in enumerate(cols):
+            keep = keep & ((F.col(f"_g{i}") == 1) | qcol(c).isNotNull())
+        return g.filter(keep).persist()
+
+    def formatted(g: DataFrame) -> DataFrame:
+        active = {c: F.col(f"_g{i}") == 0 for i, c in enumerate(cols)}
+        fields = [
+            F.when(active[c], format_value(c, cfg)) for c in cols if c not in cfg.id_cols
+        ]
+        for id_col in ids_in_cols:
+            for v in cfg.id_to_value[id_col]:
+                fields.append(F.when(active[id_col], format_value(v, cfg)))
+        fields.append(F.col("count"))
+        return g.select(F.concat_ws(INSIGHT_DELIM, *fields).alias("Insights"))
+
+    out: list[DataFrame] = []
+    current: list[tuple[str, ...]] = [(c,) for c in cols]
+    k = 1
+    while current and k <= max_size:
+        g = level_df(current)
+        # Survival bitmap: which of this level's sets emitted >= 1 group.
+        flag_rows = g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct().collect()
+        survivors = {
+            frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
+            for row in flag_rows
+        }
+        out.append(formatted(g))
+        prev = {frozenset(s) for s in current if frozenset(s) in survivors}
+        cand = {
+            s | {c}
+            for s in prev
+            for c in cols
+            if c not in s
+        }
+        current = sorted(
+            (
+                tuple(c for c in cols if c in s)
+                for s in cand
+                if all(s - {c} in prev for c in s)
+            ),
+        )
+        k += 1
+    base.unpersist()
+    if not out:
+        return df.sparkSession.createDataFrame([], "Insights string")
+    return union_all(out)

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from app_insights_generator_spark.config import InsightsConfig
 from app_insights_generator_spark.operators.bucketing import bucketize
 from app_insights_generator_spark.operators.insights import insight_query
-from app_insights_generator_spark.operators.sweep import sweep_grouping_sets, sweep_loop_df
+from app_insights_generator_spark.operators.sweep import (
+    sweep_apriori,
+    sweep_grouping_sets,
+    sweep_loop_df,
+)
 from app_insights_generator_spark.queries import register
 from app_insights_generator_spark.sources import load_table
 
@@ -185,6 +189,123 @@ def insights_sweep_lineitem_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same 63-set sweep in faithful reference mode (63 separate
     aggregations unioned) — the BASELINE.md comparison workload."""
     return sweep_loop_df(_lineitem_base(spark, sf_dir), LINEITEM_CFG)
+
+
+# --- Wide sweep: 10 columns -> 1,023 grouping sets -------------------------
+#
+# The reference sweeps 14 columns = 16,383 sets (main.py:88-103, 345-348);
+# this is the same workload shape at width 10 on lineitem, with derived
+# bucket columns so every key is integer-rendered (no float formatting
+# divergence between Spark and DuckDB). Two engine modes are registered
+# against ONE oracle — a single DuckDB `GROUP BY CUBE` statement whose
+# GROUPING() flags reproduce the per-set null-rejection, grand-total
+# exclusion, and conditional field formatting.
+
+_WIDE_BUCKETS = {
+    "l_quantity": 10,
+    "l_extendedprice": 20_000,
+    "l_shipyear": 5,
+    "l_discpct": 5,
+    "l_taxpct": 4,
+    "l_partgrp": 2_000,
+    "l_suppgrp": 200,
+}
+
+WIDE_CFG = InsightsConfig(
+    agg_cols=(
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipyear",
+        "l_discpct",
+        "l_taxpct",
+        "l_partgrp",
+        "l_suppgrp",
+    ),
+    bucket_sizes=_WIDE_BUCKETS,
+    threshold_percent=2.0,
+)
+
+
+def _lineitem_wide_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("l_shipyear", F.year("l_shipdate"))
+        .withColumn("l_discpct", F.round(F.col("l_discount") * 100).cast("int"))
+        .withColumn("l_taxpct", F.round(F.col("l_tax") * 100).cast("int"))
+        .withColumn("l_partgrp", F.col("l_partkey"))
+        .withColumn("l_suppgrp", F.col("l_suppkey"))
+    )
+    return bucketize(df, WIDE_CFG.bucket_sizes)
+
+
+def _wide_oracle() -> str:
+    cols = list(WIDE_CFG.agg_cols)
+    base_exprs = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+        "CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS l_quantity",
+        "CAST(FLOOR(l_extendedprice / 20000) * 20000 AS BIGINT) AS l_extendedprice",
+        "CAST(FLOOR(CAST(year(l_shipdate) AS DOUBLE) / 5) * 5 AS BIGINT) AS l_shipyear",
+        "CAST(FLOOR(CAST(ROUND(l_discount * 100) AS INTEGER) / 5) * 5 AS BIGINT) AS l_discpct",
+        "CAST(FLOOR(CAST(ROUND(l_tax * 100) AS INTEGER) / 4) * 4 AS BIGINT) AS l_taxpct",
+        "CAST(FLOOR(l_partkey / 2000) * 2000 AS BIGINT) AS l_partgrp",
+        "CAST(FLOOR(l_suppkey / 200) * 200 AS BIGINT) AS l_suppgrp",
+    ]
+    gflags = ", ".join(f"GROUPING({c}) AS g{i}" for i, c in enumerate(cols))
+    fields = []
+    for i, c in enumerate(cols):
+        if c in _WIDE_BUCKETS:
+            hi = _WIDE_BUCKETS[c]
+            val = f"concat('{c}=[', {c}, '-', {c} + {hi}, ']')"
+        else:
+            val = f"concat('{c}=', {c})"
+        fields.append(f"CASE WHEN g{i} = 0 THEN {val} END")
+    fields.append("CAST(cnt AS VARCHAR)")
+    field_list = ",\n         ".join(fields)
+    gsum = " + ".join(f"g{i}" for i in range(len(cols)))
+    nullrej = " AND ".join(
+        f"(g{i} = 1 OR {c} IS NOT NULL)" for i, c in enumerate(cols)
+    )
+    return f"""
+WITH base AS (
+  SELECT {", ".join(base_exprs)}
+  FROM lineitem
+),
+tot AS (SELECT CAST(FLOOR(0.02 * COUNT(*)) AS BIGINT) AS t FROM base),
+g AS (
+  SELECT {", ".join(cols)}, COUNT(*) AS cnt, {gflags}
+  FROM base
+  GROUP BY CUBE ({", ".join(cols)})
+)
+SELECT concat_ws(';',
+         {field_list}) AS Insights
+FROM g, tot
+WHERE cnt >= t AND ({gsum}) < {len(cols)} AND {nullrej}
+"""
+
+
+_WIDE_ORACLE = _wide_oracle()
+
+
+@register("insights_sweep_lineitem_wide", _WIDE_ORACLE)
+def insights_sweep_lineitem_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide sweep (10 cols, 1,023 sets) in Apriori level-wise mode
+    (operators/sweep.py sweep_apriori): the 100 TB path — the 2% support
+    threshold prunes supersets of empty sets, so only a few level jobs run
+    instead of a 1,024-way Expand."""
+    return sweep_apriori(_lineitem_wide_base(spark, sf_dir), WIDE_CFG)
+
+
+@register("insights_sweep_lineitem_wide_cube", _WIDE_ORACLE)
+def insights_sweep_lineitem_wide_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 1,023-set sweep as ONE pre-aggregated native cube — the
+    exhaustive-mode comparison point for BENCH (SURVEY.md §4.3 Expand
+    trade-off, measured not guessed)."""
+    return sweep_grouping_sets(_lineitem_wide_base(spark, sf_dir), WIDE_CFG)
 
 
 @register(

@@ -26,6 +26,7 @@ from app_insights_generator_spark.queries import QUERIES  # noqa: E402
 HEADLINE = [
     "insights_sweep_lineitem",        # native grouping-sets sweep (M3)
     "insights_sweep_lineitem_loop",   # faithful reference loop (M2 baseline)
+    "insights_sweep_lineitem_wide",   # 10-col/1023-set sweep, Apriori-pruned
     "insights_sweep_orders",
     "q1_pricing_summary",
     "join_revenue_by_nation",
@@ -46,6 +47,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_spark(app_name="bench")
+
+    # Warmup: absorb one-time JVM/codegen/shuffle-system startup so per-query
+    # numbers measure steady state, not whichever query runs first.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -97,3 +97,26 @@ def test_id_columns_in_sweep(spark, sf_dir):
     native = _insights_multiset(sweep_grouping_sets(df, cfg))
     assert loop == native
     assert any(s.startswith("status_name=S_") for s in loop)
+
+
+def test_apriori_matches_cube(spark, orders_prepared):
+    from app_insights_generator_spark.operators.sweep import sweep_apriori
+
+    native = _insights_multiset(sweep_grouping_sets(orders_prepared, ORDERS_CFG))
+    apriori = _insights_multiset(sweep_apriori(orders_prepared, ORDERS_CFG))
+    assert native == apriori
+
+
+def test_apriori_prunes_with_biting_threshold(spark, orders_prepared):
+    # A threshold high enough that multi-column sets die early: output still
+    # matches the exhaustive mode exactly (anti-monotone support property).
+    from app_insights_generator_spark.operators.sweep import sweep_apriori
+
+    cfg = InsightsConfig(
+        agg_cols=ORDERS_CFG.agg_cols,
+        bucket_sizes=ORDERS_CFG.bucket_sizes,
+        threshold_percent=30.0,
+    )
+    native = _insights_multiset(sweep_grouping_sets(orders_prepared, cfg))
+    apriori = _insights_multiset(sweep_apriori(orders_prepared, cfg))
+    assert native == apriori
