@@ -21,8 +21,8 @@ from app_insights_generator_spark.queries.insights_queries import (
     _SWEEP_ORACLE,
 )
 from app_insights_generator_spark.sources import load_table
-from app_insights_generator_spark.sources.readers import read_csv
-from app_insights_generator_spark.sources.writers import write_csv
+from app_insights_generator_spark.sources.readers import read_csv, read_json
+from app_insights_generator_spark.sources.writers import write_csv, write_json
 
 
 def _scratch(tag: str) -> str:
@@ -42,6 +42,20 @@ def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_scratch("csv_nation"), "nation_csv")
     write_csv(nation, out, header=True, mode="overwrite")
     return read_csv(spark, out, header=True, schema=nation.schema)
+
+
+@register(
+    "json_roundtrip_part",
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def json_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip: write `part` as JSON, read it
+    back with the original schema (explicit schema — JSON schema inference
+    is a full extra scan at 100 TB, same stance as the CSV path)."""
+    part = load_table(spark, sf_dir, "part")
+    out = os.path.join(_scratch("json_part"), "part_json")
+    write_json(part, out, mode="overwrite")
+    return read_json(spark, out, schema=part.schema)
 
 
 @register("pipeline_extract_orders", _SWEEP_ORACLE)

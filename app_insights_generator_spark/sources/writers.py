@@ -24,6 +24,19 @@ def write_csv(
     df.write.option("header", header).mode(mode).csv(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """JSON-lines sink (north-star surface: "DataFrame ops over CSV/JSON").
+    One file per partition by default — same scale stance as write_csv."""
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode(mode).json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
