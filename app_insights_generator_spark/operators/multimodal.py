@@ -110,3 +110,113 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 128, decode_stub: bool = True) -> DataFrame:
+    """Resize every image/video-still so max(width, height) == max_dim,
+    preserving aspect ratio. Arrow-batched mapInPandas, 1:1 rows, no
+    shuffle — audio rows pass through with NULL dimensions.
+
+    Stubbed codec: the "resized" payload is a deterministic function of
+    (content digest, target dims) so tests can assert exact bytes; a real
+    build swaps _fake_decode/_fake_encode for Pillow with no change to the
+    Spark-side schema or batch shape.
+    """
+
+    def _resize(media_type: str, content: bytes) -> tuple[bytes | None, int | None, int | None]:
+        w, h, _ = _fake_decode(media_type, content)
+        if w is None or h is None:
+            return None, None, None
+        scale = max_dim / max(w, h)
+        nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+        if not decode_stub:
+            raise NotImplementedError(
+                "real image resize needs Pillow, absent in this environment"
+            )
+        fake = hashlib.sha256(content + f":{nw}x{nh}".encode()).digest()
+        return fake * (1 + nw * nh // len(fake)), nw, nh
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                _resize(t, bytes(c)) for t, c in zip(pdf["media_type"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": [r[0] for r in resized],
+                    "width": pd.array([r[1] for r in resized], dtype="Int32"),
+                    "height": pd.array([r[2] for r in resized], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 10_000, max_frames: int = 32, decode_stub: bool = True
+) -> DataFrame:
+    """Sample frames from video rows every ``every_ms`` — a one-to-many
+    mapInPandas (output rows > input rows), the shape a real frame
+    extractor has. Non-video rows produce no output. The frame payload is
+    stubbed as a digest; duration comes from the (stubbed) decode, so the
+    sampling arithmetic — frame count = min(duration // every_ms + 1,
+    max_frames) — is real and tested.
+
+    Scale note: frame explosion multiplies rows ~10-100x; downstream
+    repartitioning is the CALLER's choice (this op preserves partitioning
+    so media already spread by media_id stays spread).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg, absent in this environment"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, shas = [], [], [], []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                if mtype != "video":
+                    continue
+                raw = bytes(content)
+                _, _, dur = _fake_decode(mtype, raw)
+                n = min(int(dur) // every_ms + 1, max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    shas.append(hashlib.sha256(raw + i.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="int64"),
+                    "frame_sha": shas,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -340,6 +340,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(documents_as_media(_docs(spark, sf_dir)))
 
 
+@register("multimodal_frame_sample")  # rows-only: 1->N frame explosion
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (operators/multimodal.py sample_frames): a
+    one-to-many mapInPandas over binary video rows — every 10s up to 32
+    frames, frame count driven by the (stubbed) decoded duration. Returns
+    per-media frame counts + first/last timestamps so the row-count check
+    pins the explosion arithmetic."""
+    from app_insights_generator_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    frames = sample_frames(documents_as_media(_docs(spark, sf_dir)), every_ms=10_000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_ts_ms").alias("first_ts_ms"),
+        F.max("frame_ts_ms").alias("last_ts_ms"),
+    )
+
+
+@register("multimodal_resize")  # rows-only: stubbed codec payloads
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (operators/multimodal.py
+    resize_images): 1:1 mapInPandas; audio passes through with NULL dims.
+    Returns dimension stats per media_type."""
+    from app_insights_generator_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+
+    resized = resize_images(documents_as_media(_docs(spark, sf_dir)), max_dim=128)
+    return resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("width").alias("max_w"),
+        F.max("height").alias("max_h"),
+        F.min(F.greatest("width", "height")).alias("min_long_side"),
+    )
+
+
 _COS_PAIRS_SQL = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n

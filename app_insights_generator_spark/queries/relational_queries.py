@@ -463,3 +463,75 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- skew mitigation (operators/skew.py) -------------------------------------
+
+@register(
+    "salted_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(l_extendedprice) AS n_items,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally skewed) key:
+    phase 1 spreads each group over 16 salt sub-groups, phase 2 merges.
+    The oracle is a plain GROUP BY — salting must not change a single
+    value."""
+    from app_insights_generator_spark.operators.skew import salted_groupby
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_groupby(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_items": ("count", "l_extendedprice"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "avg_disc": ("avg", "l_discount"),
+        },
+        salt_n=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n_items"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round(F.col("avg_disc") + 1e-9, 4).alias("avg_disc"),
+    )
+
+
+@register(
+    "salted_join_supplier_revenue",
+    """
+    SELECT s.s_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-broadcast skew join: supplier is replicated 8x, lineitem
+    scatters across replicas by row hash. Oracled against the plain join —
+    salting must be row-identical."""
+    from app_insights_generator_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    joined = salted_join(li, s, F.col("l_suppkey") == F.col("s_suppkey"), salt_n=8)
+    return joined.groupBy("s_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -51,3 +51,56 @@ def test_stub_gate_raises(spark, media):
 
     with pytest.raises(pyspark.errors.PySparkException):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def test_resize_preserves_aspect_and_caps_long_side(media):
+    from app_insights_generator_spark.operators.multimodal import resize_images
+
+    rows = resize_images(media, max_dim=128).collect()
+    for r in rows:
+        if r.media_type == "audio":
+            assert r.width is None and r.height is None and r.content is None
+        else:
+            assert max(r.width, r.height) == 128
+            assert min(r.width, r.height) >= 1
+            assert isinstance(r.content, (bytes, bytearray)) and len(r.content) > 0
+
+
+def test_resize_is_deterministic(media):
+    from app_insights_generator_spark.operators.multimodal import resize_images
+
+    a = {r.media_id: bytes(r.content) for r in resize_images(media, 64).collect() if r.content}
+    b = {r.media_id: bytes(r.content) for r in resize_images(media, 64).collect() if r.content}
+    assert a == b
+
+
+def test_frame_sample_counts_match_duration(media):
+    import hashlib as hl
+
+    from app_insights_generator_spark.operators.multimodal import (
+        _fake_decode,
+        sample_frames,
+    )
+
+    frames = sample_frames(media, every_ms=10_000, max_frames=32).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    src = {r.media_id: bytes(r.content) for r in media.collect() if r.media_type == "video"}
+    assert set(by_media) == set(src)  # only video rows explode
+    for mid, fs in by_media.items():
+        _, _, dur = _fake_decode("video", src[mid])
+        assert len(fs) == min(dur // 10_000 + 1, 32)
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == list(range(len(fs)))
+        f0 = min(fs, key=lambda f: f.frame_idx)
+        assert f0.frame_sha == hl.sha256(src[mid] + (0).to_bytes(4, "big")).hexdigest()
+
+
+def test_stub_gate_raises(media):
+    import pytest as _pytest
+
+    from app_insights_generator_spark.operators.multimodal import sample_frames
+
+    with _pytest.raises(NotImplementedError):
+        sample_frames(media, decode_stub=False)
