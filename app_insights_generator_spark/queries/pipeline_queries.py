@@ -58,6 +58,40 @@ def json_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json(spark, out, schema=part.schema)
 
 
+@register("binaryfile_source_media")  # rows-only: file-system source, no SQL twin
+def binaryfile_source_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source (SURVEY.md §2.2 "sources beyond CSV"): the
+    multimodal ingestion path — opaque media files land as (path, length,
+    content) rows. Writes the first 50 documents as .bin files, reads them
+    back via the binaryFile reader, and verifies content integrity by
+    sha. At 100 TB this source partitions by file, so metadata predicates
+    (pathGlobFilter, modifiedAfter) prune without reading payloads."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).collect()
+    scratch = _scratch("binfiles")
+    for r in docs:
+        with open(os.path.join(scratch, f"doc_{r.doc_id:05d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    expected = {
+        f"doc_{r.doc_id:05d}.bin": hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+        for r in docs
+    }
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(scratch)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length"),
+            F.sha2("content", 256).alias("content_sha"),
+        )
+    )
+    rows = {r.file_name: r.content_sha for r in bf.collect()}
+    assert rows == expected, "binaryFile round-trip mismatch"
+    return bf.orderBy("file_name")
+
+
 @register("pipeline_extract_orders", _SWEEP_ORACLE)
 def pipeline_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extract_data pipeline (reference main.py:363-404): orders

@@ -535,3 +535,77 @@ def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- remaining join/set-op shapes (SURVEY.md §2.2 completeness) --------------
+
+@register(
+    "full_outer_nation_bigspenders",
+    """
+    WITH big AS (
+      SELECT c_nationkey, COUNT(*) AS n_big, ROUND(SUM(c_acctbal), 2) AS bal
+      FROM customer WHERE c_acctbal > 8000 GROUP BY c_nationkey
+    )
+    SELECT n.n_name, b.n_big, b.bal,
+           CASE WHEN b.c_nationkey IS NULL THEN 1 ELSE 0 END AS no_big_spenders
+    FROM nation n FULL OUTER JOIN big b ON n.n_nationkey = b.c_nationkey
+    """,
+)
+def full_outer_nation_bigspenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (NULL-producing on both sides). Note full outer
+    cannot broadcast — Spark plans a shuffle join; fine, both sides here
+    are dim-sized."""
+    n = _t(spark, sf_dir, "nation")
+    big = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+    return n.join(big, n.n_nationkey == big.c_nationkey, "full_outer").select(
+        "n_name",
+        "n_big",
+        "bal",
+        F.when(F.col("c_nationkey").isNull(), 1).otherwise(0).alias("no_big_spenders"),
+    )
+
+
+@register(
+    "cross_join_region_status",
+    """
+    SELECT r.r_name, s.o_orderstatus,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_orderstatus = s.o_orderstatus) AS n_status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (explicit crossJoin) joined
+    back to a per-status count — the only sound use of cross join at
+    scale: both sides provably small."""
+    r = _t(spark, sf_dir, "region")
+    status_counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_status"))
+    )
+    return r.select("r_name").crossJoin(F.broadcast(status_counts))
+
+
+@register(
+    "exceptall_multi_lineitem_orders",
+    """
+    WITH d AS (
+      SELECT l_orderkey AS k FROM lineitem
+      EXCEPT ALL
+      SELECT o_orderkey AS k FROM orders
+    )
+    SELECT k, COUNT(*) AS extra_lines FROM d GROUP BY k
+    """,
+)
+def exceptall_multi_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each order appears (lineitem-count - 1) times
+    in the difference, so the aggregate equals per-order line count minus
+    one — a real multiset-semantics check, not just set EXCEPT."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return li.exceptAll(o).groupBy("k").agg(F.count(F.lit(1)).alias("extra_lines"))
