@@ -32,6 +32,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Import for side effect: each module registers its queries.
 from app_insights_generator_spark.queries import (  # noqa: E402,F401
+    analytic_queries,
     events_queries,
     insights_queries,
     llm_queries,

@@ -1,0 +1,347 @@
+"""Analytic breadth beyond the M4 relational suite (SURVEY.md §2.2
+completeness): pivot/unpivot reshaping, exact percentiles, ntile/percent_rank
+windows, gap-filled time spines, scalar subqueries, statistical aggregates,
+and a token-frequency insight over ``documents``.
+
+The reference has none of these (main.py is groupBy+count only); each is
+engine surface a user of a general analytics engine expects. Scale notes
+inline per query — the recurring themes: pivot values are PINNED (no extra
+distinct-scan job, stable schema), scalar subqueries become broadcast
+one-row joins (no driver round-trip in the plan), and spines are generated
+with ``sequence``/``explode`` (distributed, never a driver-side loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- pivot / unpivot (reshaping) ---------------------------------------------
+
+@register(
+    "pivot_orders_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with PINNED values ('F','O','P'): passing the value list skips
+    Spark's extra distinct-collect job and fixes the output schema — at
+    100 TB an unpinned pivot is two full scans and a schema that drifts
+    with the data. Missing cells are 0, not NULL (na.fill), matching the
+    oracle's COUNT FILTER semantics."""
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "status_f", "O": "status_o", "P": "status_p"})
+    )
+    return out.na.fill(0, ["status_f", "status_o", "status_p"])
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_retailprice' AS metric, ROUND(p_retailprice, 2) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide → long. Spark's native ``unpivot`` expands rows
+    with a generator — no shuffle at all; the long format is what the
+    insight sweep and per-metric aggregations consume."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# --- exact + approximate percentiles -----------------------------------------
+
+@register(
+    "percentiles_orders_price",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5) + 1e-9, 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9) + 1e-9, 2) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    lo + frac·(hi−lo) definition). Exact percentile is a full sort per
+    group; at 100 TB prefer ``approx_percentile`` (see
+    ``approx_percentile_lineitem``) — this exact form is the oracle-able
+    correctness anchor."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)) + 1e-9, 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)) + 1e-9, 2).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("approx_percentile_lineitem")  # rows-only: sketch, no SQL twin
+def approx_percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch): the 100 TB path —
+    mergeable per-partition sketches, no global sort. Self-verified here
+    against the exact percentile: with accuracy 10000 the rank error is
+    ≤ 0.01·n, so the approx value must lie between the exact 0.48 and 0.52
+    quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_med"),
+        F.percentile("l_extendedprice", F.lit(0.48)).alias("lo_bound"),
+        F.percentile("l_extendedprice", F.lit(0.52)).alias("hi_bound"),
+    ).collect()[0]
+    assert row.lo_bound <= row.approx_med <= row.hi_bound, (
+        f"approx_percentile outside rank-error bound: {row}"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias(
+            "approx_median_price"
+        )
+    )
+
+
+# --- ranking windows: ntile / percent_rank -----------------------------------
+
+@register(
+    "ntile_customers_balance",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS balance_quartile,
+           ROUND(percent_rank() OVER w + 1e-9, 4) AS balance_pctrank
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def ntile_customers_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over a GLOBAL ordering — deliberately the
+    degenerate single-partition window (ties broken by c_custkey for
+    determinism). At 100 TB a global rank is computed instead via
+    range-partitioned sort + partition-offset cumsum (what Spark's
+    repartitionByRange + per-partition rank gives); kept here in window
+    form as the oracle-able semantic anchor."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w) + 1e-9, 4).alias("balance_pctrank"),
+    )
+
+
+# --- gap-filled time spine ----------------------------------------------------
+
+@register(
+    "gapfill_hourly_events",
+    """
+    WITH bounds AS (
+      SELECT CAST(FLOOR(epoch(MIN(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+             CAST(FLOOR(epoch(MAX(ts)) / 3600) * 3600 AS BIGINT) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch FROM bounds
+    ),
+    hourly AS (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT s.hour_epoch,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN hourly h USING (hour_epoch)
+    """,
+)
+def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (timeseries/hypertable idiom): hours with
+    zero events still appear. The spine is ``sequence`` + ``explode`` off a
+    one-row min/max aggregate — generated distributed, never a driver
+    loop — and the hourly aggregate (small: one row per hour) is broadcast
+    to the join. Epoch arithmetic, not date_trunc, keeps it TZ-proof."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("hour_epoch")
+    )
+    hourly = (
+        ev.groupBy(hour.alias("hour_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return spine.join(F.broadcast(hourly), "hour_epoch", "left").select(
+        "hour_epoch",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# --- scalar subquery ----------------------------------------------------------
+
+@register(
+    "scalar_subquery_orders_above_avg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a broadcast one-row cross join —
+    the aggregate stays in the plan (one extra tiny stage), no
+    ``collect()`` round-trip through the driver, so the whole query is one
+    job and the threshold recomputes correctly if the input changes."""
+    o = _t(spark, sf_dir, "orders")
+    avg_row = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    return (
+        o.join(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("_avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# --- statistical aggregates ---------------------------------------------------
+
+@register(
+    "stat_aggregates_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_discount) + 1e-9, 4) AS discount_stddev,
+           ROUND(var_samp(l_tax) + 1e-9, 4) AS tax_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/var) — all single-pass,
+    mergeable (sum-of-moments) partial aggregations, so they scale exactly
+    like count/sum: one shuffle on the group key."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-9, 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_discount") + 1e-9, 4).alias("discount_stddev"),
+            F.round(F.var_samp("l_tax") + 1e-9, 4).alias("tax_var"),
+        )
+    )
+
+
+# --- token-frequency insight over documents ----------------------------------
+
+@register(
+    "word_frequency_documents",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    ),
+    t AS (SELECT word FROM toks WHERE word <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM t GROUP BY word
+    HAVING COUNT(*) >= 0.005 * (SELECT n FROM tot)
+    """,
+)
+def word_frequency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's support-threshold insight framing (2%-of-total,
+    main.py:280,291) applied to text: token frequency with a 0.5%-of-corpus
+    support floor. explode is a generator (no shuffle); the single shuffle
+    is the word groupBy, and the corpus-total denominator joins in as a
+    broadcast one-row aggregate — same pattern as the sweep's shared-N
+    threshold, fully distributed."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_occurrences") >= 0.005 * F.col("_n_total"))
+        .select("word", "n_occurrences")
+    )
+
+
+# --- union-by-name over heterogeneous schemas --------------------------------
+
+@register(
+    "union_by_name_balances",
+    """
+    WITH accounts AS (
+      SELECT c_custkey AS acct_id, 'customer' AS kind, c_acctbal AS bal,
+             c_mktsegment AS segment
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey, 'supplier', s_acctbal, NULL FROM supplier
+    )
+    SELECT kind, COUNT(*) AS n_accounts,
+           ROUND(SUM(bal), 2) AS total_bal,
+           COUNT(segment) AS n_with_segment
+    FROM accounts GROUP BY kind
+    """,
+)
+def union_by_name_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-aligned union where
+    the supplier side lacks ``segment`` (filled with NULL) — the safe
+    union for evolving schemas, vs positional ``union`` which silently
+    misaligns."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("acct_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("acct_id"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return (
+        cust.unionByName(supp, allowMissingColumns=True)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+            F.count("segment").alias("n_with_segment"),
+        )
+    )
