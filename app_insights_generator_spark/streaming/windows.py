@@ -119,6 +119,43 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def enrich_stream_static(
+    events: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (re-read)
+    static side — the standard streaming enrichment pattern. The static
+    dim is broadcast (dim-sized by construction), so the stream side never
+    shuffles; no watermark is needed because the static side never ages."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def clicks_before_errors_stream(
+    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join (twin of the batch
+    ``range_join_clicks_before_error`` pair set): errors inner-joined to
+    the same user's clicks in the preceding 5 minutes. Both sides are
+    watermarked and the join condition bounds event-time skew, so Spark
+    can evict buffered rows once the watermark passes — state stays
+    proportional to the interval, not the stream length."""
+    err = errors.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    ).withWatermark("ts", watermark)
+    clk = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    return err.join(clk, cond, "inner").select(
+        "event_id", "user_id", "c_event_id"
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 300
 ) -> DataFrame:

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from app_insights_generator_spark.queries import QUERIES
 from app_insights_generator_spark.sources import load_table
 from app_insights_generator_spark.streaming import (
+    clicks_before_errors_stream,
     dedup_within_watermark,
+    enrich_stream_static,
     read_events_stream,
     run_to_memory,
     session_sums_stream,
@@ -58,6 +60,46 @@ def test_dedup_within_watermark(spark, sf_dir, events_stream):
     )
     assert got.select("user_id", "event_type").distinct().count() == batch_pairs.count()
     assert got.count() == batch_pairs.count()
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream):
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream_static(events_stream, dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    got = run_to_memory(enriched, "t_enrich", output_mode="append")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert _multiset(got) == _multiset(batch)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
+    # Two independent source instances: stream-stream joins need separate
+    # readStream lineages for each side.
+    got = run_to_memory(
+        clicks_before_errors_stream(events_stream, read_events_stream(spark, sf_dir)),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    batch = err.join(clk, cond, "inner").select("event_id", "user_id", "c_event_id")
+    assert _multiset(got) == _multiset(batch)
 
 
 def test_stateful_running_totals(spark, sf_dir, events_stream):
