@@ -302,6 +302,117 @@ def word_frequency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UDAF: grouped-agg pandas UDF --------------------------------------------
+
+@register(
+    "udaf_geomean_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_quantity))) + 1e-9, 4) AS geomean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_geomean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF as a grouped-agg pandas_udf (Arrow-batched, vectorized
+    numpy inside — never row-at-a-time): geometric mean of quantity per
+    return flag. Note a log-sum decomposition (exp∘avg∘ln with built-ins)
+    would stay JVM-side and is the better plan when the algebra allows it
+    — the UDAF form is the template for aggregates that genuinely have no
+    built-in decomposition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Real (non-string) annotations: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference rejects.
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(geomean("l_quantity") + 1e-9, 4).alias("geomean_qty"))
+    )
+
+
+# --- UDTF: lateral table function --------------------------------------------
+
+_CHUNK_SIZE = 50
+
+@register(
+    "udtf_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(CEIL(n / {_CHUNK_SIZE}.0) AS BIGINT))) AS chunk_idx,
+             n
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(LEAST({_CHUNK_SIZE}, n - {_CHUNK_SIZE} * chunk_idx) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in a LATERAL join: splits each document
+    into fixed-size token chunks — the LLM-pipeline chunking primitive
+    (one row in, N chunk rows out, arbitrary Python per row). UDTFs run in
+    a Python worker per partition; the lateral join itself adds no
+    shuffle, so this scales like the mapInPandas multimodal path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            for i in range(0, len(toks), _CHUNK_SIZE):
+                yield (i // _CHUNK_SIZE, len(toks[i : i + _CHUNK_SIZE]))
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.n_tokens FROM _udtf_docs, LATERAL chunk_tokens(text) c"
+    )
+
+
+# --- correlated subquery (decorrelated via window) ---------------------------
+
+@register(
+    "correlated_orders_above_cust_avg",
+    """
+    SELECT o_custkey, COUNT(*) AS n_above
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_custkey
+    """,
+)
+def correlated_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its own customer's
+    average) hand-decorrelated into a window aggregate — one shuffle on
+    o_custkey, no per-row subquery re-execution. This is exactly the
+    rewrite Catalyst's decorrelation performs; stating it directly keeps
+    the plan shape explicit."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("_cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("_cust_avg"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
 # --- union-by-name over heterogeneous schemas --------------------------------
 
 @register(
