@@ -92,6 +92,87 @@ def binaryfile_source_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bf.orderBy("file_name")
 
 
+@register(
+    "partitioned_parquet_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_parquet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned scan: orders
+    written partitionBy(o_orderstatus), read back with a partition
+    predicate. The plan must prove pruning (PartitionFilters, 1 of 3
+    directories read) — at 100 TB partition pruning is the difference
+    between scanning one status and scanning everything. Asserted here,
+    not just hoped."""
+    out = os.path.join(_scratch("part_orders"), "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "partition predicate did not prune"
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "bucketed_join_orders_lineitem",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (co-located) join: both tables saved bucketBy(8, orderkey),
+    so the join needs NO shuffle on either side — the asserted absence of
+    Exchange under the join is the point. At 100 TB pre-bucketing the fact
+    tables on the join key amortizes one shuffle across every downstream
+    join; this is Spark's answer to the co-located join the reference
+    never had."""
+    scratch = _scratch("bucketed")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for df, name, key in ((o, "aig_b_orders", "o_orderkey"), (li, "aig_b_lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(scratch, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bo, bl = spark.table("aig_b_orders"), spark.table("aig_b_lineitem")
+    # merge hint: at test scale Spark would broadcast the small side, which
+    # would hide the property under test — that a sort-merge join over
+    # co-bucketed tables needs no Exchange on EITHER side. At 100 TB both
+    # sides are too big to broadcast and SMJ is what the planner picks.
+    joined = bo.hint("merge").join(bl.hint("merge"), bo.o_orderkey == bl.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 @register("pipeline_extract_orders", _SWEEP_ORACLE)
 def pipeline_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extract_data pipeline (reference main.py:363-404): orders
