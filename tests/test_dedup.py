@@ -124,3 +124,23 @@ def test_jaccard_pairs_values(spark):
            D.jaccard_pairs(df, cand, "doc_id", "text", threshold=0.0).collect()}
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] == 0.0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # Graph: chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # pair {10,11}, singletons 20 and 21.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21]], ["doc_id"]
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in D.connected_components(pairs, ids, "doc_id").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 21),
+    }

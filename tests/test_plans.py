@@ -1,0 +1,82 @@
+"""Physical-plan regression guards: the scale properties the engine relies
+on (pushdown, pruning, broadcast, codegen, no Cartesian products) asserted
+on real plans, so a refactor that silently loses one fails CI — not a
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from app_insights_generator_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: [{pushed}]"
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    # 7 needed columns, and specifically not the join keys / comment-ish rest
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema, (
+        f"scan reads unneeded columns: {read_schema}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name, n_broadcasts",
+    [
+        ("join_revenue_by_nation", 3),
+        ("q5_local_supplier_volume", 5),
+        ("q3_shipping_priority", 2),
+    ],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name, n_broadcasts):
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("BroadcastHashJoin") == n_broadcasts, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_no_row_at_a_time_python_in_registered_queries(spark, sf_dir):
+    """Python execution in any registered query must be Arrow-batched
+    (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas), never
+    row-at-a-time BatchEvalPython."""
+    for name in (
+        "dedup_minhash_documents",
+        "multimodal_features",
+        "udaf_geomean_quantity",
+        "cosine_topk_embeddings",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_sweep_native_is_single_aggregation_over_preagg(spark, sf_dir):
+    """The native sweep must pre-aggregate to distinct tuples before the
+    Expand: exactly two HashAggregate pairs (pre-agg + cube), and the
+    Expand sits above the pre-aggregation, not the raw scan."""
+    plan = _plan(spark, sf_dir, "insights_sweep_lineitem")
+    assert "Expand" in plan
+    scan_pos = plan.find("FileScan")
+    expand_pos = plan.find("Expand")
+    agg_before_expand = plan.find("HashAggregate", expand_pos)
+    assert agg_before_expand != -1 and scan_pos > expand_pos, (
+        "Expand should consume the pre-aggregated tuple table"
+    )
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE finalizes the physical plan only on execution; run the query,
+    # then assert the final plan fused the agg pipeline into codegen stages.
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators print with the *(stageId) prefix
+    assert "*(1)" in plan and "*(2)" in plan, plan
