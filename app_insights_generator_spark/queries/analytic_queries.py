@@ -302,6 +302,32 @@ def word_frequency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- array aggregation (collect + sort for determinism) ----------------------
+
+@register(
+    "array_agg_sizes_per_brand",
+    """
+    SELECT p_brand,
+           list(DISTINCT p_size ORDER BY p_size) AS sizes,
+           COUNT(DISTINCT p_size) AS n_sizes
+    FROM part GROUP BY p_brand
+    """,
+)
+def array_agg_sizes_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: distinct sizes per brand as a SORTED array —
+    collect_set order is partition-dependent, so array_sort is what makes
+    the result deterministic (same discipline as the first->min fix in the
+    insights pipeline)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.array_sort(F.collect_set("p_size")).alias("sizes"),
+            F.countDistinct("p_size").alias("n_sizes"),
+        )
+    )
+
+
 # --- UDAF: grouped-agg pandas UDF --------------------------------------------
 
 @register(

@@ -11,7 +11,7 @@ ground truth on constructed corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.operators import dedup as D
@@ -183,17 +183,25 @@ def _sql_lang_score(lang: str) -> str:
     return " + ".join(_sql_occurrences(padded, f" {w} ") for w in T.LANG_MARKERS[lang])
 
 
-def _lang_id_oracle() -> str:
+def _lang_scores_sql() -> str:
+    """Per-language marker-score projections (s_<lang> columns)."""
+    return ", ".join(f"({_sql_lang_score(lang)}) AS s_{lang}" for lang in T.LANG_MARKERS)
+
+
+def _lang_case_sql() -> str:
+    """CASE over s_<lang> columns implementing argmax-with-ties-by-order."""
     langs = list(T.LANG_MARKERS)
-    scores = ", ".join(f"({_sql_lang_score(lang)}) AS s_{lang}" for lang in langs)
     cases = []
     for lang in langs:
         conds = [f"s_{lang} > 0"] + [f"s_{lang} >= s_{o}" for o in langs if o != lang]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def _lang_id_oracle() -> str:
     return f"""
-    SELECT {case} AS lang_pred, COUNT(*) AS n
-    FROM (SELECT {scores} FROM documents)
+    SELECT {_lang_case_sql()} AS lang_pred, COUNT(*) AS n
+    FROM (SELECT {_lang_scores_sql()} FROM documents)
     GROUP BY 1
     """
 
@@ -210,7 +218,8 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_oracle() -> str:
+def _quality_score_sql() -> str:
+    """The composite quality-score expression over a ``text`` column."""
     n_toks = f"len({_TOKS})"
     padded = "(' ' || lower(text) || ' ')"
     stop = " + ".join(_sql_occurrences(padded, f" {w} ") for w in T.LANG_MARKERS["en"])
@@ -220,13 +229,16 @@ def _quality_oracle() -> str:
         "ELSE 0.0 END"
     )
     stop_ratio = f"CASE WHEN {n_toks} > 0 THEN CAST(({stop}) AS DOUBLE) / {n_toks} ELSE 0.0 END"
-    score = (
+    return (
         f"(CASE WHEN {n_toks} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END"
         f" + CASE WHEN ({punct}) < 0.1 THEN 0.3 ELSE 0.0 END"
         f" + CASE WHEN ({stop_ratio}) > 0.01 THEN 0.3 ELSE 0.0 END)"
     )
+
+
+def _quality_oracle() -> str:
     return f"""
-    SELECT ROUND({score} + 1e-9, 1) AS quality, COUNT(*) AS n
+    SELECT ROUND({_quality_score_sql()} + 1e-9, 1) AS quality, COUNT(*) AS n
     FROM documents GROUP BY 1
     """
 
@@ -455,4 +467,59 @@ def similarity_join_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     constructed clustered corpus instead."""
     return S.similarity_join_lsh(
         _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3, n_planes=8, n_tables=4
+    )
+
+
+# --- end-to-end curation pipeline --------------------------------------------
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {_lang_scores_sql()},
+             ROUND({_quality_score_sql()} + 1e-9, 1) AS q
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, text, q
+      FROM (SELECT *, {_lang_case_sql()} AS lang_pred FROM scored)
+      WHERE lang_pred = 'en' AND q >= 0.7
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source, COUNT(*) AS n_kept, ROUND(AVG(q) + 1e-9, 4) AS avg_quality
+    FROM deduped GROUP BY source
+    """
+
+
+@register("curation_pipeline_documents", _curation_oracle())
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data curation flow — the whole point of
+    the M5 operators working together: language-ID filter -> quality-score
+    filter -> exact dedup (keep lowest doc_id per digest) -> per-source
+    yield report.
+
+    Scale shape: lang/quality are pure projections (no shuffle); the dedup
+    window partitions on the 32-byte sha2 digest, never shuffling full
+    texts for comparison (the oracle groups by raw text — same equivalence
+    classes, sha2 collisions aside); the final rollup is a tiny
+    aggregation. One wide shuffle total at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("q"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.7))
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
     )

@@ -93,6 +93,46 @@ def binaryfile_source_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip_customer",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (SURVEY.md §2.2 "sources beyond CSV"):
+    columnar like parquet, native vectorized reader, same pushdown/pruning
+    machinery. The oracle is the original table — lossless round-trip is
+    the property under test."""
+    out = os.path.join(_scratch("orc_customer"), "customer_orc")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register("stratified_sample_orders")  # rows-only: sampling, no SQL twin
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum Bernoulli fractions
+    — the downsample/rebalance primitive for training-data class mixes.
+    Seeded, so the result is reproducible; self-checked that each
+    stratum's realized rate is within ±50% relative of its target (loose
+    bound: Bernoulli variance at small strata). Sampling is a pure filter
+    — no shuffle, fully pushdown-compatible."""
+    fractions = {"F": 0.2, "O": 0.1, "P": 0.5}
+    o = load_table(spark, sf_dir, "orders")
+    sampled = o.sampleBy("o_orderstatus", fractions, seed=42)
+    got = {
+        r.o_orderstatus: r.n
+        for r in sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for status, frac in fractions.items():
+        if base.get(status, 0) >= 200:
+            rate = got.get(status, 0) / base[status]
+            assert 0.5 * frac <= rate <= 1.5 * frac, (status, rate, frac)
+    return sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
     "partitioned_parquet_orders",
     """
     SELECT o_orderpriority, COUNT(*) AS n_orders,
