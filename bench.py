@@ -37,9 +37,13 @@ HEADLINE = [
     "asof_join_purchase_signup",
     "dedup_exact_documents",
     "dedup_minhash_documents",
+    "dedup_components_documents",
     "cosine_topk_embeddings",
     "similarity_join_lsh_embeddings",
     "text_stats_documents",
+    "curation_pipeline_documents",
+    "bucketed_join_orders_lineitem",
+    "udtf_chunk_documents",
 ]
 
 
