@@ -302,6 +302,66 @@ def word_frequency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- single-pass table profiling ---------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_orders", _profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null count, exact distinct count, min and
+    max — in ONE aggregation pass (the multi-distinct plans as a bounded
+    Expand over the column count, not a per-column scan), then reshaped to
+    long format with ``inline`` inside the same plan. The first query a
+    pipeline runs against an unknown 100 TB table; swap countDistinct for
+    approx_count_distinct when exactness isn't required."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
 # --- array aggregation (collect + sort for determinism) ----------------------
 
 @register(
