@@ -177,6 +177,7 @@ def sweep_apriori(
     cfg: InsightsConfig,
     cols: Sequence[str] | None = None,
     total_count: int | None = None,
+    max_sets_per_job: int = 40,
 ) -> DataFrame:
     """Level-wise sweep with frequent-pattern (Apriori) pruning — output
     IDENTICAL to sweep_loop / sweep_grouping_sets.
@@ -191,12 +192,20 @@ def sweep_apriori(
 
     Scale story (the reference's 16,383-set workload at 100 TB): a 2%
     support threshold kills most multi-column sets after 2–3 levels, so the
-    2^n sweep collapses to a handful of level jobs, each ONE groupingSets
+    2^n sweep collapses to a handful of level jobs, each a groupingSets
     aggregation over the pre-aggregated distinct-tuple table. Driver-side
     data is only the per-set survival bitmap (<= sets-per-level rows).
     Each level is persisted: it is consumed twice (survival collect now,
     final unioned result at the caller's action) — recomputation, not
     memory, is the expensive resource at scale.
+
+    ``max_sets_per_job`` caps the grouping sets per aggregation job.
+    Measured (sf0.1, 363k distinct tuples): a 105-set Expand runs ~3x
+    slower per row than a 40-set one — past roughly 40 projection lists
+    the generated Expand/aggregate code leaves the JIT-compiled fast path
+    — so a level with more sets runs as several chunked jobs (still one
+    shuffle each, same persisted input). 40 balances job overhead (12-set
+    chunks are slower again) against codegen health.
     """
     cols = list(cols or cfg.agg_cols)
     if total_count is None:
@@ -213,12 +222,18 @@ def sweep_apriori(
     aggs.append(F.sum("_pre_count").cast("long").alias("count"))
     aggs.extend(F.grouping(qcol(c)).alias(f"_g{i}") for i, c in enumerate(cols))
 
-    def level_df(sets: list[tuple[str, ...]]) -> DataFrame:
-        g = base.groupingSets([[qcol(c) for c in s] for s in sets], *key_cols).agg(*aggs)
-        keep = F.col("count") >= F.lit(t)
-        for i, c in enumerate(cols):
-            keep = keep & ((F.col(f"_g{i}") == 1) | qcol(c).isNotNull())
-        return g.filter(keep).persist()
+    def level_dfs(sets: list[tuple[str, ...]]) -> list[DataFrame]:
+        out = []
+        for i in range(0, len(sets), max_sets_per_job):
+            chunk = sets[i : i + max_sets_per_job]
+            g = base.groupingSets(
+                [[qcol(c) for c in s] for s in chunk], *key_cols
+            ).agg(*aggs)
+            keep = F.col("count") >= F.lit(t)
+            for j, c in enumerate(cols):
+                keep = keep & ((F.col(f"_g{j}") == 1) | qcol(c).isNotNull())
+            out.append(g.filter(keep).persist())
+        return out
 
     def formatted(g: DataFrame) -> DataFrame:
         active = {c: F.col(f"_g{i}") == 0 for i, c in enumerate(cols)}
@@ -235,14 +250,18 @@ def sweep_apriori(
     current: list[tuple[str, ...]] = [(c,) for c in cols]
     k = 1
     while current and k <= max_size:
-        g = level_df(current)
+        chunks = level_dfs(current)
         # Survival bitmap: which of this level's sets emitted >= 1 group.
-        flag_rows = g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct().collect()
-        survivors = {
-            frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
-            for row in flag_rows
-        }
-        out.append(formatted(g))
+        survivors = set()
+        for g in chunks:
+            flag_rows = (
+                g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct().collect()
+            )
+            survivors |= {
+                frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
+                for row in flag_rows
+            }
+            out.append(formatted(g))
         prev = {frozenset(s) for s in current if frozenset(s) in survivors}
         cand = {
             s | {c}
