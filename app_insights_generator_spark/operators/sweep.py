@@ -138,6 +138,9 @@ def sweep_grouping_sets(
         grouped = [base.cube(*key_cols).agg(*aggs)]
     else:
         sets = [list(c) for c in all_combinations(cfg, cols)]
+        if len(sets) > expand_batch_size:
+            # Several jobs will scan the pre-aggregated table; pay it once.
+            base = base.persist()
         grouped = [
             base.groupingSets([[qcol(c) for c in s] for s in chunk], *key_cols).agg(*aggs)
             for chunk in (
