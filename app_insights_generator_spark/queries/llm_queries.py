@@ -108,35 +108,12 @@ def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: MinHash near-dup pairs -> connected
     components by hash-min label propagation (operators/dedup.py
-    connected_components). Self-verified against a driver-side union-find
-    over the collected pair list — the pair graph is tiny even when the
-    document set is not, so the check itself scales."""
+    connected_components). Verified against a driver-side union-find over
+    the same pair graph in tests/test_dedup.py (constructed graph + this
+    exact query path on the real table)."""
     docs = _docs(spark, sf_dir)
     pairs = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
-    comp = D.connected_components(pairs, docs, "doc_id")
-
-    # Union-find oracle over the same pairs.
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    edge_rows = pairs.select("id_a", "id_b").collect()
-    for r in edge_rows:
-        ra, rb = find(r.id_a), find(r.id_b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    got = {(r.doc_id, r.component) for r in comp.collect()}
-    want = {
-        (r.doc_id, find(r.doc_id) if r.doc_id in parent else r.doc_id)
-        for r in docs.select("doc_id").collect()
-    }
-    assert got == want, "connected components disagree with union-find"
-    return comp
+    return D.connected_components(pairs, docs, "doc_id")
 
 
 @register("dedup_simhash_documents")  # rows-only: sketch, no SQL twin

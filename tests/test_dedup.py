@@ -144,3 +144,33 @@ def test_connected_components_chain_and_singletons(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 21),
     }
+
+
+def test_components_query_matches_union_find(spark, sf_dir):
+    # The registered query path on the real table, checked against a
+    # driver-side union-find over the same MinHash pair graph.
+    from app_insights_generator_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = D.connected_components(pairs, docs, "doc_id")
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.select("id_a", "id_b").collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {(r.doc_id, r.component) for r in comp.collect()}
+    want = {
+        (r.doc_id, find(r.doc_id) if r.doc_id in parent else r.doc_id)
+        for r in docs.select("doc_id").collect()
+    }
+    assert got == want
