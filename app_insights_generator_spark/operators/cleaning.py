@@ -18,14 +18,16 @@ from pyspark.sql.types import IntegerType
 def cast_to_int(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     """Cast ``cols`` to IntegerType in place; other columns untouched.
 
-    Cast failures become NULL (Spark semantics), which downstream range
-    filters and per-set not-null filters then drop — identical to the
-    reference's behavior on its dirty CSV (main.py:209).
+    ``try_cast``, not ``cast``: the reference ran with legacy cast
+    semantics where malformed strings become NULL (main.py:209 relies on
+    it for its dirty CSV), but Spark 4 defaults to ANSI mode where ``cast``
+    THROWS on the first bad value. try_cast restores cast-failure -> NULL,
+    which the range filters and per-set not-null filters then drop.
     """
     cols = set(cols)
     return df.select(
         *[
-            F.col(f"`{c}`").cast(IntegerType()).alias(c) if c in cols else F.col(f"`{c}`")
+            F.col(f"`{c}`").try_cast(IntegerType()).alias(c) if c in cols else F.col(f"`{c}`")
             for c in df.columns
         ]
     )

@@ -134,17 +134,22 @@ def sweep_grouping_sets(
     max_size = cfg.max_combo_size or len(cols)
     key_cols = [qcol(c) for c in cols]
 
-    if expand_batch_size is None:
+    if expand_batch_size is None and max_size >= len(cols):
         grouped = [base.cube(*key_cols).agg(*aggs)]
     else:
+        # With a combo-size cap, enumerate ONLY the wanted sets: a full cube
+        # would Expand 2^n sets and post-filter (2^14 = 16,384 for the
+        # capped-at-2 Play-Store config wanting 105 — a ~150x wasted
+        # fan-out). Chunk to stay on the Expand codegen fast path.
+        chunk_size = expand_batch_size or 40
         sets = [list(c) for c in all_combinations(cfg, cols)]
-        if len(sets) > expand_batch_size:
+        if len(sets) > chunk_size:
             # Several jobs will scan the pre-aggregated table; pay it once.
             base = base.persist()
         grouped = [
             base.groupingSets([[qcol(c) for c in s] for s in chunk], *key_cols).agg(*aggs)
             for chunk in (
-                sets[i : i + expand_batch_size] for i in range(0, len(sets), expand_batch_size)
+                sets[i : i + chunk_size] for i in range(0, len(sets), chunk_size)
             )
         ]
 
