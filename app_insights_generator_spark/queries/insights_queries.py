@@ -352,3 +352,59 @@ def cast_range_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return range_filter(df, {"o_totalprice_int": (50_000, 200_000)})
+
+
+# --- ID-column sweep: display-value resolution under the driver gate ---------
+
+DOCS_CFG = InsightsConfig(
+    agg_cols=("source", "n_chars"),
+    bucket_sizes={"n_chars": 2000},
+    id_to_value={"source": ("lang",)},
+    threshold_percent=2.0,
+)
+
+# Reference O7's display-value trick (main.py:282-285): ID grouping columns
+# are dropped from the output and replaced by a deterministic min() over
+# their display columns (the reference's nondeterministic first(), SURVEY.md
+# §7 risk 2). DuckDB concat() SKIPS NULLs while Spark's propagates, so the
+# oracle wraps each field in CASE ... END and joins with concat_ws (which
+# skips NULLs in both engines) to reproduce the vanishing-field behavior.
+_DOCS_SWEEP_ORACLE = """
+WITH base AS (
+  SELECT source, lang,
+         CAST(FLOOR(CAST(n_chars AS DOUBLE) / 2000) * 2000 AS BIGINT) AS n_chars
+  FROM documents
+),
+tot AS (SELECT CAST(FLOOR(0.02 * COUNT(*)) AS BIGINT) AS t FROM base)
+SELECT concat_ws(';',
+         CASE WHEN lng IS NULL THEN NULL ELSE concat('lang=', lng) END,
+         CAST(cnt AS VARCHAR)) AS Insights
+FROM (SELECT source, MIN(lang) AS lng, COUNT(*) AS cnt FROM base
+      WHERE source IS NOT NULL GROUP BY source) g
+WHERE cnt >= (SELECT t FROM tot)
+UNION ALL
+SELECT concat_ws(';',
+         concat('n_chars=[', n_chars, '-', n_chars + 2000, ']'),
+         CAST(cnt AS VARCHAR))
+FROM (SELECT n_chars, COUNT(*) AS cnt FROM base
+      WHERE n_chars IS NOT NULL GROUP BY n_chars) g
+WHERE cnt >= (SELECT t FROM tot)
+UNION ALL
+SELECT concat_ws(';',
+         concat('n_chars=[', n_chars, '-', n_chars + 2000, ']'),
+         CASE WHEN lng IS NULL THEN NULL ELSE concat('lang=', lng) END,
+         CAST(cnt AS VARCHAR))
+FROM (SELECT source, n_chars, MIN(lang) AS lng, COUNT(*) AS cnt FROM base
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY source, n_chars) g
+WHERE cnt >= (SELECT t FROM tot)
+"""
+
+
+@register("insights_sweep_documents_iddisplay", _DOCS_SWEEP_ORACLE)
+def insights_sweep_documents_iddisplay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep with an ID column (source -> display lang): exercises the
+    reference's drop-ID-emit-display path (O7/O9, main.py:282-292) under
+    the DuckDB gate, not just in pytest."""
+    df = bucketize(load_table(spark, sf_dir, "documents"), DOCS_CFG.bucket_sizes)
+    return sweep_grouping_sets(df, DOCS_CFG)
