@@ -38,4 +38,5 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
     llm_queries,
     pipeline_queries,
     relational_queries,
+    tpch_queries,
 )

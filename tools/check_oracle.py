@@ -54,7 +54,11 @@ def table_hash(columns: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    ap.add_argument("-k", default=None, help="substring filter on query names")
+    ap.add_argument(
+        "-k",
+        default=None,
+        help="comma-separated substring filters on query names (OR-ed)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -71,7 +75,7 @@ def main() -> int:
 
     failures = 0
     for name, fn in queries.items():
-        if args.k and args.k not in name:
+        if args.k and not any(pat in name for pat in args.k.split(",")):
             continue
         t0 = time.time()
         try:
