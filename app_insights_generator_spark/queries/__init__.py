@@ -39,4 +39,5 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
     pipeline_queries,
     relational_queries,
     tpch_queries,
+    trainprep_queries,
 )

@@ -1,0 +1,241 @@
+"""Training-data preparation operators beyond dedup/similarity (SURVEY.md
+§2.2 extension mandate): benchmark decontamination, context-window
+packing, privacy-preserving pseudonymization, and tf-idf keyword
+extraction.
+
+The reference (/root/reference/main.py) has no text operators at all;
+these extend the engine's LLM-data-pipeline surface alongside
+llm_queries.py. All four are pure built-in Spark SQL expressions — no
+Python UDFs — so they stay inside whole-stage codegen and scale to the
+100 TB tier:
+
+- decontamination: n-gram explode -> equi-join on the gram. At scale the
+  join key would be xxhash64(ngram) (8 bytes vs ~40-byte strings) and
+  the benchmark side (always tiny: eval sets are MBs, not TBs) is
+  broadcast, so the training corpus never shuffles.
+- packing: per-source sequential first-offset binning via a running-sum
+  window — windows partition on `source`, so shards pack in parallel;
+  no global ordering bottleneck.
+- k-anonymity: one aggregate over the quasi-identifier + a broadcast
+  join back; suppression happens before data leaves the cluster.
+- tf-idf: two map-side-combining aggregates (term-frequency, document-
+  frequency) + a broadcast of the tiny per-term idf table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.sources import load_table
+
+# 4-grams: real pipelines use 13-grams, but the synthetic corpus has a
+# ~40-word vocabulary and ~50-token documents, so 4 is the size at which
+# overlap is non-trivial (~10% of train docs) without being universal.
+_NGRAM = 4
+_BENCH_SOURCE = "src0"
+_PACK_BUDGET = 512
+_KANON_K = 50
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ngrams_df(docs: DataFrame) -> DataFrame:
+    """doc_id, source, ng — one row per position-distinct n-gram."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= _NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", "source", F.explode(grams).alias("ng"))
+
+
+@register(
+    "decontaminate_ngram_documents",
+    f"""
+    WITH tok AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+                 FROM documents),
+    ngr AS (
+      SELECT doc_id, source, array_to_string(t[i:i+{_NGRAM - 1}], ' ') AS ng
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t) - {_NGRAM - 2})) AS i) s
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_doc, ng FROM ngr
+              WHERE source = '{_BENCH_SOURCE}'),
+    train AS (SELECT DISTINCT doc_id, ng FROM ngr
+              WHERE source <> '{_BENCH_SOURCE}')
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.ng) AS n_shared_ngrams,
+           COUNT(DISTINCT b.bench_doc) AS n_bench_docs
+    FROM train t JOIN bench b ON t.ng = b.ng
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {n}-gram with the held-out benchmark set (source = src0 stands in
+    for an eval suite). Built entirely from split/sequence/transform/
+    slice/explode — no UDF — and the benchmark gram set is broadcast
+    (eval sets are tiny relative to a training corpus), so the corpus
+    side is one scan + one map-side join + one aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = _ngrams_df(docs)
+    bench = (
+        grams.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.col("doc_id").alias("bench_doc"), "ng")
+        .distinct()
+    )
+    train = (
+        grams.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "ng")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "pack_documents_token_budget",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split(trim(text), ' ')) AS n_tokens
+               FROM documents),
+    b AS (SELECT source, doc_id, n_tokens,
+                 (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens) // {_PACK_BUDGET} AS bin_id
+          FROM t)
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           ROUND(SUM(n_tokens) / {_PACK_BUDGET}.0 + 1e-9, 4) AS fill_ratio
+    FROM b
+    GROUP BY source, bin_id
+    """,
+)
+def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents to fixed-token-budget
+    training bins by running token count, then report per-bin fill.
+    The bin id is the document's *starting offset* divided by the
+    budget — pure integer arithmetic, so Spark and the oracle agree
+    exactly. The running-sum window partitions on `source`: each shard
+    packs independently and in parallel (a single global ORDER BY would
+    serialize the window at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    b = (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {_PACK_BUDGET}"))
+    )
+    return b.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / float(_PACK_BUDGET) + 1e-9, 4).alias("fill_ratio"),
+    )
+
+
+@register(
+    "pseudonymize_events_kanon",
+    f"""
+    WITH g AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT sha256(CAST(e.user_id AS VARCHAR)) AS pseudo_id,
+           CASE WHEN g.n >= {_KANON_K} THEN e.event_type END AS event_type_k,
+           CASE WHEN g.n >= {_KANON_K} THEN g.hr END AS hour_k,
+           ROUND(e.value, 2) AS value
+    FROM events e
+    JOIN g ON g.event_type = e.event_type AND g.hr = CAST(hour(e.ts) AS INTEGER)
+    """,
+)
+def pseudonymize_events_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy prep for event logs entering a training corpus: user ids
+    are pseudonymized (SHA-256 — deterministic, join-preserving) and the
+    quasi-identifier (event_type, hour-of-day) is suppressed to NULL for
+    any combination occurring fewer than k={_KANON_K} times, the
+    k-anonymity rule. The group-size table is one aggregate over the
+    quasi-identifier and is broadcast back onto the fact scan."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.hour("ts").alias("hr")
+    g = ev.groupBy(F.col("event_type").alias("g_type"), hr).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = ev.join(
+        F.broadcast(g),
+        (F.col("event_type") == F.col("g_type")) & (F.hour("ts") == F.col("hr")),
+    )
+    keep = F.col("n") >= _KANON_K
+    return joined.select(
+        F.sha2(F.col("user_id").cast("string"), 256).alias("pseudo_id"),
+        F.when(keep, F.col("event_type")).alias("event_type_k"),
+        F.when(keep, F.col("hr")).alias("hour_k"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
+    "tfidf_top_terms_documents",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)) + 1e-9, 6) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 6) DESC,
+                        tf.term) AS rn,
+             tf.tf, df.df, n.n_docs
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ) ranked
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by tf-idf (smoothed idf =
+    ln((N+1)/(df+1))). Term frequency and document frequency are both
+    map-side-combining aggregates; the per-term idf table is vocabulary-
+    sized (tiny) and broadcast. Scores are rounded to 6 decimals BEFORE
+    the ranking window in both engines so libm ulp differences in ln()
+    can't reorder near-ties; exact ties break on the term string."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1e-9, 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
