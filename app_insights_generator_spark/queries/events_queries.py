@@ -211,3 +211,61 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "cdc_merge_user_profiles",
+    """
+    WITH base AS (
+      SELECT user_id, COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 2) AS v
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    ),
+    chg AS (
+      SELECT user_id, COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 2) AS v
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           CAST(COALESCE(b.n, 0) + COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           ROUND(COALESCE(b.v, 0) + COALESCE(c.v, 0) + 1e-9, 2) AS total_value,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN c.user_id IS NULL THEN 'carry'
+                ELSE 'update' END AS merge_action
+    FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    """,
+)
+def cdc_merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-upsert semantics without a table format: a base
+    profile snapshot (events before the cutoff) merged with a change
+    batch (events after), via one full-outer join — matched keys update,
+    source-only keys insert, target-only keys carry over unchanged, and
+    each row is tagged with its merge action. This is the incremental-
+    refresh primitive for any derived table the engine maintains; at
+    scale both sides pre-aggregate to one row per key before the join,
+    so the shuffle carries profiles, not raw events."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def profile(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(F.col("user_id").alias(f"{prefix}_key")).agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+            F.round(F.sum("value") + 1e-9, 2).alias(f"{prefix}_v"),
+        )
+
+    base = profile(ev.filter(F.col("ts") < cutoff), "b")
+    chg = profile(ev.filter(F.col("ts") >= cutoff), "c")
+    merged = base.join(chg, base.b_key == chg.c_key, "full_outer")
+    return merged.select(
+        F.coalesce("b_key", "c_key").alias("user_id"),
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("c_n", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        F.round(
+            F.coalesce("b_v", F.lit(0.0)) + F.coalesce("c_v", F.lit(0.0)) + 1e-9, 2
+        ).alias("total_value"),
+        F.when(F.col("b_key").isNull(), "insert")
+        .when(F.col("c_key").isNull(), "carry")
+        .otherwise("update")
+        .alias("merge_action"),
+    )

@@ -642,3 +642,26 @@ def exceptall_multi_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFra
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
     o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
     return li.exceptAll(o).groupBy("k").agg(F.count(F.lit(1)).alias("extra_lines"))
+
+
+@register("hll_sketch_parts_mergeable")  # rows-only: sketch bytes differ per engine
+def hll_sketch_parts_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches, Spark 3.5+):
+    per-group sketches via hll_sketch_agg, then an ALL row produced by
+    hll_union_agg over the PER-GROUP SKETCHES — no second scan of the
+    input. This is the 100 TB distinct-count architecture: build sketches
+    per partition/day once, union them forever after; re-aggregation cost
+    is proportional to sketch count, not data size. Driver does a
+    rows-only check; tests/test_sketches.py bounds the estimate error
+    against exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    sk = sk.cache()
+    per_group = sk.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
+    )
+    merged = sk.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk").alias("approx_parts"),
+    )
+    return per_group.unionByName(merged)

@@ -72,6 +72,33 @@ def test_sweep_native_is_single_aggregation_over_preagg(spark, sf_dir):
     )
 
 
+def test_q19_disjunction_split_and_pushed(spark, sf_dir):
+    """Q19's three-branch OR spans both join sides; Catalyst must extract
+    the per-side implied disjunctions and push them into BOTH scans —
+    otherwise the 100 TB lineitem scan reads every row."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    scans = plan.split("FileScan parquet ")[1:]
+    li_scan = next(s for s in scans if s.startswith("[l_"))
+    p_scan = next(s for s in scans if s.startswith("[p_"))
+    assert "l_quantity" in li_scan.split("DataFilters: [")[1].split("]")[0]
+    assert "p_brand" in p_scan.split("DataFilters: [")[1].split("]")[0]
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """The correlated EXISTS must become one left-semi join carrying the
+    non-equi lateness term — no second orders scan, no Cartesian."""
+    plan = _plan(spark, sf_dir, "q4_order_priority_late")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet [o_") == 1, "orders scanned more than once"
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # AQE finalizes the physical plan only on execution; run the query,
     # then assert the final plan fused the agg pipeline into codegen stages.

@@ -1,0 +1,54 @@
+"""Accuracy bounds for sketch-based approximate aggregates.
+
+The driver's rows-only check proves these queries run; these tests prove
+the estimates are USEFUL — within the error bound the sketch parameters
+promise — and that union-of-sketches equals a fresh full-data sketch
+(the mergeability property the 100 TB architecture relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.queries import QUERIES
+from app_insights_generator_spark.sources import load_table
+
+REL_TOL = 0.05  # default lgConfigK=12 -> ~1.6% RSE; 5% is >3 sigma
+
+
+def test_hll_estimates_within_bound(spark, sf_dir):
+    est = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["hll_sketch_parts_mergeable"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = li.select("l_partkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, REL_TOL * v), (k, est[k], v)
+
+
+def test_hll_union_matches_direct_sketch(spark, sf_dir):
+    """Merging per-group sketches must give the same estimate as one
+    sketch built over the whole column — bit-level mergeability, not
+    just statistical closeness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    direct = (
+        li.agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged == direct, (merged, direct)
