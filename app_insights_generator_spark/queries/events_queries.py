@@ -269,3 +269,30 @@ def cdc_merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+@register("cms_event_type_freq")  # rows-only: sketch estimates, no SQL twin
+def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates per event type. The sketch is
+    built by the built-in `count_min_sketch` SQL aggregate — partial
+    sketches per partition merged JVM-side, so only one ~100 KB sketch
+    ever reaches the driver regardless of input size; estimates are read
+    back through Spark's own CountMinSketch decoder so the bytes stay in
+    Spark's sketch format end to end. This is the 100 TB heavy-hitter
+    architecture (sketch once, query forever); tests/test_sketches.py
+    bounds the estimates against exact counts (eps=1e-4 of total mass at
+    0.99 confidence)."""
+    ev = _events(spark, sf_dir)
+    sk = bytes(
+        ev.agg(
+            F.expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)").alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sk)
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    return spark.createDataFrame(
+        [(t, int(jcms.estimateCount(t))) for t in types],
+        "event_type string, approx_n bigint",
+    )

@@ -500,3 +500,92 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
     )
+
+
+# --- training-data curation: repetition + domain mixing ----------------------
+
+@register(
+    "repetition_signals_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    s AS (
+      SELECT doc_id,
+             ROUND(1.0 * len(list_distinct(l)) / len(l) + 1e-9, 3) AS distinct_ratio,
+             ROUND(1.0 * list_max(list_transform(list_distinct(l),
+                       x -> len(list_filter(l, y -> y = x)))) / len(l) + 1e-9, 3
+                  ) AS top_token_frac
+      FROM t WHERE len(l) > 0
+    )
+    SELECT doc_id, distinct_ratio, top_token_frac,
+           (distinct_ratio <= 0.35 OR top_token_frac >= 0.15) AS repetitive
+    FROM s
+    """,
+)
+def repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    and most-frequent-token fraction, plus a repetitive flag — the
+    standard pre-training filter for looping/boilerplate text (reference
+    has no text ops; extension mandated by SURVEY.md §2.2). Tokens are
+    materialized as an attribute in their own projection before the
+    per-distinct-token count, so tokenize runs once per row, not once per
+    lambda element; everything is built-in higher-order functions (no
+    Python), so the whole filter is a shuffle-free scan at 100 TB."""
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens(F.col("text")).alias("l")
+    ).filter(F.size("l") > 0)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("l")),
+            lambda x: F.size(F.filter(F.col("l"), lambda y: y == x)),
+        )
+    )
+    sig = toked.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct("l")) / F.size("l") + 1e-9, 3).alias(
+            "distinct_ratio"
+        ),
+        F.round(top_cnt / F.size("l") + 1e-9, 3).alias("top_token_frac"),
+    )
+    return sig.withColumn(
+        "repetitive",
+        (F.col("distinct_ratio") <= 0.35) | (F.col("top_token_frac") >= 0.15),
+    )
+
+
+@register(
+    "domain_mix_sample_documents",
+    """
+    WITH rated AS (
+      SELECT source, doc_id,
+             CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 2
+                  WHEN source IN ('src4', 'src5', 'src6', 'src7') THEN 5
+                  ELSE 10 END AS keep_tenths
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE doc_id % 10 < keep_tenths) AS n_kept
+    FROM rated GROUP BY source
+    """,
+)
+def domain_mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: per-source keep rates (20% / 50% /
+    100% here) applied with DETERMINISTIC modulo sampling on the stable
+    doc id rather than rand() — reproducible across engines, retries, and
+    re-runs, which matters when a 100 TB curation job restarts mid-way.
+    Pure scan + tiny aggregation: no shuffle wider than the per-source
+    report."""
+    docs = _docs(spark, sf_dir)
+    keep_tenths = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 2)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 5)
+        .otherwise(10)
+    )
+    return (
+        docs.select("source", "doc_id", keep_tenths.alias("keep_tenths"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("doc_id") % 10 < F.col("keep_tenths")).alias("n_kept"),
+        )
+    )

@@ -665,3 +665,59 @@ def hll_sketch_parts_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_parts"),
     )
     return per_group.unionByName(merged)
+
+
+@register(
+    "bloom_pruned_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    the selective orders side builds a bloom filter that is pushed into
+    the lineitem scan as a `might_contain` semi-filter, so at 100 TB the
+    fact scan discards non-matching rows BEFORE the shuffle instead of
+    shuffling all of lineitem to drop ~95%% of it at the join. Results
+    are exactly the plain join (false positives die in the real join), so
+    the SQL oracle is the unpruned query. Local parquet is far below the
+    default 10 GB application-side threshold, so the thresholds are
+    overridden only while this plan is optimized (memoized by the
+    DataFrame's QueryExecution), then restored; on a real cluster the
+    defaults trigger by themselves. tests/test_plans.py asserts
+    might_contain lands in the optimized plan."""
+    conf = spark.conf
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        conf.set(k, v)
+    try:
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9,
+                    2,
+                ).alias("revenue"),
+            )
+        )
+        # Materialize the memoized optimized plan while the overrides are
+        # active; later actions on this DataFrame reuse it.
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
+    return df

@@ -107,3 +107,12 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators print with the *(stageId) prefix
     assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    """The bloom query's memoized optimized plan must carry the injected
+    might_contain runtime filter on the fact side — proof the scan is
+    pruned before the shuffle, which is the whole 100 TB point."""
+    df = QUERIES["bloom_pruned_join_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan
