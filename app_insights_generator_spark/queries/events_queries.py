@@ -296,3 +296,33 @@ def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, int(jcms.estimateCount(t))) for t in types],
         "event_type string, approx_n bigint",
     )
+
+
+@register(
+    "variant_props_events",
+    """
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)) + 1e-9, 2) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VARIANT (parse_json +
+    variant_get) instead of per-access string re-parsing
+    (get_json_object): parse once into the binary variant encoding, then
+    typed path extraction. At 100 TB the difference is parsing each JSON
+    blob once per row versus once per accessed field; variant also
+    shreds into columnar storage on modern writers. try_variant_get
+    (not used here) is the dirty-data escape hatch under ANSI mode."""
+    ev = _events(spark, sf_dir)
+    k = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return k.groupBy("event_type").agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.avg("k") + 1e-9, 2).alias("avg_k"),
+    )

@@ -246,3 +246,24 @@ def pipeline_extract_orders_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_csv(base, csv_in, header=True, mode="overwrite")
     return extract_data(spark, csv_in, csv_out, ORDERS_CFG, mode="loop", batch_size=8)
+
+
+@register("text_roundtrip_documents", "SELECT doc_id, text FROM documents")
+def text_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink round-trip (SURVEY.md §2.2 sources beyond
+    CSV): the `text` format writes one line per row from a single string
+    column and reads back a `value` column — the natural interchange for
+    raw-corpus ingestion. Records are framed as `doc_id|text` and parsed
+    back with substring_index (docs are single-line and pipe-free). Text
+    files split on line boundaries, so a 100 TB corpus parallelizes per
+    line like any other splittable source."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(_scratch("text_docs"), "documents_txt")
+    docs.select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.substring_index("value", "|", 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '|') + 1)").alias("text"),
+    )

@@ -738,3 +738,89 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH supply AS (
+      SELECT l.l_partkey, l.l_quantity * p.p_retailprice AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    ), per_part AS (
+      SELECT l_partkey, SUM(value) AS pv FROM supply GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(pv + 1e-9, 2) AS part_value
+    FROM per_part
+    WHERE pv > 0.001 * (SELECT SUM(pv) FROM per_part)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (important stock value), adapted: shipped lineitem quantity x
+    part retail price stands in for ps_availqty x ps_supplycost. The Q11
+    shape is the group-by whose HAVING threshold is a scalar fraction of
+    the GLOBAL total. One pass over the fact: the global total is the sum
+    of the per-part sums, so lineitem is scanned once, and the one-row
+    total is broadcast back onto the per-part aggregate (no second scan,
+    no shuffle for the threshold). All three dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    p = _t(spark, sf_dir, "part")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    supply = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", (F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    per_part = supply.groupBy("l_partkey").agg(F.sum("value").alias("pv"))
+    total = per_part.agg(F.sum("pv").alias("tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") > 0.001 * F.col("tv"))
+        .select("l_partkey", F.round(F.col("pv") + 1e-9, 2).alias("part_value"))
+    )
+
+
+@register(
+    "q20_excess_supply_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%' AND l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 60
+    )
+    """,
+)
+def q20_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (suppliers with excess stock), adapted: a supplier qualifies
+    when some red part it ships moved more than 60 units after 1998 —
+    the partsupp availability check becomes a grouped-HAVING over the
+    lineitem association. Shape: IN-subquery containing its own
+    aggregation, planned as fact-side agg -> distinct keys -> left-semi
+    join into the dim. The red-part filter broadcasts into the lineitem
+    scan; the semi join carries only supplier keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    movers = (
+        li.filter(F.col("l_shipdate") >= _ts("1998-01-01"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        movers, s.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
