@@ -585,3 +585,39 @@ def argmax_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("b.c_acctbal"), 2).alias("top_acctbal"),
         )
     )
+
+
+@register(
+    "histogram_orders_totalprice",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) + 1 AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def histogram_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the native ``width_bucket`` function
+    (12 buckets over [0, 600000)) — the distribution-profiling shape the
+    reference's bucketing operator (main.py:163-203) approximates with
+    hand-rolled floor arithmetic. DuckDB has no width_bucket, so the
+    oracle states the equivalent floor expression. Single
+    partial+final aggregate over the scan: 12 groups means the shuffle
+    carries ~12 rows per map partition regardless of table size."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("width_bucket(o_totalprice, 0D, 600000D, 12)")
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
