@@ -265,6 +265,7 @@ def connected_components(
         .localCheckpoint()
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.src == labels.node)
@@ -288,4 +289,11 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # Labels are still moving: the graph diameter exceeds the iteration
+        # budget and the clustering would be silently wrong — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise max_iterations"
+        )
     return labels.select(F.col("node").alias(id_col), "component")

@@ -134,6 +134,7 @@ def sweep_grouping_sets(
     max_size = cfg.max_combo_size or len(cols)
     key_cols = [qcol(c) for c in cols]
 
+    persisted_base = False
     if expand_batch_size is None and max_size >= len(cols):
         grouped = [base.cube(*key_cols).agg(*aggs)]
     else:
@@ -143,7 +144,8 @@ def sweep_grouping_sets(
         # fan-out). Chunk to stay on the Expand codegen fast path.
         chunk_size = expand_batch_size or 40
         sets = [list(c) for c in all_combinations(cfg, cols)]
-        if len(sets) > chunk_size:
+        persisted_base = len(sets) > chunk_size
+        if persisted_base:
             # Several jobs will scan the pre-aggregated table; pay it once.
             base = base.persist()
         grouped = [
@@ -177,7 +179,14 @@ def sweep_grouping_sets(
         fields.append(F.col("count"))
         return g.filter(keep).select(F.concat_ws(INSIGHT_DELIM, *fields).alias("Insights"))
 
-    return union_all([finish(g) for g in grouped])
+    result = union_all([finish(g) for g in grouped])
+    if persisted_base:
+        # Materialize once (the thresholded output is tiny next to the
+        # input), then release the cached pre-aggregation — otherwise every
+        # chunked sweep in a long-lived session leaks its cache (ADVICE r1).
+        result = result.localCheckpoint(eager=True)
+        base.unpersist()
+    return result
 
 
 def sweep_apriori(
@@ -203,9 +212,13 @@ def sweep_apriori(
     2^n sweep collapses to a handful of level jobs, each a groupingSets
     aggregation over the pre-aggregated distinct-tuple table. Driver-side
     data is only the per-set survival bitmap (<= sets-per-level rows).
-    Each level is persisted: it is consumed twice (survival collect now,
-    final unioned result at the caller's action) — recomputation, not
-    memory, is the expensive resource at scale.
+    Each level chunk is persisted — consumed twice (survival flags, final
+    union), and recomputation, not memory, is the expensive resource at
+    scale; every cache is released before returning, the final output
+    pinned by one eager localCheckpoint of the (tiny, thresholded) result.
+    The survival flags of ALL chunks in a level are collected by a single
+    unioned action, so Spark runs the chunk aggregations concurrently —
+    level latency is the slowest chunk, not the chunk sum.
 
     ``max_sets_per_job`` caps the grouping sets per aggregation job.
     Measured (sf0.1, 363k distinct tuples): a 105-set Expand runs ~3x
@@ -255,21 +268,30 @@ def sweep_apriori(
         return g.select(F.concat_ws(INSIGHT_DELIM, *fields).alias("Insights"))
 
     out: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     current: list[tuple[str, ...]] = [(c,) for c in cols]
     k = 1
     while current and k <= max_size:
         chunks = level_dfs(current)
+        persisted.extend(chunks)
         # Survival bitmap: which of this level's sets emitted >= 1 group.
-        survivors = set()
-        for g in chunks:
-            flag_rows = (
-                g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct().collect()
-            )
-            survivors |= {
-                frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
-                for row in flag_rows
-            }
-            out.append(formatted(g))
+        # ONE action for the whole level: unioning the per-chunk flag
+        # projections makes Spark schedule every chunk's aggregation stage
+        # concurrently inside a single job (they share the persisted base),
+        # instead of running the <=40-set chunks back-to-back from the
+        # driver — the level's wall-clock becomes the slowest chunk, not
+        # the sum of chunks.
+        flag_rows = union_all(
+            [
+                g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct()
+                for g in chunks
+            ]
+        ).distinct().collect()
+        survivors = {
+            frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
+            for row in flag_rows
+        }
+        out.extend(formatted(g) for g in chunks)
         prev = {frozenset(s) for s in current if frozenset(s) in survivors}
         cand = {
             s | {c}
@@ -285,7 +307,15 @@ def sweep_apriori(
             ),
         )
         k += 1
-    base.unpersist()
     if not out:
+        base.unpersist()
         return df.sparkSession.createDataFrame([], "Insights string")
-    return union_all(out)
+    # Materialize the final union from the still-cached level chunks, then
+    # release every cache: the thresholded output is tiny next to the
+    # input, and without this a long-lived session (the 100+-query oracle
+    # gate, a notebook) accumulates one cached chunk per sweep (ADVICE r1).
+    result = union_all(out).localCheckpoint(eager=True)
+    base.unpersist()
+    for g in persisted:
+        g.unpersist()
+    return result

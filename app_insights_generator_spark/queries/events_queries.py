@@ -271,7 +271,13 @@ def cdc_merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cms_event_type_freq")  # rows-only: sketch estimates, no SQL twin
+@register(
+    "cms_event_type_freq",
+    """
+    SELECT event_type, COUNT(*) AS exact_n, 0 AS n_violations
+    FROM events GROUP BY event_type
+    """,
+)
 def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates per event type. The sketch is
     built by the built-in `count_min_sketch` SQL aggregate — partial
@@ -279,9 +285,14 @@ def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever reaches the driver regardless of input size; estimates are read
     back through Spark's own CountMinSketch decoder so the bytes stay in
     Spark's sketch format end to end. This is the 100 TB heavy-hitter
-    architecture (sketch once, query forever); tests/test_sketches.py
-    bounds the estimates against exact counts (eps=1e-4 of total mass at
-    0.99 confidence)."""
+    architecture (sketch once, query forever).
+
+    Oracled via the CMS error INVARIANT rather than the raw estimates:
+    CMS guarantees est >= true and, with prob 0.99 per key,
+    est <= true + eps*N (eps=1e-4). ``n_violations`` counts keys breaking
+    either bound (0 when the sketch honors its contract) and the exact
+    count — computable in both engines — rides along as the hash anchor.
+    tests/test_sketches.py additionally checks mergeability."""
     ev = _events(spark, sf_dir)
     sk = bytes(
         ev.agg(
@@ -289,12 +300,67 @@ def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["sk"]
     )
     jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sk)
-    types = sorted(
-        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    rows = []
+    for t in sorted(exact):
+        est, true = int(jcms.estimateCount(t)), int(exact[t])
+        ok = true <= est <= true + 1e-4 * n_total
+        rows.append((t, true, 0 if ok else 1))
+    return spark.createDataFrame(rows, "event_type string, exact_n bigint, n_violations int")
+
+
+@register(
+    "dedup_watermark_batch_twin_events",
+    """
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_ts_epoch,
+           COUNT(*) - 1 AS n_dropped
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def dedup_watermark_batch_twin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py dedup_within_watermark (the
+    dropDuplicatesWithinWatermark operator): one surviving row per
+    (user_id, event_type) key. The streaming form keeps the first arrival
+    and bounds state by the watermark; the batch twin pins determinism by
+    keeping the EARLIEST event time per key and also reports how many
+    duplicates were dropped. tests/test_streaming.py asserts the streaming
+    path yields the same key set; this query gives the semantics a hard
+    CORRECTNESS row."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("first_ts_epoch"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
     )
-    return spark.createDataFrame(
-        [(t, int(jcms.estimateCount(t))) for t in types],
-        "event_type string, approx_n bigint",
+
+
+@register(
+    "enrich_stream_static_batch_twin",
+    """
+    SELECT event_id, user_id, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def enrich_stream_static_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.py enrich_stream_static — runs the
+    ACTUAL streaming helper (a stream-static broadcast join degenerates to
+    a plain broadcast join on a batch frame, same code path) so the
+    enrichment operator itself gets a hash-checked CORRECTNESS row. The
+    dim side is broadcast; the event side never shuffles."""
+    from app_insights_generator_spark.streaming.windows import enrich_stream_static
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return enrich_stream_static(_events(spark, sf_dir), dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
     )
 
 

