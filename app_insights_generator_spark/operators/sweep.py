@@ -102,19 +102,35 @@ def _preaggregate(df: DataFrame, cols: Sequence[str], display: Sequence[str]) ->
     return df.groupBy(*[qcol(c) for c in cols]).agg(*aggs)
 
 
+def _adaptive_chunk_size(total_count: int) -> int:
+    """Grouping sets per aggregation job, chosen by input volume.
+
+    Two regimes, both measured on the 1,023-set wide sweep in fresh
+    sessions: at 600k input rows 40-set chunks win (16.4s vs 24.0s with
+    256 — a wide Expand leaves the whole-stage-codegen fast path and the
+    per-row penalty dominates); at 60k rows 256-set chunks win (15.7s vs
+    25.5s — each chunk's ~1s Janino compile dominates tiny data, so fewer
+    jobs beat faster rows). Crossover sits around 1-2e5 rows; at 100 TB
+    every input is in the 40-set regime.
+    """
+    return 40 if total_count > 150_000 else 256
+
+
 def sweep_grouping_sets(
     df: DataFrame,
     cfg: InsightsConfig,
     cols: Sequence[str] | None = None,
     total_count: int | None = None,
     preaggregate: bool = True,
-    expand_batch_size: int | None = None,
+    expand_batch_size: int | str | None = None,
 ) -> DataFrame:
     """Native mode -> DataFrame[Insights], semantics identical to sweep_loop.
 
     ``expand_batch_size``: max grouping sets per aggregation job; None means
-    a single ``cube`` (fan-out 2^n). With pre-aggregation on bucketed data
-    the cube is usually fine for n<=14; batching bounds worst-case memory.
+    a single ``cube`` (fan-out 2^n) when no combo-size cap applies, and
+    ``"auto"`` picks the volume-adaptive chunk size (_adaptive_chunk_size).
+    With pre-aggregation on bucketed data the cube is usually fine for
+    n<=14; batching bounds worst-case memory.
     """
     cols = list(cols or cfg.agg_cols)
     if total_count is None:
@@ -142,7 +158,10 @@ def sweep_grouping_sets(
         # would Expand 2^n sets and post-filter (2^14 = 16,384 for the
         # capped-at-2 Play-Store config wanting 105 — a ~150x wasted
         # fan-out). Chunk to stay on the Expand codegen fast path.
-        chunk_size = expand_batch_size or 40
+        if expand_batch_size in (None, "auto"):
+            chunk_size = _adaptive_chunk_size(total_count)
+        else:
+            chunk_size = expand_batch_size
         sets = [list(c) for c in all_combinations(cfg, cols)]
         persisted_base = len(sets) > chunk_size
         if persisted_base:
@@ -194,7 +213,7 @@ def sweep_apriori(
     cfg: InsightsConfig,
     cols: Sequence[str] | None = None,
     total_count: int | None = None,
-    max_sets_per_job: int = 40,
+    max_sets_per_job: int | None = None,
 ) -> DataFrame:
     """Level-wise sweep with frequent-pattern (Apriori) pruning — output
     IDENTICAL to sweep_loop / sweep_grouping_sets.
@@ -220,17 +239,19 @@ def sweep_apriori(
     unioned action, so Spark runs the chunk aggregations concurrently —
     level latency is the slowest chunk, not the chunk sum.
 
-    ``max_sets_per_job`` caps the grouping sets per aggregation job.
-    Measured (sf0.1, 363k distinct tuples): a 105-set Expand runs ~3x
-    slower per row than a 40-set one — past roughly 40 projection lists
-    the generated Expand/aggregate code leaves the JIT-compiled fast path
-    — so a level with more sets runs as several chunked jobs (still one
-    shuffle each, same persisted input). 40 balances job overhead (12-set
-    chunks are slower again) against codegen health.
+    ``max_sets_per_job`` caps the grouping sets per aggregation job; None
+    picks the volume-adaptive size (_adaptive_chunk_size — 40 keeps big
+    inputs on the Expand codegen fast path, 256 amortizes per-chunk
+    compile cost on small ones). Measured (sf0.1, 363k distinct tuples): a
+    105-set Expand runs ~3x slower per row than a 40-set one — past
+    roughly 40 projection lists the generated Expand/aggregate code leaves
+    the JIT-compiled fast path.
     """
     cols = list(cols or cfg.agg_cols)
     if total_count is None:
         total_count = df.count()
+    if max_sets_per_job is None:
+        max_sets_per_job = _adaptive_chunk_size(total_count)
     t = threshold_count(cfg, total_count)
     max_size = cfg.max_combo_size or len(cols)
 

@@ -304,10 +304,14 @@ def insights_sweep_lineitem_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("insights_sweep_lineitem_wide_cube", _WIDE_ORACLE)
 def insights_sweep_lineitem_wide_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same 1,023-set sweep as ONE pre-aggregated native cube — the
-    exhaustive-mode comparison point for BENCH (SURVEY.md §4.3 Expand
-    trade-off, measured not guessed)."""
-    return sweep_grouping_sets(_lineitem_wide_base(spark, sf_dir), WIDE_CFG)
+    """Same 1,023-set sweep in EXHAUSTIVE mode (no Apriori pruning) as
+    volume-adaptively chunked grouping sets — the comparison point for the
+    pruned sweep. An unbatched single cube's 1,024-way Expand sits far past
+    the codegen cliff (measured: 40s vs 24s chunked at sf0.01); the Expand
+    trade-off numbers live in BASELINE.md (SURVEY.md §4.3)."""
+    return sweep_grouping_sets(
+        _lineitem_wide_base(spark, sf_dir), WIDE_CFG, expand_batch_size="auto"
+    )
 
 
 @register(
