@@ -143,11 +143,16 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # Filter on the UNROUNDED jaccard (with the same +1e-9 bias the DuckDB
+    # oracles use) and round only in the final projection: filtering on
+    # round(j,4) would keep j >= threshold-5e-5, a boundary the oracle's
+    # raw-value filter disagrees with (ADVICE r02).
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", jac.alias("_jac"))
+        .filter(F.col("_jac") + F.lit(1e-9) >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
     )
 
 

@@ -25,7 +25,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tumbling_window_events",
     """
-    SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+    SELECT CAST(epoch_us(ts) // 600000000 * 600 AS BIGINT) AS window_start_epoch,
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
@@ -53,10 +53,10 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_events",
     """
     WITH starts AS (
-      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch, value
+      SELECT CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch, value
       FROM events
       UNION ALL
-      SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - 300 AS BIGINT), value FROM events
+      SELECT CAST(epoch_us(ts) // 300000000 * 300 - 300 AS BIGINT), value FROM events
     )
     SELECT window_start_epoch, COUNT(*) AS n_events, ROUND(AVG(value) + 1e-9, 2) AS avg_value
     FROM starts GROUP BY 1
@@ -122,7 +122,7 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.event_id,
            p.user_id,
-           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_epoch,
            s.event_id AS signup_event_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
@@ -317,7 +317,7 @@ def cms_event_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_watermark_batch_twin_events",
     """
     SELECT user_id, event_type,
-           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_ts_epoch,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS first_ts_epoch,
            COUNT(*) - 1 AS n_dropped
     FROM events GROUP BY user_id, event_type
     """,

@@ -33,7 +33,8 @@ _TOKS = f"list_filter(string_split_regex({_NORM}, '\\s+'), x -> x != '')"
 _JACCARD_ALL_PAIRS_CTES = f"""
     sh AS (
       SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+             list_distinct(CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
                   ELSE list_transform(range(1, len(toks) - 1),
                                       i -> array_to_string(toks[i:i+2], ' ')) END) AS grams
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
@@ -91,7 +92,8 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sh AS (
       SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+             list_distinct(CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
                   ELSE list_transform(range(1, len(toks) - 1),
                                       i -> array_to_string(toks[i:i+2], ' ')) END) AS grams
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)

@@ -36,6 +36,18 @@ _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
 
+def normalize_ns_long_to_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """Convert a raw ns-epoch long (a TIMESTAMP(NANOS) column arrived under
+    ``nanosAsLong``) to a microsecond timestamp; a no-op when the column
+    already arrived as a timestamp (e.g. plain timestamp[us] files). The
+    dtype guard is load-bearing: applying ``DIV 1000`` to an already-µs
+    value would shrink every instant 1000×. Shared by the batch and
+    streaming readers so both paths stay unit-correct for either encoding."""
+    if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated table from ``{sf_dir}/{name}.parquet``."""
     spark.conf.set(_NANOS_AS_LONG, "true")
@@ -44,8 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NS_TIMESTAMP_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        df = normalize_ns_long_to_timestamp(df, col)
     return df
 
 

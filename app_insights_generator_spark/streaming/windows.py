@@ -26,32 +26,50 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet carries TIMESTAMP(NANOS) which Spark reads only as long
-# (see sources/readers.py); the stream schema declares the raw long and the
-# reader converts with integer division.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.readers import normalize_ns_long_to_timestamp
+
+
+def events_stream_schema(ts_type) -> StructType:
+    """Stream schema for the events table with the ts type the files
+    actually carry. events.parquet has shipped as both TIMESTAMP(NANOS)
+    (arrives as long under ``nanosAsLong``) and plain timestamp[us] —
+    the caller probes the footer and passes the arrived type."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Probe the arrived ts dtype with a schema-only batch read (a footer
+    # scan, no data pass): file streams need a declared schema, and
+    # declaring long for a timestamp[us] file (or vice versa) silently
+    # corrupts every event time by 1000x.
+    probe = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    schema = events_stream_schema(probe.schema["ts"].dataType)
     # The file stream source requires a directory; pathGlobFilter narrows
     # it to the events table.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # No-op when ts already arrived as timestamp (dtype-guarded helper
+    # shared with sources/readers.py load_table).
+    out = normalize_ns_long_to_timestamp(raw, "ts")
+    if dict(out.dtypes)["ts"] == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with-local-tz); the session tz is
+        # pinned UTC above, so this cast reinterprets the same instant.
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out
 
 
 def tumbling_counts_stream(

@@ -9,14 +9,22 @@ Each query is forced end-to-end with the noop sink (full computation, no
 driver-side result transfer). The headline is the 63-set lineitem insight
 sweep in native grouping-sets mode; its faithful-loop twin runs too so
 BASELINE.md's M2-vs-M3 comparison is re-measured every round.
+
+Each query is timed REPEATS times and the MEDIAN recorded (VERDICT r02
+item 4): single-run timing let one noisy neighbor rewrite round history —
+BENCH_r02 recorded a phantom 1.8x regression on unchanged code that
+vanished on an idle machine.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -61,9 +69,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
