@@ -57,6 +57,26 @@ def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     return out
 
 
+def _pin_result(result: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize the (tiny, thresholded) sweep output so the caches
+    feeding it can be released without losing the result.
+
+    Default: eager ``localCheckpoint`` — right for local/bench sessions,
+    but its blocks live in EXECUTOR storage: on a cluster with dynamic
+    allocation or spot instances (the reference's own EMR config,
+    main.py:134), losing an executor after the checkpoint permanently
+    fails every downstream action, because the lineage was truncated and
+    there is nothing to recompute from (ADVICE r02).
+
+    Pass ``checkpoint_dir`` (reliable storage — HDFS/S3) for cluster
+    deployments: the result is checkpointed to durable storage instead,
+    surviving any executor loss at the cost of one small write+read."""
+    if checkpoint_dir:
+        result.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return result.checkpoint(eager=True)
+    return result.localCheckpoint(eager=True)
+
+
 def sweep_loop(
     df: DataFrame,
     cfg: InsightsConfig,
@@ -123,6 +143,7 @@ def sweep_grouping_sets(
     total_count: int | None = None,
     preaggregate: bool = True,
     expand_batch_size: int | str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Native mode -> DataFrame[Insights], semantics identical to sweep_loop.
 
@@ -131,6 +152,10 @@ def sweep_grouping_sets(
     ``"auto"`` picks the volume-adaptive chunk size (_adaptive_chunk_size).
     With pre-aggregation on bucketed data the cube is usually fine for
     n<=14; batching bounds worst-case memory.
+
+    ``checkpoint_dir``: reliable-storage checkpoint location for cluster
+    deployments (see _pin_result for the executor-loss caveat of the
+    default localCheckpoint).
     """
     cols = list(cols or cfg.agg_cols)
     if total_count is None:
@@ -203,7 +228,7 @@ def sweep_grouping_sets(
         # Materialize once (the thresholded output is tiny next to the
         # input), then release the cached pre-aggregation — otherwise every
         # chunked sweep in a long-lived session leaks its cache (ADVICE r1).
-        result = result.localCheckpoint(eager=True)
+        result = _pin_result(result, checkpoint_dir)
         base.unpersist()
     return result
 
@@ -214,6 +239,7 @@ def sweep_apriori(
     cols: Sequence[str] | None = None,
     total_count: int | None = None,
     max_sets_per_job: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Level-wise sweep with frequent-pattern (Apriori) pruning — output
     IDENTICAL to sweep_loop / sweep_grouping_sets.
@@ -246,6 +272,10 @@ def sweep_apriori(
     105-set Expand runs ~3x slower per row than a 40-set one — past
     roughly 40 projection lists the generated Expand/aggregate code leaves
     the JIT-compiled fast path.
+
+    ``checkpoint_dir``: reliable-storage checkpoint location for cluster
+    deployments (see _pin_result for the executor-loss caveat of the
+    default localCheckpoint).
     """
     cols = list(cols or cfg.agg_cols)
     if total_count is None:
@@ -335,7 +365,7 @@ def sweep_apriori(
     # release every cache: the thresholded output is tiny next to the
     # input, and without this a long-lived session (the 100+-query oracle
     # gate, a notebook) accumulates one cached chunk per sweep (ADVICE r1).
-    result = union_all(out).localCheckpoint(eager=True)
+    result = _pin_result(union_all(out), checkpoint_dir)
     base.unpersist()
     for g in persisted:
         g.unpersist()

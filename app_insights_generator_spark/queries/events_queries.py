@@ -80,10 +80,10 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "session_window_events",
     """
-    WITH e AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
     flagged AS (
       SELECT user_id, t, value,
-             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
                   OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM e
@@ -95,7 +95,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id,
-           CAST(FLOOR(MIN(t)) AS BIGINT) AS session_start_epoch,
+           CAST(MIN(t) // 1000000 AS BIGINT) AS session_start_epoch,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
     FROM numbered GROUP BY user_id, session_id

@@ -47,7 +47,7 @@ HEADLINE = [
     "dedup_minhash_documents",
     "dedup_components_documents",
     "cosine_topk_embeddings",
-    "similarity_join_lsh_embeddings",
+    "similarity_join_lsh_production",
     "text_stats_documents",
     "curation_pipeline_documents",
     "bucketed_join_orders_lineitem",
