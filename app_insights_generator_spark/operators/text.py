@@ -150,3 +150,33 @@ def shingles(col: Column, n: int = 3) -> Column:
     For hot paths, project ``tokens(normalized_text(col))`` into a column
     first and call :func:`shingles_from_tokens` on it (see docstring there)."""
     return shingles_from_tokens(tokens(normalized_text(col)), n)
+
+
+# PII detection/redaction (training-data curation: scrub contact data
+# before text reaches a training corpus). Patterns are deliberately kept in
+# the common subset of Java regex (Spark) and RE2 (DuckDB) — ASCII classes,
+# bounded repetition, \b word boundaries — so every count and replacement
+# has an exact cross-engine oracle. Dict order IS the redaction order
+# (email first: addresses contain digit runs the other patterns could
+# partially shadow).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII class in the raw text (regexp_count is
+    codegen'd JVM-side — the whole detector is a shuffle-free scan)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind][0]))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its class token, applying the classes
+    in PII_PATTERNS order. Pure nested regexp_replace — no Python, no
+    shuffle, linear scan at any scale."""
+    out = col
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token.replace("$", r"\$"))
+    return out

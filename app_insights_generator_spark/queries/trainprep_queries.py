@@ -239,3 +239,113 @@ def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+def _pii_oracle_sql() -> str:
+    from app_insights_generator_spark.operators.text import PII_PATTERNS
+
+    email_re, _ = PII_PATTERNS["email"]
+    phone_re, _ = PII_PATTERNS["phone"]
+    ipv4_re, _ = PII_PATTERNS["ipv4"]
+    redacted = "text"
+    for pattern, token in PII_PATTERNS.values():
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-123-4567 at 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{email_re}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{phone_re}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{ipv4_re}')) AS INT) AS n_ipv4,
+           sha256({redacted}) AS redacted_sha
+    FROM aug
+    """
+
+
+@register("pii_redact_documents", _pii_oracle_sql())
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py PII_PATTERNS): count
+    emails/phones/IPv4s per document and scrub them to class tokens — the
+    standard privacy pass before text enters a training corpus. The
+    synthetic corpus carries no real PII, so every 5th document is
+    augmented with a deterministic contact line (same expression in the
+    oracle) to make the detectors fire on ~20% of rows.
+
+    Oracled exactly: DuckDB recomputes every count AND the sha256 of the
+    fully redacted text, so a single character of replacement drift fails
+    the gate. Pure regexp built-ins — shuffle-free scan at 100 TB.
+    """
+    from app_insights_generator_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 now."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        T.pii_count(F.col("text"), "email").cast("int").alias("n_emails"),
+        T.pii_count(F.col("text"), "phone").cast("int").alias("n_phones"),
+        T.pii_count(F.col("text"), "ipv4").cast("int").alias("n_ipv4"),
+        F.sha2(T.redact_pii(F.col("text")), 256).alias("redacted_sha"),
+    )
+
+
+@register(
+    "exact_k_sample_documents",
+    """
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample: keep exactly k=10
+    documents per source, chosen by ranking on the sha256 of the stable
+    id. Complements fraction-based sampleBy (stratified_sample_orders):
+    training mixes are usually specified as exact per-domain budgets, and
+    Bernoulli sampling only hits them in expectation. Hash-ordering makes
+    the choice uniform-ish, engine-independent, and reproducible across
+    retries/re-runs — the same property domain_mix_sample_documents
+    exploits, extended to exact counts.
+
+    Scale shape: one shuffle (window partitioned by source). At 100 TB
+    with a huge k, swap row_number for the 2-phase per-partition top-k
+    (partial TakeOrdered per partition, then merge) — same ordering key.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id")
+    )

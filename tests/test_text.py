@@ -67,3 +67,36 @@ def test_fingerprint_rolling_deterministic_and_normalized(spark):
     for ch in "hello world":
         h = (h * 31 + ord(ch)) % (2**31 - 1)
     assert got[0] == h
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@x-corp.io or d@e.org today",),
+            ("call 555-123-4567 or 555.987.6543",),
+            ("host 192.168.1.255 gateway 10.0.0.1",),
+            ("mixed: u@v.com 555-000-1111 127.0.0.1",),
+            ("clean text, no pii at all",),
+            ("not-an-ip 1234.5.6.7890 not-a-phone 12-34-5678",),
+        ],
+        ["text"],
+    )
+    out = df.select(
+        T.pii_count(F.col("text"), "email").alias("e"),
+        T.pii_count(F.col("text"), "phone").alias("p"),
+        T.pii_count(F.col("text"), "ipv4").alias("i"),
+        T.redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    assert [(r.e, r.p, r.i) for r in out] == [
+        (2, 0, 0),
+        (0, 2, 0),
+        (0, 0, 2),
+        (1, 1, 1),
+        (0, 0, 0),
+        (0, 0, 0),
+    ]
+    assert out[0].red == "mail [EMAIL] or [EMAIL] today"
+    assert out[1].red == "call [PHONE] or [PHONE]"
+    assert out[2].red == "host [IP] gateway [IP]"
+    assert out[3].red == "mixed: [EMAIL] [PHONE] [IP]"
+    assert out[5].red == "not-an-ip 1234.5.6.7890 not-a-phone 12-34-5678"
