@@ -158,15 +158,29 @@ def sweep_grouping_sets(
     default localCheckpoint).
     """
     cols = list(cols or cfg.agg_cols)
-    if total_count is None:
-        total_count = df.count()
-    t = threshold_count(cfg, total_count)
 
     ids_in_cols = [c for c in cols if c in cfg.id_cols]
     display = [v for c in ids_in_cols for v in cfg.id_to_value[c]]
 
     base = _preaggregate(df, cols, display) if preaggregate else df
     count_expr = F.sum("_pre_count") if preaggregate else F.count(F.lit(1))
+
+    # Threshold denominator: when no count is supplied, derive it from the
+    # persisted pre-aggregation (sum of per-tuple counts == raw row count)
+    # instead of a separate df.count() — that second action was a SECOND
+    # full pass over the raw input, the thing pre-aggregation exists to
+    # avoid. At 100 TB this halves the scan volume of the whole sweep.
+    counted_from_base = False
+    if total_count is None:
+        if preaggregate:
+            base = base.persist()
+            counted_from_base = True
+            total_count = (
+                base.agg(F.sum("_pre_count").alias("n")).collect()[0]["n"] or 0
+            )
+        else:
+            total_count = df.count()
+    t = threshold_count(cfg, total_count)
 
     aggs = [F.min(qcol(v)).alias(v) for v in display]
     aggs.append(count_expr.cast("long").alias("count"))
@@ -175,7 +189,7 @@ def sweep_grouping_sets(
     max_size = cfg.max_combo_size or len(cols)
     key_cols = [qcol(c) for c in cols]
 
-    persisted_base = False
+    persisted_base = counted_from_base
     if expand_batch_size is None and max_size >= len(cols):
         grouped = [base.cube(*key_cols).agg(*aggs)]
     else:
@@ -188,10 +202,10 @@ def sweep_grouping_sets(
         else:
             chunk_size = expand_batch_size
         sets = [list(c) for c in all_combinations(cfg, cols)]
-        persisted_base = len(sets) > chunk_size
-        if persisted_base:
+        if len(sets) > chunk_size and not persisted_base:
             # Several jobs will scan the pre-aggregated table; pay it once.
             base = base.persist()
+            persisted_base = True
         grouped = [
             base.groupingSets([[qcol(c) for c in s] for s in chunk], *key_cols).agg(*aggs)
             for chunk in (
@@ -278,17 +292,20 @@ def sweep_apriori(
     default localCheckpoint).
     """
     cols = list(cols or cfg.agg_cols)
-    if total_count is None:
-        total_count = df.count()
-    if max_sets_per_job is None:
-        max_sets_per_job = _adaptive_chunk_size(total_count)
-    t = threshold_count(cfg, total_count)
     max_size = cfg.max_combo_size or len(cols)
 
     ids_in_cols = [c for c in cols if c in cfg.id_cols]
     display = [v for c in ids_in_cols for v in cfg.id_to_value[c]]
 
     base = _preaggregate(df, cols, display).persist()
+    # Threshold denominator from the persisted pre-aggregation, not a
+    # separate df.count() — the count action was a second full pass over
+    # the raw input (see sweep_grouping_sets).
+    if total_count is None:
+        total_count = base.agg(F.sum("_pre_count").alias("n")).collect()[0]["n"] or 0
+    if max_sets_per_job is None:
+        max_sets_per_job = _adaptive_chunk_size(total_count)
+    t = threshold_count(cfg, total_count)
     key_cols = [qcol(c) for c in cols]
     aggs = [F.min(qcol(v)).alias(v) for v in display]
     aggs.append(F.sum("_pre_count").cast("long").alias("count"))

@@ -61,8 +61,22 @@ def test_no_row_at_a_time_python_in_registered_queries(spark, sf_dir):
 def test_sweep_native_is_single_aggregation_over_preagg(spark, sf_dir):
     """The native sweep must pre-aggregate to distinct tuples before the
     Expand: exactly two HashAggregate pairs (pre-agg + cube), and the
-    Expand sits above the pre-aggregation, not the raw scan."""
-    plan = _plan(spark, sf_dir, "insights_sweep_lineitem")
+    Expand sits above the pre-aggregation, not the raw scan.
+
+    Built directly with an explicit total_count: the registered query
+    derives the threshold denominator from the persisted pre-aggregation
+    and pins its result (lineage truncated), so the returned DataFrame no
+    longer exposes the sweep plan — this path runs the identical builder
+    without the persist/pin."""
+    from app_insights_generator_spark.operators.sweep import sweep_grouping_sets
+    from app_insights_generator_spark.queries.insights_queries import (
+        LINEITEM_CFG,
+        _lineitem_base,
+    )
+
+    df = _lineitem_base(spark, sf_dir)
+    swept = sweep_grouping_sets(df, LINEITEM_CFG, total_count=df.count())
+    plan = swept._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     scan_pos = plan.find("FileScan")
     expand_pos = plan.find("Expand")
