@@ -62,12 +62,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+def _explode_shingle_sets(sh: DataFrame) -> DataFrame:
     """One row per (doc, distinct shingle); empty docs keep one NULL row
     (explode_outer) so every document still gets a sketch."""
-    return _shingle_sets(df, id_col, text_col, shingle_n).select(
-        "_id", F.explode_outer("_sh").alias("_sh")
-    )
+    return sh.select("_id", F.explode_outer("_sh").alias("_sh"))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    return _explode_shingle_sets(_shingle_sets(df, id_col, text_col, shingle_n))
+
+
+def _signatures_from_sets(sh: DataFrame, num_hashes: int) -> DataFrame:
+    ex = _explode_shingle_sets(sh)
+    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return ex.groupBy("_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -80,23 +88,12 @@ def minhash_signatures(
     doc per partition, not the exploded shingles. (A zero-shuffle
     array_min(transform(...)) variant measured ~2x slower: higher-order
     functions evaluate per-element outside codegen.)"""
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
-    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
-    return ex.groupBy("_id").agg(*aggs)
+    return _signatures_from_sets(_shingle_sets(df, id_col, text_col, shingle_n), num_hashes)
 
 
-def minhash_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-) -> DataFrame:
-    """LSH candidate pairs [id_a, id_b] (id_a < id_b) whose signatures
-    collide in >=1 of ``bands`` bands (rows-per-band = num_hashes/bands)."""
+def _candidates_from_sets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    sig = _signatures_from_sets(sh, num_hashes)
     banded = sig.select(
         "_id",
         F.explode(
@@ -127,17 +124,24 @@ def minhash_candidates(
     )
 
 
-def jaccard_pairs(
+def minhash_candidates(
     df: DataFrame,
-    candidates: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
-    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= threshold.
-    Output: [id_a, id_b, jaccard]."""
-    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    """LSH candidate pairs [id_a, id_b] (id_a < id_b) whose signatures
+    collide in >=1 of ``bands`` bands (rows-per-band = num_hashes/bands)."""
+    return _candidates_from_sets(
+        _shingle_sets(df, id_col, text_col, shingle_n), num_hashes, bands
+    )
+
+
+def _jaccard_from_sets(
+    sh: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -156,6 +160,21 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= threshold.
+    Output: [id_a, id_b, jaccard]."""
+    return _jaccard_from_sets(
+        _shingle_sets(df, id_col, text_col, shingle_n), candidates, threshold
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     id_col: str,
@@ -165,9 +184,22 @@ def near_dedup_minhash(
     bands: int = 16,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verification."""
-    cand = minhash_candidates(df, id_col, text_col, shingle_n, num_hashes, bands)
-    return jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    """Full near-dup pipeline: LSH candidates -> exact-Jaccard verification.
+
+    The shingle-set table is computed ONCE and persisted, then feeds both
+    the MinHash signatures and BOTH sides of the verify self-join — the
+    naive composition tokenized+shingled the corpus three times (the
+    costliest step: regex splits over every document). The (tiny) verified
+    pair list is pinned with an eager localCheckpoint so the cache can be
+    released before returning; at 100 TB the persist spills to disk, which
+    still beats two extra full text-processing passes."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    pairs = _jaccard_from_sets(
+        sh, _candidates_from_sets(sh, num_hashes, bands), threshold
+    )
+    pinned = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pinned
 
 
 def simhash_signatures(

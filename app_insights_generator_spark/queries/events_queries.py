@@ -392,3 +392,32 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.round(F.avg("k") + 1e-9, 2).alias("avg_k"),
     )
+
+
+@register(
+    "stateful_type_stats_batch_twin_events",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_type_stats_batch_twin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful_v2.py user_type_stats (the
+    transformWithStateInPandas operator): per-user distinct event types +
+    running totals — streaming COUNT(DISTINCT) needs keyed MapState, which
+    the new arbitrary-state API provides typed (vs applyInPandasWithState's
+    single opaque tuple). tests/test_streaming.py asserts the real
+    readStream path converges to exactly this result; this query gives the
+    semantics a hash-checked CORRECTNESS row."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("event_type").cast("int").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
