@@ -22,7 +22,11 @@ from app_insights_generator_spark.queries.insights_queries import (
 )
 from app_insights_generator_spark.sources import load_table
 from app_insights_generator_spark.sources.readers import read_csv, read_json
-from app_insights_generator_spark.sources.writers import write_csv, write_json
+from app_insights_generator_spark.sources.writers import (
+    write_csv,
+    write_json,
+    write_zorder,
+)
 
 
 def _scratch(tag: str) -> str:
@@ -370,4 +374,128 @@ def text_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         F.substring_index("value", "|", 1).cast("bigint").alias("doc_id"),
         F.expr("substring(value, instr(value, '|') + 1)").alias("text"),
+    )
+
+
+@register(
+    "zorder_sink_lineitem",
+    """
+    WITH bounds AS (
+      SELECT 0.1 * MAX(l_partkey) AS pk_cut FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem, bounds
+    WHERE l_partkey <= pk_cut AND l_extendedprice < 11000
+    GROUP BY l_returnflag
+    """,
+)
+def zorder_sink_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered parquet sink + two-dimensional row-group skipping:
+    lineitem is written sorted by the Morton interleave of
+    (l_partkey, l_extendedprice) — see sources/writers.write_zorder — so
+    row groups carry narrow min/max bands on BOTH columns at once. A plain
+    sort-clustered layout (sorted_sink_rowgroup_skip_lineitem) only skips
+    on its leading column; z-order is the layout for fact tables with two
+    or three independently-hot filter columns at 100 TB.
+
+    Asserted, not hoped: for a ~10 percent slab on EACH dimension
+    separately, under 70 percent of row groups may overlap (a random or
+    single-sorted layout leaves the non-leading dimension at ~100 percent).
+    The returned aggregate re-reads the z-ordered files through the 2-D box
+    filter, so the oracle hash also verifies the layout preserved the data.
+    """
+    import pyarrow.parquet as pq
+
+    out = os.path.join(_scratch("zorder"), "lineitem_z")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_returnflag"
+    )
+    write_zorder(
+        li, out, ["l_partkey", "l_extendedprice"], num_files=4, block_size=128 * 1024
+    )
+
+    pk_cut = li.agg(F.max("l_partkey")).first()[0] * 0.1
+    price_cut = 11000.0  # ~10% of the fixed 900-105000 extendedprice range
+
+    stats: dict[str, list[tuple[float, float]]] = {"l_partkey": [], "l_extendedprice": []}
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                if col.path_in_schema in stats and col.statistics is not None:
+                    stats[col.path_in_schema].append(
+                        (col.statistics.min, col.statistics.max)
+                    )
+    n_groups = len(stats["l_partkey"])
+    assert n_groups >= 4, f"expected multiple row groups, footers show {n_groups}"
+    for cname, cut in (("l_partkey", pk_cut), ("l_extendedprice", price_cut)):
+        overlap = sum(1 for mn, mx in stats[cname] if mn <= cut)
+        assert overlap * 10 < n_groups * 7, (
+            f"z-order not skippable on {cname}: {overlap}/{n_groups} row groups "
+            f"overlap a ~10% slab"
+        )
+
+    scan = spark.read.parquet(out).filter(
+        (F.col("l_partkey") <= F.lit(pk_cut))
+        & (F.col("l_extendedprice") < F.lit(price_cut))
+    )
+    return scan.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "foreach_batch_sink_events",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def foreach_batch_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent streaming sink, end to end: events are split
+    into 4 files, streamed back one file per micro-batch
+    (maxFilesPerTrigger=1, trigger availableNow), and drained through
+    streaming/sinks.run_foreach_batch_to_parquet — each micro-batch
+    overwrites its own ``ingest_batch=N`` directory, so a replayed batch id
+    lands on the same path and cannot double-write (exactly-once on top of
+    foreachBatch's at-least-once callback contract). The read-back union of
+    all batch directories must reproduce the source table exactly; the
+    aggregate's oracle hash checks precisely that.
+    """
+    from app_insights_generator_spark.streaming.sinks import (
+        read_foreach_batch_output,
+        run_foreach_batch_to_parquet,
+    )
+
+    scratch = _scratch("febatch")
+    src = os.path.join(scratch, "events_src")
+    sink = os.path.join(scratch, "events_sink")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_foreach_batch_to_parquet(sdf, sink, ckpt)
+
+    n_batches = len(
+        [d for d in os.listdir(sink) if d.startswith("ingest_batch=")]
+    )
+    assert n_batches >= 2, f"expected multiple micro-batches, saw {n_batches}"
+
+    back = read_foreach_batch_output(spark, sink, schema=ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
