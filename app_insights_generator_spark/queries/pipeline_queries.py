@@ -378,6 +378,29 @@ def text_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_roundtrip_supplier",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def xml_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip on Spark 4's NATIVE xml format (SURVEY.md
+    §2.2 "sources beyond CSV"; no spark-xml package needed since 4.0).
+    Explicit schema on read — XML schema inference is a full extra scan,
+    same 100 TB stance as the CSV/JSON paths. XML files are NOT splittable
+    within a file (a row element can span boundaries), so parallelism comes
+    from many files — the writer keeps one file per partition, never
+    coalesce(1)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(_scratch("xml_supplier"), "supplier_xml")
+    sup.write.format("xml").option("rowTag", "supplier").mode("overwrite").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(sup.schema)
+        .load(out)
+    )
+
+
+@register(
     "zorder_sink_lineitem",
     """
     WITH bounds AS (
