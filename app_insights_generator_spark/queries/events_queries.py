@@ -421,3 +421,203 @@ def stateful_type_stats_batch_twin_events(spark: SparkSession, sf_dir: str) -> D
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def _us(c):
+    """Epoch microseconds of a ts column; the cast makes unix_micros accept
+    the TIMESTAMP_NTZ the parquet reader yields (session tz is pinned UTC,
+    so the instant is unchanged)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+@register(
+    "sessionize_events_batch",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with EXPLICIT session ids: a new session starts
+    after a >30-minute gap; the id is the running count of session starts
+    per user (lag + conditional cumsum — the standard two-window idiom).
+    Complements session_window_events, which aggregates into gap windows
+    but never materializes a joinable session id.
+
+    Scale: ONE shuffle (hash by user_id); both windows and the final
+    aggregate reuse that partitioning, and per-user state is a sorted
+    scan — no driver involvement at any user count. Tie-break on
+    (ts, event_id) makes the lag deterministic under equal timestamps."""
+    ev = _events(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                _us(F.col("ts")) - _us(F.lag("ts").over(w_lag))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_idx", F.sum("is_new").over(w_run).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        (_us(F.min("ts")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "funnel_conversion_events",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS stage_ord, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click_after_signup', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase_after_click', COUNT(*) FROM s3
+    ) ORDER BY stage_ord
+    """,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click — the strictly-ordered
+    product-analytics funnel (order matters: a purchase before the click
+    does not count).
+
+    Each stage is min-timestamp-per-user joined forward into the next
+    stage's filter. Scale: every join keys on user_id, so with one
+    repartition the three stages co-locate and the per-stage state is one
+    timestamp per user; stage outputs shrink monotonically, and AQE turns
+    the later (small) stage tables into broadcast sides automatically."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit("signup").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s2.agg(
+            F.lit("click_after_signup").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        s3.agg(
+            F.lit("purchase_after_click").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "retention_cohorts_events",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             epoch_us(MIN(ts)) // 86400000000 AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day // 7 AS BIGINT) AS cohort_week,
+           CAST((epoch_us(e.ts) // 86400000000 - f.cohort_day) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their FIRST
+    event (cohort), counted distinctly in each subsequent week offset —
+    the standard retention triangle. All bucketing is integer epoch-day
+    arithmetic (epoch_us // 86400e6 // 7), which is timezone- and
+    engine-proof where date_trunc('week') is not (ISO vs US week starts).
+
+    Scale: two shuffles (first-event per user, then the cohort/offset
+    count-distinct); the firsts table is one row per user and joins on the
+    same user_id partitioning the first aggregate produced."""
+    ev = _events(spark, sf_dir)
+    day = lambda c: (_us(c) / F.lit(86_400_000_000)).cast("bigint")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(day(F.min("ts")).alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            (F.col("cohort_day") / 7).cast("bigint").alias("cohort_week"),
+            ((day(F.col("ts")) - F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
