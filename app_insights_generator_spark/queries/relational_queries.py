@@ -777,3 +777,55 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             conf.set(k, v) if v is not None else conf.unset(k)
     return df
+
+
+@register(
+    "heavy_hitters_orders_clerk",
+    """
+    WITH exact AS (
+      SELECT o_orderpriority AS item, COUNT(*) AS exact_n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT item, exact_n, CAST(0 AS INT) AS n_violations
+    FROM exact ORDER BY exact_n DESC, item LIMIT 3
+    """,
+)
+def heavy_hitters_orders_clerk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4) — the mergeable
+    frequent-items answer at 100 TB, where an exact top-k needs a full
+    groupBy over every key. One aggregation pass builds the sketch
+    map-side; only sketch summaries cross the shuffle.
+
+    Gated via the sketch-vs-exact invariant (the cms/approx_distinct
+    framing): emitted items must carry their EXACT counts (the default
+    sketch capacity far exceeds this column's cardinality, so the
+    estimates are exact and deterministic) and the top-3 set must equal
+    the exact top-3 — ties broken by item so both engines order alike."""
+    o = _t(spark, sf_dir, "orders")
+    # Sketch with k covering the full (5-value) domain so the emitted SET
+    # cannot depend on the sketch's internal tie-break at the k boundary;
+    # the top-3 CUT below is then taken with the same deterministic
+    # (count desc, item) order on both engines.
+    tk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 5)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("approx_n")
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    joined = exact.join(tk, "item", "left")
+    return (
+        joined.select(
+            "item",
+            "exact_n",
+            F.when(
+                F.col("approx_n").isNull() | (F.col("approx_n") != F.col("exact_n")), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("n_violations"),
+        )
+        .orderBy(F.desc("exact_n"), "item")
+        .limit(3)
+    )
