@@ -621,3 +621,63 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS valid_from_epoch,
+           CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                // 1000000 AS BIGINT) AS valid_to_epoch
+    FROM changes
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension builder: each user's latest
+    event_type is treated as a dimension attribute, and the output is its
+    full version history — one row per VALUE CHANGE (consecutive repeats
+    collapse into the open version, the defining SCD2 behavior) with
+    [valid_from, valid_to) validity; the current version has a NULL
+    valid_to. Companion to cdc_merge_user_profiles, which keeps only the
+    type-1 latest state.
+
+    Two windows over the same (user_id, ts) ordering: lag to detect
+    changes, lead to close each version when the next one opens. Scale:
+    one hash shuffle on user_id serves both windows; per-user state is a
+    sorted scan. Tie-break on event_id makes change detection
+    deterministic under equal timestamps."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        (_us(F.col("ts")) / F.lit(1_000_000)).cast("bigint").alias("valid_from_epoch"),
+        (_us(F.lead("ts").over(w2)) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("valid_to_epoch"),
+    )

@@ -829,3 +829,83 @@ def heavy_hitters_orders_clerk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "item")
         .limit(3)
     )
+
+
+@register(
+    "dq_report_orders",
+    """
+    WITH c AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT chk, n_violations, n_rows FROM (
+      SELECT 1 AS ord, 'orderkey_not_null' AS chk,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+               AS n_violations, n_rows FROM c
+      UNION ALL
+      SELECT 2, 'orderkey_unique',
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders), n_rows
+      FROM c
+      UNION ALL
+      SELECT 3, 'totalprice_in_range',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_totalprice IS NULL
+                 OR o_totalprice < 0 OR o_totalprice > 1000000), n_rows FROM c
+      UNION ALL
+      SELECT 4, 'status_in_domain',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                 OR o_orderstatus IS NULL), n_rows FROM c
+    ) ORDER BY ord
+    """,
+)
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed data-quality report — the expectation-check primitive a
+    100 TB ingest pipeline runs before publishing a table: null checks,
+    key uniqueness, numeric range, and domain membership, each emitted as
+    (check, violation count, total rows).
+
+    Scale shape: the three row-local checks fold into ONE conditional-
+    aggregation pass over the table (no shuffle beyond the final scalar
+    combine); only the uniqueness check needs a key shuffle, and it
+    reuses the same scan. Nothing is collected — the report itself is the
+    (4-row) DataFrame."""
+    o = _t(spark, sf_dir, "orders")
+    row_local = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") < 0)
+                | (F.col("o_totalprice") > 1_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("v_range"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("F", "O", "P"),
+                1,
+            ).otherwise(0)
+        ).alias("v_domain"),
+    )
+    uniq = o.agg(
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias("v_dup")
+    )
+    r = row_local.crossJoin(F.broadcast(uniq))
+    checks = [
+        ("orderkey_not_null", "v_null"),
+        ("orderkey_unique", "v_dup"),
+        ("totalprice_in_range", "v_range"),
+        ("status_in_domain", "v_domain"),
+    ]
+    parts = [
+        r.select(
+            F.lit(name).alias("chk"),
+            F.col(col).cast("bigint").alias("n_violations"),
+            F.col("n_rows"),
+        )
+        for name, col in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
