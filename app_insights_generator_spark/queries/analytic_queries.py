@@ -640,3 +640,32 @@ def histogram_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "regr_price_vs_qty_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 2) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity) + 1e-9, 4) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regr_price_vs_qty_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit with the ANSI regr_* aggregates: slope,
+    intercept, and R² of extendedprice against quantity for each return
+    flag — closed-form regression as a plain aggregation, the
+    groupBy-and-fit primitive feature pipelines use for drift and trend
+    checks. Like corr/covar these are sum-of-moments aggregates: partial
+    combine map-side, one shuffle on the group key, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity") + 1e-9, 2).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity") + 1e-9, 2).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity") + 1e-9, 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )

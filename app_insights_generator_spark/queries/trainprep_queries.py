@@ -349,3 +349,50 @@ def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("source", "doc_id")
     )
+
+
+@register(
+    "train_val_test_split_documents",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(doc_id) AS id_sum
+    FROM b GROUP BY 1
+    """,
+)
+def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-independent
+    key hash — the reproducibility primitive for dataset versioning: the
+    assignment depends only on doc_id (sha256, portable across engines
+    and runs), never on row order, partitioning, or a seed, so re-running
+    the pipeline on a grown corpus keeps every existing document in its
+    original split (no train/test leakage across dataset versions).
+
+    The split is a pure projection (no shuffle); the per-split counts +
+    id-sum here are the gate's witness that both engines assign every
+    document identically. Scale: the same expression tags 100 TB in one
+    map pass, and writing `partitionBy(split)` gives the three datasets
+    as partition directories."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
