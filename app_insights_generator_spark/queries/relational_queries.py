@@ -909,3 +909,45 @@ def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "fuzzy_join_part_names",
+    """
+    WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
+    SELECT a.p_brand, COUNT(*) AS n_fuzzy_pairs
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY a.p_brand
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join — the entity-resolution primitive: find
+    near-identical part names (edit distance <= 2, not exact-equal) WITHOUT
+    the O(n^2) all-pairs comparison. Blocking on the brand key turns the
+    pair space into per-block candidates (same shape as the LSH banding in
+    operators/dedup.py, with a domain key instead of a hash bucket); a
+    length-band pre-filter (|len a - len b| <= 2 is implied by the edit
+    bound, so it drops no true pair) prunes candidates before the O(m*n)
+    levenshtein verify ever runs. At 100 TB the block key would be
+    (brand, length-band) so block sizes stay bounded; emitted here as
+    per-brand pair counts."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+            <= 2
+        )
+        & (F.col("a.p_name") != F.col("b.p_name")),
+    ).filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+    return pairs.groupBy(F.col("a.p_brand").alias("p_brand")).agg(
+        F.count(F.lit(1)).alias("n_fuzzy_pairs")
+    )

@@ -130,3 +130,27 @@ def test_bloom_runtime_filter_injected(spark, sf_dir):
     df = QUERIES["bloom_pruned_join_revenue"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both windows and the final aggregate of the sessionizer must reuse
+    ONE hash exchange on user_id — a second exchange means the windows
+    stopped sharing their partitioning."""
+    plan = _plan(spark, sf_dir, "sessionize_events_batch")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"sessionize should shuffle once, saw {n_exchanges}:\n{plan}"
+
+
+def test_hash_split_is_pure_projection(spark, sf_dir):
+    """The train/val/test tagging itself must add no shuffle: the only
+    exchange in the gate query belongs to its final per-split count."""
+    plan = _plan(spark, sf_dir, "train_val_test_split_documents")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
+    """The fuzzy name join must plan as an equi-join on the block key
+    (brand) with the edit-distance predicate as a post-filter — never a
+    Cartesian/nested-loop over all pairs."""
+    plan = _plan(spark, sf_dir, "fuzzy_join_part_names")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
