@@ -434,12 +434,12 @@ def _us(c):
     "sessionize_events_batch",
     """
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN prev_ts IS NULL
                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
@@ -448,7 +448,7 @@ def _us(c):
     numbered AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_idx
       FROM flagged
@@ -476,13 +476,14 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = ev.select(
         "user_id",
         "ts",
         "value",
+        "event_id",
         F.when(
             F.lag("ts").over(w_lag).isNull()
             | (
@@ -633,13 +634,13 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type,
            CAST(epoch_us(ts) // 1000000 AS BIGINT) AS valid_from_epoch,
-           CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                 // 1000000 AS BIGINT) AS valid_to_epoch
     FROM changes
     """,
@@ -665,6 +666,7 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "ts",
+            "event_id",
             F.lag("event_type").over(w).alias("prev_type"),
         )
         .filter(
@@ -672,7 +674,7 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_type")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",

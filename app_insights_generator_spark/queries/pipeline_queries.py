@@ -522,3 +522,37 @@ def foreach_batch_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "compact_small_files_events",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def compact_small_files_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the raw-directory OPTIMIZE): events are
+    deliberately fragmented into 16 tiny files — the layout a per-batch
+    streaming sink leaves behind — then compacted by
+    sources/writers.compact_parquet_dir, which sizes the output count from
+    actual on-disk bytes (a listing, never a data pass) and rewrites with
+    a shuffle-free coalesce. Asserts the file count really dropped; the
+    oracle hash proves compaction is a pure re-layout (no row lost,
+    duplicated, or mutated)."""
+    from app_insights_generator_spark.sources.writers import compact_parquet_dir
+
+    out = os.path.join(_scratch("compact"), "events_small")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(16).write.mode("overwrite").parquet(out)
+    before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    after = compact_parquet_dir(spark, out, target_bytes=64 * 1024 * 1024)
+    assert before == 16 and after < before, (
+        f"compaction did not reduce file count: {before} -> {after}"
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

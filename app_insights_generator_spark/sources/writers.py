@@ -130,3 +130,43 @@ def write_zorder(
     if block_size is not None:
         writer = writer.option("parquet.block.size", block_size)
     writer.parquet(path)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Compact a directory of small parquet files into ~``target_bytes``
+    outputs; returns the new file count.
+
+    The operational fix for the small-files problem streaming ingest
+    creates (one file per partition per micro-batch): many tiny files cost
+    a listing + open + footer parse each, and at 100 TB the metadata
+    overhead dwarfs the data read. File count is sized from the ACTUAL
+    on-disk bytes (a listing, not a data pass); the rewrite itself is one
+    distributed job — read, coalesce (no shuffle), write to a temp dir,
+    atomic-ish swap. Table formats do this transactionally (OPTIMIZE);
+    this is the raw-directory equivalent.
+    """
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(min_files, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

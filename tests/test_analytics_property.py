@@ -1,0 +1,111 @@
+"""Property-based checks for the event-analytics operators: on arbitrary
+generated event streams, sessionization and the SCD2 builder must equal an
+independent pure-Python reimplementation exactly (same split points, same
+validity intervals), including the corner cases fixtures miss — equal
+timestamps, single-event users, gaps exactly at the 30-minute boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from app_insights_generator_spark.queries import QUERIES
+
+GAP_US = 1_800_000_000  # 30 min, matching the registered queries
+
+event = st.tuples(
+    st.integers(min_value=1, max_value=4),  # user_id
+    # offsets in whole seconds across ~3 hours; duplicates allowed on purpose
+    st.integers(min_value=0, max_value=10_800),
+    st.integers(min_value=0, max_value=9),  # integer-valued "value" (exact sums)
+)
+
+
+def _write_events(spark, rows, scratch):
+    # Schema mirrors the driver's events table; event_id is the generation
+    # index so (ts, event_id) ordering is deterministic under equal ts.
+    df = spark.createDataFrame(
+        [
+            (i, u, off, float(v))
+            for i, (u, off, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, off long, value double",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(CAST(1704067200000000 + off * 1000000 AS BIGINT)) AS ts",
+        "user_id",
+        "'click' AS event_type",
+        "value",
+        "CAST(NULL AS STRING) AS props",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+
+def _expected_sessions(rows):
+    """Pure-Python sessionizer: sort per user by (ts, event_id), split on
+    >30-min gaps, number sessions from 1."""
+    per_user: dict[int, list[tuple[int, int, int]]] = {}
+    for eid, (u, off, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((off, eid, v))
+    out = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for off, _eid, v in evs:
+            if prev is None or (off - prev) * 1_000_000 > GAP_US:
+                idx += 1
+                out[(u, idx)] = [1704067200 + off, 0, 0.0]
+            out[(u, idx)][1] += 1
+            out[(u, idx)][2] += v
+            prev = off
+    return {
+        k: (start, n, round(s, 2)) for k, (start, n, s) in out.items()
+    }
+
+
+def _expected_scd2(rows):
+    """Pure-Python SCD2 over a constant attribute: every user's whole
+    stream collapses into ONE version (event_type never changes), opening
+    at the first event and never closing."""
+    firsts: dict[int, int] = {}
+    for u, off, _v in rows:
+        if u not in firsts or off < firsts[u]:
+            firsts[u] = off
+    return {(u, "click", 1704067200 + off, None) for u, off in firsts.items()}
+
+
+@given(rows=st.lists(event, min_size=1, max_size=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionize_matches_python_oracle(spark, rows):
+    scratch = tempfile.mkdtemp(prefix="aig_prop_sess_")
+    _write_events(spark, rows, scratch)
+    got = {
+        (r.user_id, r.session_idx): (r.session_start_epoch, r.n_events, r.sum_value)
+        for r in QUERIES["sessionize_events_batch"](spark, scratch).collect()
+    }
+    assert got == _expected_sessions(rows)
+
+
+@given(rows=st.lists(event, min_size=1, max_size=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_single_attribute_collapses(spark, rows):
+    scratch = tempfile.mkdtemp(prefix="aig_prop_scd2_")
+    _write_events(spark, rows, scratch)
+    got = {
+        (r.user_id, r.event_type, r.valid_from_epoch, r.valid_to_epoch)
+        for r in QUERIES["scd2_user_event_history"](spark, scratch).collect()
+    }
+    assert got == _expected_scd2(rows)
