@@ -220,3 +220,116 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# --- REAL codecs (WAV/BMP, pure numpy — operators/codecs.py) -----------------
+
+REAL_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image (BMP) | audio (WAV)
+        StructField("content", BinaryType()),
+    ]
+)
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),        # NULL for audio
+        StructField("height", IntegerType()),       # NULL for audio
+        StructField("duration_ms", LongType()),     # NULL for image
+        StructField("payload_sum", LongType()),     # R-channel sum / sum|samples|
+    ]
+)
+
+
+def synthesize_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate REAL media payloads (actual BMP and WAV files, not digests)
+    deterministically from an id column: even ids become 24-bit BMP
+    gradients, odd ids become PCM-16 WAV sawtooths. All parameters are
+    closed-form functions of the id, so an external oracle can predict
+    every decoded feature without running the codec."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_bmp, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 4 * (2 + mid % 6), 4 * (1 + mid % 5)
+                    xy = np.add.outer(np.arange(h), np.arange(w)) % 256
+                    px = np.repeat(xy[:, :, None], 3, axis=2).astype("u1")
+                    rows.append((mid, "image", encode_bmp(px)))
+                else:
+                    n = 256 * (4 + mid % 8)
+                    i = np.arange(n)
+                    samples = ((i % 256) - 128) * 64
+                    rows.append((mid, "audio", encode_wav(samples, rate=8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=REAL_MEDIA_SCHEMA
+    )
+
+
+def extract_real_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode path (no stub): parses actual BMP headers/pixels and WAV
+    chunk lists/PCM samples with the pure-numpy codecs. Same Arrow-batched
+    mapInPandas shape as the stubbed extract_media_features — swap-in
+    proof that the Spark-side plumbing is codec-agnostic. Malformed bytes
+    raise (fail loudly, never emit garbage features)."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp, decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                raw = bytes(content)
+                if mtype == "image":
+                    px = decode_bmp(raw)
+                    h, w, _ = px.shape
+                    out.append(
+                        (int(mid), mtype, w, h, None, int(px[:, :, 0].astype("i8").sum()))
+                    )
+                elif mtype == "audio":
+                    samples, rate = decode_wav(raw)
+                    out.append(
+                        (
+                            int(mid),
+                            mtype,
+                            None,
+                            None,
+                            len(samples) * 1000 // rate,
+                            int(np.abs(samples.astype("i8")).sum()),
+                        )
+                    )
+                else:
+                    raise ValueError(f"unsupported real-codec media type: {mtype}")
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "duration_ms",
+                    "payload_sum",
+                ],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "duration_ms": "Int64",
+                    "payload_sum": "int64",
+                }
+            )
+
+    return media.mapInPandas(batches, schema=REAL_FEATURE_SCHEMA)

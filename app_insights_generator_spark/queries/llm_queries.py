@@ -893,3 +893,48 @@ def domain_mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("doc_id") % 10 < F.col("keep_tenths")).alias("n_kept"),
         )
     )
+
+
+@register(
+    "multimodal_real_codec_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(4 * (2 + doc_id % 6) AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(4 * (1 + doc_id % 5) AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(256 * (4 + doc_id % 8) // 8 AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(4 * (2 + doc_id % 6) * 4 * (1 + doc_id % 5)
+                          * (4 * (2 + doc_id % 6) + 4 * (1 + doc_id % 5) - 2)
+                          // 2 AS BIGINT)
+                ELSE CAST((4 + doc_id % 8) * 1048576 AS BIGINT)
+           END AS payload_sum
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, end to end — no stub: BMP gradient images and
+    PCM-16 WAV sawtooths are generated as actual files (headers, chunk
+    lists, padding — operators/codecs.py), then parsed back by the real
+    pure-numpy decoders inside Arrow-batched mapInPandas
+    (operators/multimodal.py extract_real_media_features).
+
+    The oracle predicts every decoded feature in CLOSED FORM from the id
+    alone (dimensions, duration, R-channel sum, sum|samples|), so a
+    single wrong header byte, row padding error, or sample-width mistake
+    anywhere in encode OR decode hash-mismatches the gate. Compressed
+    formats (JPEG/MP4) remain behind the documented decode_stub — this
+    query is the proof the Spark-side plumbing is codec-agnostic."""
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        synthesize_real_media,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_real_media(ids, "media_id")
+    return extract_real_media_features(media)

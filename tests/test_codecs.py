@@ -1,0 +1,62 @@
+"""Pure-numpy WAV/BMP codecs: byte-exact round-trips, padding, and
+malformed-input rejection (the real decode path under the multimodal
+operators)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from app_insights_generator_spark.operators.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=4096).astype("<i2")
+    out, rate = decode_wav(encode_wav(samples, rate=16000))
+    assert rate == 16000
+    assert (out == samples).all()
+
+
+def test_wav_chunk_walker_skips_foreign_chunks():
+    """A LIST chunk between fmt and data (common in real encoders) must be
+    skipped by the chunk walker, not break parsing."""
+    samples = np.arange(-100, 100, dtype="<i2")
+    raw = bytearray(encode_wav(samples, rate=8000))
+    # splice a LIST chunk right after the fmt chunk (offset 12 + 8 + 16)
+    insert_at = 12 + 8 + 16
+    foreign = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    raw[insert_at:insert_at] = foreign
+    # fix RIFF size
+    raw[4:8] = (len(raw) - 8).to_bytes(4, "little")
+    out, rate = decode_wav(bytes(raw))
+    assert rate == 8000 and (out == samples).all()
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (5, 7), (28, 20)])
+def test_bmp_roundtrip_with_row_padding(w, h):
+    """Widths that need 4-byte row padding (w*3 % 4 != 0) are the classic
+    BMP bug; every shape must round-trip byte-exact."""
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3)).astype("u1")
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_malformed_inputs_rejected():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00" + b"\x00" * 60)
+    # 8-bit BMP (unsupported depth) must be rejected, not misparsed
+    px = np.zeros((2, 2, 3), dtype="u1")
+    raw = bytearray(encode_bmp(px))
+    raw[28] = 8  # bpp field
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(raw))
