@@ -333,3 +333,42 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=REAL_FEATURE_SCHEMA)
+
+
+def resize_real_images(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """REAL image resize for BMP payloads: decode with the pure-numpy codec,
+    nearest-neighbor downsample so max(w, h) == max_dim (aspect preserved),
+    re-encode as BMP. Audio rows pass through with NULL dims. Same
+    mapInPandas shape and RESIZED_SCHEMA as the stubbed resize_images —
+    the codec is the only moving part.
+
+    Nearest-neighbor index mapping: src_idx = floor(dst_idx * src / dst) —
+    deterministic integer arithmetic, so tests can recompute expected
+    pixels independently."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp, encode_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                raw = bytes(content)
+                if mtype != "image":
+                    out.append((int(mid), mtype, raw, None, None))
+                    continue
+                px = decode_bmp(raw)
+                h, w, _ = px.shape
+                scale = max_dim / max(w, h)
+                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                ys = (np.arange(nh) * h) // nh
+                xs = (np.arange(nw) * w) // nw
+                small = px[ys][:, xs]
+                out.append((int(mid), mtype, encode_bmp(small), nw, nh))
+            yield pd.DataFrame(
+                out, columns=["media_id", "media_type", "content", "width", "height"]
+            ).astype({"width": "Int32", "height": "Int32"})
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)

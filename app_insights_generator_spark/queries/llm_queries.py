@@ -938,3 +938,74 @@ def multimodal_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
     )
     media = synthesize_real_media(ids, "media_id")
     return extract_real_media_features(media)
+
+
+@register(
+    "multimodal_real_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             4 * (2 + doc_id % 6) AS w,
+             4 * (1 + doc_id % 5) AS h
+      FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+    ),
+    rs AS (
+      SELECT media_id, w, h,
+             GREATEST(1, CAST(round(w * 16.0 / GREATEST(w, h)) AS INT)) AS nw,
+             GREATEST(1, CAST(round(h * 16.0 / GREATEST(w, h)) AS INT)) AS nh
+      FROM dims
+    )
+    SELECT media_id, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+           CAST(nh * list_sum(list_transform(range(nw), i -> (i * w) // nw))
+              + nw * list_sum(list_transform(range(nh), j -> (j * h) // nh))
+              AS BIGINT) AS r_sum
+    FROM rs
+    """,
+)
+def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize, gate-checked: gradient BMPs
+    (pixel value x+y) are resized to max dim 16 by
+    operators/multimodal.resize_real_images (decode -> numpy index-select
+    -> re-encode), then DECODED AGAIN and their R-channel sum recomputed
+    from the output pixels. The oracle derives the same sum in closed form
+    from the sampling index map src = (dst * src_dim) // dst_dim — so the
+    gate proves decode, resample arithmetic, re-encode, and second decode
+    all agree, byte-for-byte, with no codec library anywhere."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp
+    from app_insights_generator_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_real_images,
+        synthesize_real_media,
+    )
+
+    ids = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 0))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    resized = resize_real_images(synthesize_real_media(ids, "media_id"), max_dim=16)
+
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def verify(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(mid),
+                    int(w),
+                    int(h),
+                    int(decode_bmp(bytes(c))[:, :, 0].astype("i8").sum()),
+                )
+                for mid, c, w, h in zip(
+                    pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+                )
+            ]
+            yield _pd.DataFrame(rows, columns=["media_id", "width", "height", "r_sum"])
+
+    return resized.mapInPandas(
+        verify, schema="media_id long, width int, height int, r_sum long"
+    )

@@ -60,3 +60,30 @@ def test_malformed_inputs_rejected():
     raw[28] = 8  # bpp field
     with pytest.raises(ValueError):
         decode_bmp(bytes(raw))
+
+
+def test_resize_real_images_nearest_neighbor(spark):
+    """End-to-end real resize on Spark: generated BMPs are decoded,
+    downsampled, re-encoded; re-decoding the output must equal an
+    independent numpy nearest-neighbor reference exactly."""
+    from app_insights_generator_spark.operators.multimodal import (
+        resize_real_images,
+        synthesize_real_media,
+    )
+
+    ids = spark.range(0, 20, 2).withColumnRenamed("id", "media_id")  # even -> images
+    media = synthesize_real_media(ids, "media_id")
+    resized = {r.media_id: r for r in resize_real_images(media, max_dim=8).collect()}
+    src = {r.media_id: bytes(r.content) for r in media.collect()}
+
+    for mid, row in resized.items():
+        px = decode_bmp(src[mid])
+        h, w, _ = px.shape
+        scale = 8 / max(w, h)
+        nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+        ys = (np.arange(nh) * h) // nh
+        xs = (np.arange(nw) * w) // nw
+        expect = px[ys][:, xs]
+        got = decode_bmp(bytes(row.content))
+        assert (row.width, row.height) == (nw, nh)
+        assert (got == expect).all(), f"media {mid} resize mismatch"
