@@ -1009,3 +1009,56 @@ def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         verify, schema="media_id long, width int, height int, r_sum long"
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(4 + doc_id % 8)) AS INT) AS window_idx,
+           CAST(1048576 AS BIGINT) AS sum_abs
+    FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio windowing — the audio analog of video frame sampling,
+    with an actual decoder: WAV payloads are parsed (chunk walker + PCM),
+    split into fixed 256-sample windows, and each window's |amplitude| sum
+    emitted as a row (one-to-many mapInPandas, output rows > input rows).
+    The sawtooth test signal repeats every 256 samples, so the oracle
+    knows every window's sum in closed form: any framing error (off-by-one
+    window boundary, header misparse, byte-order slip) breaks equality.
+    Scale: same shape as frame extraction — decode parallelism is
+    per-media-row, window explosion multiplies rows, partitioning
+    preserved for the caller to rebalance."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_wav
+    from app_insights_generator_spark.operators.multimodal import synthesize_real_media
+
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    ids = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_real_media(ids, "media_id")
+
+    def windows(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                n_win = len(samples) // 256
+                absw = np.abs(samples.astype("i8")).reshape(n_win, 256).sum(axis=1)
+                rows.extend(
+                    (int(mid), int(i), int(s)) for i, s in enumerate(absw)
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "window_idx", "sum_abs"])
+
+    return media.mapInPandas(
+        windows, schema="media_id long, window_idx int, sum_abs long"
+    )
