@@ -951,3 +951,79 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("a.p_brand").alias("p_brand")).agg(
         F.count(F.lit(1)).alias("n_fuzzy_pairs")
     )
+
+
+@register(
+    "recursive_cte_part_hierarchy",
+    """
+    WITH RECURSIVE walk(p_partkey, depth) AS (
+      SELECT p_partkey, 0 FROM part WHERE p_partkey = 0
+      UNION ALL
+      SELECT c.p_partkey, w.depth + 1
+      FROM part c JOIN walk w ON w.p_partkey = c.p_partkey // 4
+      WHERE c.p_partkey > 0
+    )
+    SELECT depth, COUNT(*) AS n_parts, SUM(p_partkey) AS key_sum
+    FROM walk GROUP BY depth
+    """,
+)
+def recursive_cte_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE on Spark 4 (WITH RECURSIVE, SPARK-24497): the part
+    table is given a synthetic tree shape (parent = key // 4, a proper
+    4-ary hierarchy rooted at key 0) and each node's DEPTH is derived by
+    recursive descent — the BOM/org-chart traversal SQL engines are asked
+    for constantly, previously only expressible here as a driver loop
+    (operators/dedup.py connected_components). UNION ALL recursion is
+    exact on a tree: every node has one parent, so each is visited once
+    and the recursion terminates at the tree height. Each recursion step
+    is one self-join — at 100 TB that's height-many hash joins, not a
+    driver round-trip per level. (Cyclic graphs still need the driver
+    loop: Spark 4.1 rejects de-duplicating UNION inside recursive CTEs.)
+    """
+    part = _t(spark, sf_dir, "part")
+    part.select("p_partkey").createOrReplaceTempView("_rc_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(p_partkey, depth) AS (
+          SELECT p_partkey, 0 FROM _rc_part WHERE p_partkey = 0
+          UNION ALL
+          SELECT c.p_partkey, w.depth + 1
+          FROM _rc_part c JOIN walk w ON w.p_partkey = CAST(c.p_partkey / 4 AS BIGINT)
+          WHERE c.p_partkey > 0
+        )
+        SELECT depth, COUNT(*) AS n_parts, SUM(p_partkey) AS key_sum
+        FROM walk GROUP BY depth
+        """
+    )
+
+
+@register(
+    "nullsafe_join_order_status",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS s, COUNT(*) AS n_a
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS s, ROUND(SUM(o_totalprice), 2) AS price_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.s AS status, n_a, price_b
+    FROM a JOIN b ON a.s IS NOT DISTINCT FROM b.s
+    """,
+)
+def nullsafe_join_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    semantics gap a plain equi-join leaves — NULL keys never match
+    themselves, silently dropping the NULL group from both sides. The 'P'
+    status is NULLed out on purpose; the null-safe condition keeps that
+    row matched. Catalyst plans `<=>` as a hash join key exactly like
+    `=`, so there is no performance penalty for the correct semantics."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("s")
+    a = o.groupBy(s).agg(F.count(F.lit(1)).alias("n_a"))
+    b = o.groupBy(s).agg(F.round(F.sum("o_totalprice"), 2).alias("price_b"))
+    return (
+        a.join(b, a["s"].eqNullSafe(b["s"]))
+        .select(a["s"].alias("status"), "n_a", "price_b")
+    )
