@@ -683,3 +683,48 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("valid_to_epoch"),
     )
+
+
+@register(
+    "ewma_user_values",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(CAST(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc)
+                      AS DOUBLE) + 1e-9, 4) AS ewma
+    FROM ordered
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 0.3) — the
+    time-series smoothing primitive that is inherently SEQUENTIAL (each
+    output depends on the previous), so no plain aggregate expresses it.
+    Here: one groupBy collects (ts, event_id, value) structs, array_sort
+    makes the order explicit and engine-independent, and a higher-order
+    ``aggregate`` folds the recurrence y_i = a*x_i + (1-a)*y_{i-1} inside
+    the JVM — per-user state never leaves the executor and the driver
+    sees nothing. Both engines fold in the identical order with identical
+    IEEE double ops, so the oracle is exact. Scale: one shuffle on
+    user_id; per-user memory is that user's event list (bounded by the
+    hottest user — salt or window-chunk if a key is pathological)."""
+    ev = _events(spark, sf_dir)
+    structs = F.array_sort(
+        F.collect_list(F.struct(_us(F.col("ts")).alias("t"), "event_id", "value"))
+    )
+    per_user = ev.groupBy("user_id").agg(structs.alias("evs"))
+    vs = F.transform(F.col("evs"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.round(ewma + F.lit(1e-9), 4).alias("ewma"),
+    )
