@@ -556,3 +556,107 @@ def compact_small_files_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "malformed_csv_handling",
+    """
+    SELECT kind, n FROM (
+      SELECT 1 AS ord, 'good' AS kind,
+             (SELECT COUNT(*) FROM nation) AS n
+      UNION ALL
+      SELECT 2, 'corrupt', 4
+      UNION ALL
+      SELECT 3, 'permissive_rows', (SELECT COUNT(*) FROM nation) + 4
+    ) ORDER BY ord
+    """,
+)
+def malformed_csv_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest — the production CSV reality the
+    clean round-trips skip: broken lines (unparseable ints, over-arity,
+    integer overflow, broken quoting) are appended to a valid nation CSV,
+    then read in PERMISSIVE mode, which keeps every line and routes
+    breakage into the ``_corrupt_record`` column — at 100 TB the only mode
+    that both survives dirty data AND leaves an audit trail. FAILFAST is
+    verified to raise on the same input. Counts are closed-form: exactly
+    the appended lines must land in the corrupt column, no more, no less.
+    (DROPMALFORMED's row accounting interacts with parser column pruning
+    and proved session-order-sensitive, so it is pinned by
+    tests/test_sinks.py on an isolated fixture instead of this gate.)
+    """
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    nation = load_table(spark, sf_dir, "nation")
+    scratch = _scratch("malformed")
+    csv_dir = os.path.join(scratch, "nation_dirty")
+    write_csv(nation.select("n_nationkey", "n_name", "n_regionkey"), csv_dir,
+              header=False, mode="overwrite")
+    bad_lines = [
+        "not_an_int,BROKEN,xx",
+        "1,TOO,MANY,FIELDS,HERE",
+        "999999999999999999999999999,overflow,1",
+        '"unterminated,quote,2',
+    ]
+    with open(os.path.join(csv_dir, "zz_bad.csv"), "w") as f:
+        f.write("\n".join(bad_lines) + "\n")
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csv_dir)
+        .cache()
+    )
+    n_perm = permissive.count()
+    n_corrupt = permissive.filter(F.col("_corrupt_record").isNotNull()).count()
+    try:
+        spark.read.schema(schema).option("mode", "FAILFAST").csv(csv_dir).collect()
+        raise AssertionError("FAILFAST did not raise on malformed rows")
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001
+        assert "Malformed" in str(e) or "FAILFAST" in str(e), e
+    permissive.unpersist()
+    rows = [
+        ("good", n_perm - n_corrupt),
+        ("corrupt", n_corrupt),
+        ("permissive_rows", n_perm),
+    ]
+    return spark.createDataFrame(rows, "kind string, n long")
+
+
+@register(
+    "zstd_sink_roundtrip_lineitem",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def zstd_sink_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec control on the parquet sink: lineitem written with
+    zstd (better ratio than the snappy default — at 100 TB the codec
+    choice IS the storage bill and often the scan bill too), verified by
+    the written file names carrying the codec suffix, then read back and
+    aggregated so the oracle hash proves the round-trip lossless."""
+    out = os.path.join(_scratch("zstd"), "lineitem_zstd")
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.write.option("compression", "zstd").mode("overwrite").parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files), files
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -96,3 +96,48 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir):
     batches2 = sorted(d for d in os.listdir(sink) if d.startswith("ingest_batch="))
     assert batches2 == batches
     assert read_foreach_batch_output(spark, sink, schema=ev.schema).count() == ev.count()
+
+
+def test_dropmalformed_on_isolated_fixture(spark):
+    """DROPMALFORMED must silently drop exactly the malformed lines.
+    Parser column pruning is disabled for the read: with pruning on, a
+    bare count parses no columns and detects nothing (the classic CSV
+    silent-count gotcha) — which is why the oracle gate pins PERMISSIVE
+    accounting and this behavior lives here on an isolated fixture."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = tempfile.mkdtemp(prefix="aig_dropmal_")
+    good = ["1,alpha,10", "2,beta,20", "3,gamma,30"]
+    bad = [
+        "not_an_int,BROKEN,xx",
+        "1,TOO,MANY,FIELDS,HERE",
+        "999999999999999999999999999,overflow,1",
+        '"unterminated,quote,2',
+    ]
+    with open(os.path.join(d, "data.csv"), "w") as f:
+        f.write("\n".join(good + bad) + "\n")
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    key = "spark.sql.csv.parser.columnPruning.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        kept = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(d).collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert sorted(r.a for r in kept) == [1, 2, 3], kept
