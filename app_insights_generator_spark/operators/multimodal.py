@@ -372,3 +372,62 @@ def resize_real_images(media: DataFrame, max_dim: int = 16) -> DataFrame:
             ).astype({"width": "Int32", "height": "Int32"})
 
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of extract_real_media_features: consumes/produces
+    raw ``pyarrow.RecordBatch``es, skipping the Arrow<->pandas conversion
+    mapInPandas pays per batch. For binary-heavy pipelines that
+    conversion copies every payload into Python objects — at 100 TB of
+    media bytes the arrow-native path is the cheaper decode loop. Output
+    is asserted identical to the pandas variant in tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp, decode_wav
+
+    def batches(it):
+        for rb in it:
+            mids = rb.column("media_id").to_pylist()
+            mtypes = rb.column("media_type").to_pylist()
+            contents = rb.column("content").to_pylist()
+            width, height, dur, psum = [], [], [], []
+            for mtype, content in zip(mtypes, contents):
+                raw = bytes(content)
+                if mtype == "image":
+                    px = decode_bmp(raw)
+                    h, w, _ = px.shape
+                    width.append(w)
+                    height.append(h)
+                    dur.append(None)
+                    psum.append(int(px[:, :, 0].astype("i8").sum()))
+                elif mtype == "audio":
+                    samples, rate = decode_wav(raw)
+                    width.append(None)
+                    height.append(None)
+                    dur.append(len(samples) * 1000 // rate)
+                    psum.append(int(np.abs(samples.astype("i8")).sum()))
+                else:
+                    raise ValueError(f"unsupported real-codec media type: {mtype}")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(mids, pa.int64()),
+                    pa.array(mtypes, pa.string()),
+                    pa.array(width, pa.int32()),
+                    pa.array(height, pa.int32()),
+                    pa.array(dur, pa.int64()),
+                    pa.array(psum, pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("media_type", pa.string()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("duration_ms", pa.int64()),
+                        ("payload_sum", pa.int64()),
+                    ]
+                ),
+            )
+
+    return media.mapInArrow(batches, schema=REAL_FEATURE_SCHEMA)

@@ -87,3 +87,19 @@ def test_resize_real_images_nearest_neighbor(spark):
         got = decode_bmp(bytes(row.content))
         assert (row.width, row.height) == (nw, nh)
         assert (got == expect).all(), f"media {mid} resize mismatch"
+
+
+def test_map_in_arrow_equals_map_in_pandas(spark):
+    """The arrow-native feature extractor must produce exactly the pandas
+    variant's rows — same decode, no conversion-layer drift."""
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        extract_real_media_features_arrow,
+        synthesize_real_media,
+    )
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "media_id")
+    media = synthesize_real_media(ids, "media_id")
+    a = {tuple(r) for r in extract_real_media_features(media).collect()}
+    b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
+    assert a == b and len(a) == 30
