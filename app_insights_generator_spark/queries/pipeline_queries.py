@@ -660,3 +660,50 @@ def zstd_sink_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "schema_evolution_mergeschema",
+    """
+    SELECT era, COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderyear IS NULL THEN 1 ELSE 0 END) AS n_missing_year
+    FROM (
+      SELECT 'v1' AS era, o_orderkey, NULL AS o_orderyear
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'v2', o_orderkey, EXTRACT(year FROM o_orderdate)
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY era
+    """,
+)
+def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a raw parquet directory: generation v1 files
+    lack the ``o_orderyear`` column that generation v2 adds — the normal
+    life of any long-lived table. ``mergeSchema=true`` reconciles the
+    footers into the union schema and back-fills v1 rows with NULLs; the
+    gate pins exactly which era carries the NULLs and that no rows are
+    lost. (mergeSchema costs a footer read per file — at 100 TB, set the
+    merged schema explicitly once evolution stabilizes, or move to a
+    table format that tracks it transactionally.)"""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(_scratch("evolve"), "orders_evolving")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("v1").alias("era"), "o_orderkey"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.lit("v2").alias("era"),
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_orderyear"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    assert "o_orderyear" in merged.columns, merged.columns
+    return merged.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderyear").isNull(), 1).otherwise(0)).alias(
+            "n_missing_year"
+        ),
+    )
