@@ -707,3 +707,52 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing_year"
         ),
     )
+
+
+@register(
+    "cbo_stats_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def cbo_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics: ANALYZE TABLE COMPUTE STATISTICS
+    (table-level + FOR COLUMNS) over a managed table, then PROVE the
+    optimizer actually reads them — the optimized plan's row-count
+    estimate must equal the analyzed exact count (without ANALYZE, Spark
+    only has a bytes-based guess). Column histograms/NDVs are what CBO
+    join reordering and broadcast decisions run on at 100 TB, where
+    "which side is smaller AFTER the filter" cannot be known from file
+    sizes. The returned aggregate is oracled as usual."""
+    scratch = _scratch("cbo")
+    name = "aig_cbo_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.option("path", os.path.join(scratch, name))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS o_orderstatus, o_totalprice"
+    )
+    # rowCount propagates into plan stats only under the cost-based
+    # optimizer; size-only estimation ignores it.
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        t = spark.table(name)
+        exact = t.count()
+        est = t._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert est.isDefined(), "ANALYZE did not surface a row-count statistic"
+        assert est.get() == exact, f"optimizer row estimate {est.get()} != {exact}"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
