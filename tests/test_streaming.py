@@ -144,3 +144,83 @@ def test_stateful_v2_type_stats(spark, sf_dir, events_stream):
         for r in QUERIES["stateful_type_stats_batch_twin_events"](spark, sf_dir).collect()
     }
     assert final == batch
+
+
+def test_late_data_dropped_after_watermark(spark):
+    """Late-data semantics, proven not assumed: a row arriving BELOW the
+    restored watermark must not reopen a window that append mode already
+    finalized. Two availableNow runs share one checkpoint (so run 2
+    restores run 1's watermark); run 2's input holds one late event (far
+    below the watermark) and one fresh event (advancing it)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    scratch = tempfile.mkdtemp(prefix="aig_late_")
+    src = os.path.join(scratch, "src")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    minute = 60_000_000
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "event_id long, off long").selectExpr(
+            "event_id",
+            f"timestamp_micros({base} + off * {minute}) AS ts",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    # Run 1: events spanning 00:00-60:00 -> watermark lands at 50:00,
+    # finalizing every 10-minute window strictly below it.
+    write_file("f1", [(i, i * 5) for i in range(13)])  # offsets 0..60 min
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp("w.start").alias("w_start"),
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    run_once()
+    first = {r.w_start: r.n for r in spark.read.parquet(out).collect()}
+    w0 = 1_704_067_200  # the 00:00-00:10 window
+    assert first.get(w0) == 2, first  # offsets 0 and 5 min
+
+    # Run 2: one LATE event in the already-finalized first window (offset
+    # 1 min, far below the restored 50:00 watermark) plus one fresh event
+    # at 90 min that pushes the watermark forward and flushes later
+    # windows.
+    write_file("f2", [(100, 1), (101, 90)])
+    run_once()
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        final[r.w_start] = final.get(r.w_start, 0) + r.n
+    # The late event must NOT have re-emitted or incremented window 0.
+    assert final[w0] == 2, final
+    # The fresh event's earlier-window flush proves run 2 processed data:
+    # the 60:00 window (offset-60 event from run 1) is now finalized.
+    assert final.get(w0 + 3600) == 1, final
