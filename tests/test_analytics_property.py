@@ -109,3 +109,65 @@ def test_scd2_single_attribute_collapses(spark, rows):
         for r in QUERIES["scd2_user_event_history"](spark, scratch).collect()
     }
     assert got == _expected_scd2(rows)
+
+
+typed_event = st.tuples(
+    st.integers(min_value=1, max_value=4),             # user_id
+    st.integers(min_value=0, max_value=600),           # offset seconds
+    st.sampled_from(["signup", "click", "purchase", "view"]),
+)
+
+
+def _write_typed_events(spark, rows, scratch):
+    df = spark.createDataFrame(
+        [(i, u, off, t) for i, (u, off, t) in enumerate(rows)],
+        "event_id long, user_id long, off long, event_type string",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(CAST(1704067200000000 + off * 1000000 AS BIGINT)) AS ts",
+        "user_id",
+        "event_type",
+        "CAST(1.0 AS DOUBLE) AS value",
+        "CAST(NULL AS STRING) AS props",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+
+def _expected_funnel(rows):
+    """Pure-Python strictly-ordered funnel: min signup, then min click
+    strictly after it, then min purchase strictly after that."""
+    per_user: dict[int, list[tuple[int, str]]] = {}
+    for u, off, t in rows:
+        per_user.setdefault(u, []).append((off, t))
+    s1 = s2 = s3 = 0
+    for evs in per_user.values():
+        sign = [o for o, t in evs if t == "signup"]
+        if not sign:
+            continue
+        s1 += 1
+        t1 = min(sign)
+        clicks = [o for o, t in evs if t == "click" and o > t1]
+        if not clicks:
+            continue
+        s2 += 1
+        t2 = min(clicks)
+        purch = [o for o, t in evs if t == "purchase" and o > t2]
+        if purch:
+            s3 += 1
+    return {"signup": s1, "click_after_signup": s2, "purchase_after_click": s3}
+
+
+@given(rows=st.lists(typed_event, min_size=1, max_size=50))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_python_oracle(spark, rows):
+    scratch = tempfile.mkdtemp(prefix="aig_prop_funnel_")
+    _write_typed_events(spark, rows, scratch)
+    got = {
+        r.stage: r.n_users
+        for r in QUERIES["funnel_conversion_events"](spark, scratch).collect()
+    }
+    assert got == _expected_funnel(rows)

@@ -59,7 +59,16 @@ def main() -> int:
         default=None,
         help="comma-separated substring filters on query names (OR-ed)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        metavar="PATH",
+        help="also write a machine-readable per-query result file — the "
+        "committed full-registry artifact complementing the driver's "
+        "50-query CORRECTNESS sample",
+    )
     args = ap.parse_args()
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
 
@@ -84,11 +93,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "error": f"spark: {e}"[:300]}
             failures += 1
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: rows={len(srows)} cols={scols} ({spark_s:.1f}s)")
+            results[name] = {"status": "rows-only", "rows": len(srows)}
             continue
         try:
             rel = con.execute(oracles[name])
@@ -96,6 +107,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"status": "FAIL", "error": f"duckdb: {e}"[:300]}
             failures += 1
             continue
         problems = []
@@ -117,11 +129,32 @@ def main() -> int:
                     problems.append(f"duckdb-only sample: {only_d}")
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
+            results[name] = {"status": "FAIL", "error": " | ".join(problems)[:300]}
             failures += 1
         else:
             print(f"PASS  {name}: rows={len(srows)} ({spark_s:.1f}s)")
+            results[name] = {
+                "status": "PASS",
+                "rows": len(srows),
+                "hash": table_hash(scols, srows),
+                "sec": round(spark_s, 2),
+            }
 
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    if args.json:
+        import json
+
+        summary = {
+            "sf_dir": args.sf,
+            "n_queries": len(results),
+            "n_pass": sum(1 for r in results.values() if r["status"] == "PASS"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows-only"),
+            "n_fail": failures,
+            "queries": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
