@@ -161,7 +161,16 @@ def compact_parquet_dir(
     import shutil
 
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        for d in dirs:
+            if "=" in d:
+                # Reading a partitioned dir flattens the partition column
+                # into data and the rewrite would lose the layout (and its
+                # pruning). Compact each leaf partition directory instead.
+                raise ValueError(
+                    f"{path} contains Hive-partition dir {d!r}: compact "
+                    "each partition leaf separately to preserve the layout"
+                )
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))

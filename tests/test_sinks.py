@@ -141,3 +141,19 @@ def test_dropmalformed_on_isolated_fixture(spark):
     finally:
         spark.conf.set(key, prev)
     assert sorted(r.a for r in kept) == [1, 2, 3], kept
+
+
+def test_compact_refuses_partitioned_layout(spark, sf_dir):
+    """Compacting a Hive-partitioned directory would flatten the partition
+    column into the data files and silently destroy partition pruning —
+    the operator must refuse and direct callers to the partition leaves."""
+    import pytest as _pytest
+
+    from app_insights_generator_spark.sources.writers import compact_parquet_dir
+
+    d = tempfile.mkdtemp(prefix="aig_compact_part_")
+    load_table(spark, sf_dir, "nation").write.partitionBy("n_regionkey").mode(
+        "overwrite"
+    ).parquet(d)
+    with _pytest.raises(ValueError, match="partition"):
+        compact_parquet_dir(spark, d)
