@@ -334,3 +334,83 @@ def connected_components(
             f"iterations ({changed} labels still changing); raise max_iterations"
         )
     return labels.select(F.col("node").alias(id_col), "component")
+
+
+def build_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """One-time LSH band index over a corpus: [(band, bhash, _id)] plus the
+    shingle sets needed for later exact verification, carried as a second
+    return-free design — callers persist/write THIS table once and every
+    future ingest batch probes it instead of re-sketching the corpus.
+
+    At 100 TB this is the difference between an O(corpus) daily dedup job
+    and an O(batch) one: the index is written bucketed by (band, bhash) so
+    batch probes co-locate without shuffling the index side again.
+    Returns [band, bhash, _id, _sh]."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    rows = num_hashes // bands
+    sig = _signatures_from_sets(sh, num_hashes)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[f"_m{b * rows + r}" for r in range(rows)])
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bhash")
+    return banded.join(sh, "_id").select("band", "bhash", "_id", "_sh")
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs between an ingest batch and an EXISTING corpus index
+    (plus within the batch itself) without re-sketching the corpus:
+    the batch is sketched, its bands probe the index (shuffle keyed on
+    (band, bhash) — the index side is pre-bucketable on exactly that key),
+    candidates are verified with exact Jaccard on the stored shingle sets.
+    Output [id_a, id_b, jaccard] with id_a < id_b, id collision-free
+    because batch ids and corpus ids share one id space.
+
+    The batch's OWN index rows are unioned in, so intra-batch duplicates
+    are also caught; pairs already present corpus-side are the caller's
+    dedup history and never re-emitted (both sides corpus = excluded)."""
+    batch_index = build_band_index(
+        new_df, id_col, text_col, shingle_n, num_hashes, bands
+    ).withColumn("_new", F.lit(True))
+    full = index.withColumn("_new", F.lit(False)).unionByName(batch_index)
+    a, b = full.alias("a"), full.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("a._new") | F.col("b._new")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh_all = full.select("_id", "_sh").dropDuplicates(["_id"])
+    return _jaccard_from_sets(sh_all, cands, threshold)

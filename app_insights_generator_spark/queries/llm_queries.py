@@ -1062,3 +1062,32 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         windows, schema="media_id long, window_idx int, sum_abs long"
     )
+
+
+@register(
+    "dedup_incremental_minhash_documents",
+    f"""
+    WITH {_JACCARD_ALL_PAIRS_CTES}
+    SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
+    FROM jac
+    WHERE jaccard >= 0.5 AND (id_a >= 4000 OR id_b >= 4000)
+    """,
+)
+def dedup_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup — the daily-ingest mode: docs with id < 4000
+    play the EXISTING corpus (band index built once,
+    operators/dedup.py build_band_index), the rest arrive as the new
+    batch, which is sketched alone and probes the index
+    (incremental_near_dedup). Emitted pairs must EXACTLY equal the full
+    run's truth pairs that touch at least one new document — corpus-only
+    pairs are history and never recomputed. At 100 TB this turns daily
+    dedup from O(corpus) into O(batch): the corpus is never re-read, only
+    its (band, bhash)-keyed index is joined."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < 4000)
+    batch = docs.filter(F.col("doc_id") >= 4000)
+    index = D.build_band_index(corpus, "doc_id", "text")
+    pairs = D.incremental_near_dedup(batch, index, "doc_id", "text", threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard")
+    )
