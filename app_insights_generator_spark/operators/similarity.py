@@ -311,3 +311,53 @@ def similarity_join_lsh(
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 6).alias("cos_sim"))
     )
+
+
+def pca_eigenspectrum(embs: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Distributed PCA, the 100 TB shape: only dim-sized summaries ever
+    reach the driver. One Arrow-batched pass computes per-partition
+    partial (count, sum-vector, raw Gram X^T X); partials reduce
+    element-wise through a posexplode + groupBy(index) aggregation; the
+    driver assembles the dim x dim covariance (Gram/n - outer(mean)) and
+    runs numpy eigh on it — O(dim^3) driver work, independent of row
+    count. Returns (eigenvalues_desc: np.ndarray, n_rows: int).
+
+    The covariance trace equals the data's total variance, which an
+    external engine can recompute exactly — the anchor the oracle gate
+    uses (eigendecomposition itself is not SQL-expressible)."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            X = np.asarray([np.asarray(v, dtype="f8") for v in pdf[vec_col]])
+            if len(X) == 0:
+                continue
+            gram = X.T @ X
+            row = {"n": float(len(X))}
+            payload = np.concatenate([X.sum(axis=0), gram.ravel()])
+            yield pd.DataFrame({"n": [float(len(X))], "payload": [payload.tolist()]})
+
+    parts = embs.select(vec_col).mapInPandas(
+        partials, schema="n double, payload array<double>"
+    )
+    reduced = (
+        parts.select("n", F.posexplode("payload").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+        .unionByName(
+            parts.agg(F.sum("n").alias("s")).select(F.lit(-1).alias("idx"), "s")
+        )
+        .collect()
+    )
+    vals = {r.idx: r.s for r in reduced}
+    n = int(vals.pop(-1))
+    flat = np.array([vals[i] for i in range(len(vals))])
+    dim = int(round((-1 + (1 + 4 * len(flat)) ** 0.5) / 2))  # d + d^2 = len
+    mean = flat[:dim] / n
+    gram = flat[dim:].reshape(dim, dim)
+    cov = gram / n - np.outer(mean, mean)
+    eig = np.linalg.eigvalsh(cov)[::-1]
+    return eig, n

@@ -1091,3 +1091,66 @@ def dedup_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> Dat
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard")
     )
+
+
+@register(
+    "pca_eigenspectrum_embeddings",
+    """
+    WITH pos AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings
+    ),
+    mu AS (SELECT ord, AVG(v) AS m FROM pos GROUP BY ord),
+    var AS (
+      SELECT SUM((p.v - mu.m) * (p.v - mu.m))
+             / (SELECT COUNT(*) FROM embeddings) AS total_var
+      FROM pos p JOIN mu ON p.ord = mu.ord
+    )
+    SELECT chk, val FROM (
+      SELECT 1 AS o, 'n_components' AS chk, 64.0 AS val
+      UNION ALL
+      SELECT 2, 'total_variance', ROUND(total_var + 1e-9, 3) FROM var
+      UNION ALL
+      SELECT 3, 'eig_sum_matches_trace', 0.0
+      UNION ALL
+      SELECT 4, 'monotonic_violations', 0.0
+      UNION ALL
+      SELECT 5, 'negative_eigenvalues', 0.0
+    ) ORDER BY o
+    """,
+)
+def pca_eigenspectrum_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA eigenspectrum over the embedding corpus
+    (operators/similarity.py pca_eigenspectrum): partition-local Gram
+    partials, element-wise reduce, dim x dim eigh on the driver — row
+    count never touches the driver, so the same plan handles 100 TB of
+    vectors. Eigendecomposition is not SQL-expressible, so the gate
+    anchors what IS: the eigenvalue sum must equal the covariance trace
+    (total variance, recomputed exactly by the oracle), the spectrum must
+    be sorted descending, and no eigenvalue may be (numerically)
+    negative."""
+    import numpy as np
+
+    embs = _embs(spark, sf_dir)
+    eig, n = S.pca_eigenspectrum(embs)
+    total_var = float(eig.sum())
+    # Independent within-engine trace: total variance recomputed by a
+    # plain posexplode aggregation, never touching the Gram/eigh path.
+    pos = embs.select(F.posexplode("embedding").alias("ord", "v"))
+    mu = pos.groupBy("ord").agg(F.avg("v").alias("m"))
+    trace = (
+        pos.join(mu, "ord")
+        .agg((F.sum((F.col("v") - F.col("m")) ** 2) / F.lit(n)).alias("t"))
+        .collect()[0]["t"]
+    )
+    mono = int((np.diff(eig) > 1e-12).sum())
+    neg = int((eig < -1e-9).sum())
+    rows = [
+        ("n_components", float(len(eig))),
+        ("total_variance", round(total_var + 1e-9, 3)),
+        ("eig_sum_matches_trace", 0.0 if abs(total_var - trace) < 1e-6 * max(trace, 1.0) else 1.0),
+        ("monotonic_violations", float(mono)),
+        ("negative_eigenvalues", float(neg)),
+    ]
+    return spark.createDataFrame(rows, "chk string, val double")
