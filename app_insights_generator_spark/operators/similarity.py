@@ -361,3 +361,71 @@ def pca_eigenspectrum(embs: DataFrame, vec_col: str = "embedding") -> tuple:
     cov = gram / n - np.outer(mean, mean)
     eig = np.linalg.eigvalsh(cov)[::-1]
     return eig, n
+
+
+def pca_project(
+    embs: DataFrame, components, mean, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Project every embedding onto the given principal components: the
+    broadcast-back half of distributed PCA — the (k x dim) basis and mean
+    ship to executors as closure constants (a few KB), projection is one
+    numpy GEMM per Arrow batch, and no shuffle is added. Output
+    [<id_col>, proj: array<double> (length k)]."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    W = np.asarray(components, dtype="f8")  # (k, dim)
+    mu = np.asarray(mean, dtype="f8")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            X = np.asarray([np.asarray(v, dtype="f8") for v in pdf[vec_col]])
+            P = (X - mu) @ W.T if len(X) else np.zeros((0, W.shape[0]))
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": [row.tolist() for row in P]})
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        batches, schema=f"{id_col} long, proj array<double>"
+    )
+
+
+def pca_fit(embs: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Full PCA fit: (eigenvalues_desc, components (dim x dim, row-major
+    eigenvectors), mean, n). Same driver-bounded reduction as
+    pca_eigenspectrum, also returning the basis for pca_project."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            X = np.asarray([np.asarray(v, dtype="f8") for v in pdf[vec_col]])
+            if len(X) == 0:
+                continue
+            payload = np.concatenate([X.sum(axis=0), (X.T @ X).ravel()])
+            yield pd.DataFrame({"n": [float(len(X))], "payload": [payload.tolist()]})
+
+    parts = embs.select(vec_col).mapInPandas(
+        partials, schema="n double, payload array<double>"
+    )
+    reduced = (
+        parts.select("n", F.posexplode("payload").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+        .unionByName(
+            parts.agg(F.sum("n").alias("s")).select(F.lit(-1).alias("idx"), "s")
+        )
+        .collect()
+    )
+    vals = {r.idx: r.s for r in reduced}
+    n = int(vals.pop(-1))
+    flat = np.array([vals[i] for i in range(len(vals))])
+    dim = int(round((-1 + (1 + 4 * len(flat)) ** 0.5) / 2))
+    mean = flat[:dim] / n
+    gram = flat[dim:].reshape(dim, dim)
+    cov = gram / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return w[order], v[:, order].T, mean, n

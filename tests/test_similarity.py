@@ -107,3 +107,37 @@ def test_dot_matches_numpy(spark):
     df = spark.createDataFrame([([float(x) for x in a], [float(y) for y in b])], ["a", "b"])
     got = df.select(S.dot(F.col("a"), F.col("b")).alias("d")).first().d
     assert abs(got - float(np.dot(a, b))) < 1e-9
+
+
+def test_pca_projection_variance_matches_eigenvalues(spark, sf_dir):
+    """Round-trip property of the distributed PCA: the variance of each
+    projected component, computed DISTRIBUTEDLY over the projections,
+    must equal the corresponding eigenvalue from the fit — and the top
+    components must be uncorrelated (covariance ~0)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+    from app_insights_generator_spark.sources.readers import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    eigvals, comps, mean, n = pca_fit(embs, "embedding")
+    k = 4
+    proj = pca_project(embs, comps[:k], mean)
+    stats = proj.select(
+        *[F.element_at("proj", i + 1).alias(f"p{i}") for i in range(k)]
+    ).agg(
+        *[F.var_pop(f"p{i}").alias(f"v{i}") for i in range(k)],
+        F.covar_pop("p0", "p1").alias("c01"),
+    ).collect()[0]
+    for i in range(k):
+        assert abs(stats[f"v{i}"] - eigvals[i]) < 1e-6 * max(1.0, eigvals[i]), (
+            i,
+            stats[f"v{i}"],
+            eigvals[i],
+        )
+    assert abs(stats["c01"]) < 1e-6
