@@ -4,9 +4,11 @@ similarity search, text analysis, binary-column features.
 
 Oracle notes: normalization/shingling/Jaccard are replicated in DuckDB with
 list functions; ratio roundings carry the +1e-9 halfway-bias used across
-the engine; LSH-based queries are rows-only (sketches aren't
-SQL-expressible) and are instead verified by pytest against exact
-ground truth on constructed corpora.
+the engine. LSH/sketch queries are oracled via invariant framing (emitted
+set vs an exact O(n^2) DuckDB truth set + count anchors — the sketches
+themselves aren't SQL-expressible); pytest adds recall measurements on
+constructed corpora. The single rows-only entry is the deliberately
+un-anchored bench twin `similarity_join_lsh_production`.
 """
 
 from __future__ import annotations
