@@ -1156,3 +1156,70 @@ def pca_eigenspectrum_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("negative_eigenvalues", float(neg)),
     ]
     return spark.createDataFrame(rows, "chk string, val double")
+
+
+@register(
+    "lm_quality_bigram_documents",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, string_split(t, '') AS cs FROM norm WHERE len(t) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, cs[i] AS a, cs[i+1] AS b
+      FROM chars, unnest(range(1, len(cs))) AS u(i)
+    ),
+    cnt_ab AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b),
+    cnt_a AS (SELECT a, SUM(n_ab) AS n_a FROM cnt_ab GROUP BY a),
+    vocab AS (SELECT COUNT(DISTINCT b) AS v FROM cnt_ab)
+    SELECT bg.doc_id,
+           ROUND(-AVG(LN((n_ab + 1.0) / (n_a + v))) + 1e-9, 4) AS nll
+    FROM bg JOIN cnt_ab USING (a, b) JOIN cnt_a USING (a) CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def lm_quality_bigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality scoring — the standard curation signal one
+    step up from heuristics: a char-bigram language model is TRAINED ON
+    THE CORPUS ITSELF (two aggregations: bigram counts, context totals;
+    add-one smoothing over the observed alphabet) and every document is
+    scored by its average negative log-likelihood. Gibberish and
+    boilerplate score high-NLL against the corpus distribution; the whole
+    thing is plain relational algebra — explode bigrams, two broadcast
+    joins against the (alphabet^2-bounded) model tables, one avg — so it
+    runs at 100 TB with one wide shuffle for training counts and
+    broadcast-only scoring, and DuckDB reproduces it exactly."""
+    docs = _docs(spark, sf_dir)
+    t = T.normalized_text(F.col("text"))
+    chars = docs.select("doc_id", F.split(t, "").alias("cs")).filter(
+        F.length(t) >= 2
+    )
+    bg = chars.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("cs") - 1),
+                lambda i: F.struct(
+                    F.element_at("cs", i).alias("a"),
+                    F.element_at("cs", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    cnt_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    vocab = cnt_ab.agg(F.count_distinct("b").alias("v"))
+    scored = (
+        bg.join(F.broadcast(cnt_ab), ["a", "b"])
+        .join(F.broadcast(cnt_a), "a")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            -F.avg(F.log((F.col("n_ab") + 1.0) / (F.col("n_a") + F.col("v")))) + 1e-9,
+            4,
+        ).alias("nll")
+    )
