@@ -1223,3 +1223,67 @@ def lm_quality_bigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("nll")
     )
+
+
+@register(
+    "dedup_canonical_by_quality",
+    f"""
+    WITH RECURSIVE {_JACCARD_ALL_PAIRS_CTES},
+    truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM truth
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM truth
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM walk GROUP BY node),
+    scored AS (
+      SELECT doc_id, ROUND({{Q}} + 1e-9, 1) AS q FROM documents
+    )
+    SELECT component,
+           MIN(doc_id) FILTER (
+             WHERE (q, -doc_id) = (
+               SELECT MAX((s2.q, -s2.doc_id))
+               FROM comps c2 JOIN scored s2 USING (doc_id)
+               WHERE c2.component = c.component
+             )
+           ) AS keep_id,
+           COUNT(*) AS n_members
+    FROM comps c JOIN scored USING (doc_id)
+    GROUP BY component
+    """.replace("{Q}", _quality_score_sql()),
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the decision real dedup pipelines
+    actually make: within each near-dup cluster (MinHash pairs ->
+    connected components), KEEP the highest-QUALITY member (tie-break:
+    lowest doc_id), not blindly the lowest id — dropping the cleanest
+    copy of a boilerplate family is a real corpus-quality regression.
+    One argmax-by-struct per component (max(struct(q, -doc_id)) — single
+    aggregation, no window sort), oracled end-to-end: DuckDB recomputes
+    the clusters by recursive closure AND the quality scores, then picks
+    the same canonical member."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comps = D.connected_components(pairs, docs, "doc_id")
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("q")
+    )
+    return (
+        comps.join(scored, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id")))
+            .alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            (-F.col("best.neg_id")).cast("bigint").alias("keep_id"),
+            "n_members",
+        )
+    )
