@@ -669,3 +669,34 @@ def regr_price_vs_qty_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity") + 1e-9, 4).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "range_frame_moving_avg_orders",
+    """
+    SELECT o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+           ) + 1e-9, 2) AS avg_30d
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def range_frame_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — the frame type ROWS cannot substitute: each
+    order's average over the SAME CUSTOMER's orders in the preceding 30
+    DAYS of event time, however many rows that happens to be (ties and
+    gaps in order dates make ROWS N PRECEDING wrong). The frame bound is
+    integer epoch-microseconds, so both engines agree exactly. Scale: one
+    shuffle on the partition key; the range frame is evaluated over the
+    per-customer sorted run."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2_592_000_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w) + 1e-9, 2).alias("avg_30d"),
+    )

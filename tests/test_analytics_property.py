@@ -171,3 +171,31 @@ def test_funnel_matches_python_oracle(spark, rows):
         for r in QUERIES["funnel_conversion_events"](spark, scratch).collect()
     }
     assert got == _expected_funnel(rows)
+
+
+@given(rows=st.lists(event, min_size=1, max_size=40))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retention_matches_python_oracle(spark, rows):
+    scratch = tempfile.mkdtemp(prefix="aig_prop_ret_")
+    _write_events(spark, rows, scratch)
+    # Pure-Python retention: cohort = first-event epoch-day // 7 per user;
+    # offset = (event day - cohort day) // 7; count distinct users.
+    firsts: dict[int, int] = {}
+    for u, off, _v in rows:
+        day = (1704067200 + off) // 86400
+        if u not in firsts or day < firsts[u]:
+            firsts[u] = day
+    expect: dict[tuple[int, int], set] = {}
+    for u, off, _v in rows:
+        day = (1704067200 + off) // 86400
+        key = (firsts[u] // 7, (day - firsts[u]) // 7)
+        expect.setdefault(key, set()).add(u)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in QUERIES["retention_cohorts_events"](spark, scratch).collect()
+    }
+    assert got == {k: len(v) for k, v in expect.items()}

@@ -154,3 +154,20 @@ def test_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
     Cartesian/nested-loop over all pairs."""
     plan = _plan(spark, sf_dir, "fuzzy_join_part_names")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """The EWMA fold must cost one hash exchange on user_id — collect,
+    sort, and fold are all JVM expressions over the grouped rows."""
+    plan = _plan(spark, sf_dir, "ewma_user_values")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_quality_model_joins_broadcast(spark, sf_dir):
+    """Scoring must join the alphabet-bounded model tables by broadcast —
+    a sort-merge join here would shuffle the exploded bigram stream twice
+    more at 100 TB."""
+    plan = _plan(spark, sf_dir, "lm_quality_bigram_documents")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
