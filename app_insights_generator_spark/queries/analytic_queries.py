@@ -700,3 +700,59 @@ def range_frame_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey",
         F.round(F.avg("o_totalprice").over(w) + 1e-9, 2).alias("avg_30d"),
     )
+
+
+@register(
+    "conditional_aggregates_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bool_and(o_totalprice > 1000) AS all_over_1k
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def conditional_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates (`count_if`, `bool_or`, `bool_and`)
+    — the SQL:2023 additions analysts reach for before window functions.
+    All are single-pass mergeable aggregates: partial combine map-side,
+    one shuffle on the group key, like any count/sum."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100_000).alias("n_big"),
+            F.bool_or(F.col("o_totalprice") > 400_000).alias("any_huge"),
+            F.bool_and(F.col("o_totalprice") > 1_000).alias("all_over_1k"),
+        )
+    )
+
+
+@register(
+    "cume_dist_customers",
+    """
+    SELECT c_custkey,
+           ROUND(cume_dist() OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ) + 1e-9, 4) AS bal_cume,
+           ROUND(percent_rank() OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ) + 1e-9, 4) AS bal_pct_rank
+    FROM customer WHERE c_nationkey < 5
+    """,
+)
+def cume_dist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (`cume_dist`, `percent_rank`)
+    per nation — the percentile-position view ntile only approximates.
+    Tie-break on c_custkey makes both ranks deterministic; one shuffle on
+    the partition key."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select(
+            "c_custkey",
+            F.round(F.cume_dist().over(w) + 1e-9, 4).alias("bal_cume"),
+            F.round(F.percent_rank().over(w) + 1e-9, 4).alias("bal_pct_rank"),
+        )
+    )
