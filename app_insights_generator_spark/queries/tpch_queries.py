@@ -30,7 +30,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries._exact import (
+    disc_price as _dec_disc_price,
+)
+from app_insights_generator_spark.queries._exact import money as _money
+from app_insights_generator_spark.queries._exact import (
+    sql_disc_price as _sql_disc_price,
+)
 from app_insights_generator_spark.sources import load_table
+
+# Exact-decimal SQL twin of _disc_price() — see _exact.py for why every
+# money SUM goes through DECIMAL (order-independent, cent-exact both engines).
+_DP = _sql_disc_price()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,7 +53,8 @@ def _ts(lit: str):
 
 
 def _disc_price():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    """Exact DECIMAL(20,4) discounted price — summation-order-proof."""
+    return _dec_disc_price()
 
 
 @register(
@@ -137,12 +149,13 @@ def q4_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             {_sql_disc_price('l.l_extendedprice', 'l.l_discount')} AS volume
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -189,19 +202,20 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, c.c_nationkey == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
     )
 
 
 @register(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
-                 / SUM(volume) + 1e-9, 4) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) + 1e-9, 4) AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             {_sql_disc_price('l.l_extendedprice', 'l.l_discount')} AS volume,
              n2.n_name AS nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -253,20 +267,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, s.s_nationkey == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
     )
-    target = F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(F.lit(0.0))
+    target = F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(20,4)")
+    )
     return joined.groupBy("o_year").agg(
-        F.round(F.sum(target) / F.sum("volume") + 1e-9, 4).alias("mkt_share")
+        F.round(
+            F.sum(target).cast("double") / F.sum("volume").cast("double") + 1e-9, 4
+        ).alias("mkt_share")
     )
 
 
 @register(
     "q9_product_type_profit",
-    """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    f"""
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS amount
+             {_sql_disc_price('l.l_extendedprice', 'l.l_discount')} AS amount
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -294,15 +312,16 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_disc_price()), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_profit"))
     )
 
 
 @register(
     "q10_returned_items",
-    """
+    f"""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM({_sql_disc_price('l.l_extendedprice', 'l.l_discount')}),
+                      2) AS DOUBLE) AS revenue,
            ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -333,7 +352,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, c.c_custkey == o.o_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -411,11 +430,12 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "q14_promo_revenue",
-    """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9,
+    f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_sql_disc_price('l.l_extendedprice', 'l.l_discount')}
+                                  ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_sql_disc_price('l.l_extendedprice', 'l.l_discount')})
+                        AS DOUBLE) + 1e-9,
                  4) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -432,18 +452,24 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1996-10-01 00:00:00"))
     )
     p = F.broadcast(_t(spark, sf_dir, "part"))
-    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(20,4)")
+    )
     return li.join(p, li.l_partkey == p.p_partkey).agg(
-        F.round(100.0 * F.sum(promo) / F.sum(_disc_price()) + 1e-9, 4).alias("promo_revenue")
+        F.round(
+            100.0 * F.sum(promo).cast("double") / F.sum(_disc_price()).cast("double")
+            + 1e-9,
+            4,
+        ).alias("promo_revenue")
     )
 
 
 @register(
     "q15_top_supplier",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(ROUND(SUM({_DP}), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -467,7 +493,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_disc_price()), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("total_revenue"))
     )
     max_rev = rev.agg(F.max("total_revenue").alias("mx"))
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
@@ -520,7 +546,8 @@ def q16_supplier_count_by_partclass(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / 7.0 + 1e-9, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_type = 'SMALL'
@@ -545,7 +572,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, p.p_partkey == li.l_partkey)
         .join(avg_qty, F.col("avg_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0 + 1e-9, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double") / 7.0 + 1e-9, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -608,8 +639,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_revenue",
-    """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    f"""
+    SELECT CAST(ROUND(SUM({_sql_disc_price('l.l_extendedprice', 'l.l_discount')}),
+                      2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -639,7 +671,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | branch("Brand#9", 25, 10, 20)
         | branch("Brand#20", 35, 20, 30)
     ).agg(
-        F.round(F.sum(_disc_price()), 2).alias("revenue"),
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -696,11 +728,15 @@ def q21_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_inactive_rich_customers",
     """
-    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS totacctbal
     FROM (
       SELECT SUBSTRING(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
       FROM customer c
-      WHERE c.c_acctbal > (SELECT ROUND(AVG(c_acctbal) + 1e-9, 2)
+      WHERE c.c_acctbal > (SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
+                                             AS DOUBLE) / COUNT(c_acctbal)
+                                        + 1e-9, 2)
                            FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey
@@ -718,9 +754,11 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join; the average is rounded in both engines so boundary
     balances can't flip on summation order."""
     c = _t(spark, sf_dir, "customer")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal") + 1e-9, 2).alias("avg_bal"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(
+            F.sum(_money("c_acctbal")).cast("double") / F.count("c_acctbal") + 1e-9,
+            2,
+        ).alias("avg_bal")
     )
     o = (
         _t(spark, sf_dir, "orders")
@@ -744,7 +782,9 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_part_value",
     """
     WITH supply AS (
-      SELECT l.l_partkey, l.l_quantity * p.p_retailprice AS value
+      SELECT l.l_partkey,
+             CAST(l.l_quantity AS DECIMAL(4,0))
+               * CAST(p.p_retailprice AS DECIMAL(14,2)) AS value
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -753,9 +793,9 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_part AS (
       SELECT l_partkey, SUM(value) AS pv FROM supply GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(pv + 1e-9, 2) AS part_value
+    SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
     FROM per_part
-    WHERE pv > 0.001 * (SELECT SUM(pv) FROM per_part)
+    WHERE CAST(pv AS DOUBLE) > 0.001 * (SELECT CAST(SUM(pv) AS DOUBLE) FROM per_part)
     """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,14 +816,20 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = (
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_partkey", (F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+        .select(
+            "l_partkey",
+            (
+                F.col("l_quantity").cast("decimal(4,0)")
+                * F.col("p_retailprice").cast("decimal(14,2)")
+            ).alias("value"),
+        )
     )
     per_part = supply.groupBy("l_partkey").agg(F.sum("value").alias("pv"))
-    total = per_part.agg(F.sum("pv").alias("tv"))
+    total = per_part.agg(F.sum("pv").cast("double").alias("tv"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("pv") > 0.001 * F.col("tv"))
-        .select("l_partkey", F.round(F.col("pv") + 1e-9, 2).alias("part_value"))
+        .filter(F.col("pv").cast("double") > 0.001 * F.col("tv"))
+        .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
     )
 
 

@@ -31,7 +31,10 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Shortest round-trip repr: full double precision, so this gate sees
+        # exactly what the driver's stricter hash sees (a one-cent drift like
+        # 609149.95 vs 609149.94 must FAIL here, not be erased by %.6g).
+        return repr(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
