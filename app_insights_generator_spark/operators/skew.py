@@ -71,8 +71,12 @@ def salted_groupby(
         partials.append(part_fn(col).alias(f"_p_{out}"))
         finals.append(merge_fn(f"_p_{out}").alias(out))
     for out in need_counts:
+        # Cast the merged sum to double BEFORE dividing: if the caller fed a
+        # decimal column the sum is exact and one IEEE division is
+        # deterministic; decimal/decimal division would instead pick up
+        # engine-specific scale/rounding rules.
         finals.append(
-            (F.sum(f"_p_sum_{out}") / F.sum(f"_p_cnt_{out}")).alias(out)
+            (F.sum(f"_p_sum_{out}").cast("double") / F.sum(f"_p_cnt_{out}")).alias(out)
         )
 
     phase1 = salted.groupBy(*keys, "_salt").agg(*partials)

@@ -43,70 +43,74 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02's 50 rows are exactly positions 0-49 of this dict).
-# 68 of 120 queries had never been sampled after two rounds — all of
-# TPC-H, the pipeline round-trips, trainprep, and the similarity path.
-# Front-load a curated 50 of the never-gated queries so every capability
-# earns a recorded hard signal; the ~18 remaining never-gated names sit
-# immediately after and rotate in next round.
+# CORRECTNESS_r02/r03's rows are exactly positions 0-49 of this dict).
+# Rotation policy (one capability = one recorded hard signal): after
+# round 3, 52 of 154 queries had never been driver-sampled — nearly the
+# whole round-3 surface. Front-load 50 of those (the 52 minus the
+# de-registered bench twin similarity_join_lsh_production, minus
+# train_val_test_split_documents); the leftover plus the two round-3
+# flakes now fixed (q9_product_type_profit, pack_documents_token_budget)
+# sit immediately after for round 5.
 _GATE_PRIORITY = [
-    # similarity — the subsystem with no surviving driver row (VERDICT r02 #3)
-    "similarity_join_lsh_embeddings",
-    "ann_topk_lsh_embeddings",
-    "ann_topk_ivf_embeddings",
-    "oracle_exact_cosine_pairs",
-    # sketches / sampling graduating from rows-only this round
-    "hll_sketch_parts_mergeable",
-    "approx_distinct_parts",
-    "stratified_sample_orders",
-    # all of TPC-H
-    "q1_pricing_summary",
-    "q2_min_supplier_per_part",
-    "q3_shipping_priority",
-    "q4_order_priority_late",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
+    # product analytics + SCD2 + EWMA (round-3 additions, never gated)
+    "sessionize_events_batch",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
+    "scd2_user_event_history",
+    "ewma_user_values",
+    "stateful_type_stats_batch_twin_events",
+    # dedup/similarity/PCA round-3 additions
+    "dedup_incremental_minhash_documents",
+    "dedup_canonical_by_quality",
+    "pca_eigenspectrum_embeddings",
+    "lm_quality_bigram_documents",
+    "pii_redact_documents",
+    # multimodal (real codecs + plumbing)
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_real_codec_features",
+    "multimodal_real_resize",
+    "multimodal_audio_windows",
+    "binaryfile_source_media",
+    # sources/sinks never gated
+    "xml_roundtrip_supplier",
+    "zorder_sink_lineitem",
+    "foreach_batch_sink_events",
+    "compact_small_files_events",
+    "malformed_csv_handling",
+    "zstd_sink_roundtrip_lineitem",
+    "schema_evolution_mergeschema",
+    # analytics / windows / set ops never gated
+    "regr_price_vs_qty_lineitem",
+    "range_frame_moving_avg_orders",
+    "conditional_aggregates_orders",
+    "cume_dist_customers",
+    "cbo_stats_orders",
+    "supplier_part_theta_join",
+    "window_running_revenue",
+    "top10_parts_by_price",
+    "setop_nations_intersect",
+    "setop_nations_except",
+    "distinct_parts_per_flag",
+    "rollup_orders_status_priority",
+    "orders_by_year_month",
+    "json_extract_events",
+    "salted_agg_lineitem",
+    "full_outer_nation_bigspenders",
+    "cross_join_region_status",
+    "exceptall_multi_lineitem_orders",
+    "bloom_pruned_join_revenue",
+    "heavy_hitters_orders_clerk",
+    "dq_report_orders",
+    "fuzzy_join_part_names",
+    "recursive_cte_part_hierarchy",
+    "nullsafe_join_order_status",
+    "exact_k_sample_documents",
+    # round-5 rotation starts here
+    "train_val_test_split_documents",
     "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_priority_by_lineclass",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_partclass",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_supply_suppliers",
-    "q21_only_late_supplier",
-    "q22_inactive_rich_customers",
-    # trainprep
-    "decontaminate_ngram_documents",
     "pack_documents_token_budget",
-    "pseudonymize_events_kanon",
-    "tfidf_top_terms_documents",
-    # sources/sinks + pipeline round-trips
-    "csv_roundtrip_nation",
-    "json_roundtrip_part",
-    "orc_roundtrip_customer",
-    "text_roundtrip_documents",
-    "partitioned_parquet_orders",
-    "sorted_sink_rowgroup_skip_lineitem",
-    "bucketed_join_orders_lineitem",
-    "pipeline_extract_orders",
-    "pipeline_extract_orders_loop",
-    # llm curation
-    "curation_pipeline_documents",
-    "repetition_signals_documents",
-    "domain_mix_sample_documents",
-    # relational joins/windows never yet gated
-    "join_revenue_by_nation",
-    "semi_join_active_customers",
-    "anti_join_customers_without_orders",
-    "window_top3_orders_per_customer",
-    "salted_join_supplier_revenue",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

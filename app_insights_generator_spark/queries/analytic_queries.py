@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from app_insights_generator_spark.queries import _exact as _x
 from app_insights_generator_spark.queries import register
 from app_insights_generator_spark.sources import load_table
 
@@ -187,7 +188,8 @@ def ntile_customers_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hourly AS (
       SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
-             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1
     )
     SELECT s.hour_epoch,
@@ -212,7 +214,10 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = (
         ev.groupBy(hour.alias("hour_epoch"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _x.money_sum(_x.money("value")).alias("sum_value"),
+        )
     )
     return spine.join(F.broadcast(hourly), "hour_epoch", "left").select(
         "hour_epoch",
@@ -228,7 +233,8 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, COUNT(*) AS n_above
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                                     AS DOUBLE) / COUNT(*) FROM orders)
     GROUP BY o_orderpriority
     """,
 )
@@ -238,7 +244,11 @@ def scalar_subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFr
     ``collect()`` round-trip through the driver, so the whole query is one
     job and the threshold recomputes correctly if the input changes."""
     o = _t(spark, sf_dir, "orders")
-    avg_row = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    avg_row = o.agg(
+        (F.sum(_x.money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "_avg_price"
+        )
+    )
     return (
         o.join(F.broadcast(avg_row))
         .filter(F.col("o_totalprice") > F.col("_avg_price"))
@@ -252,29 +262,74 @@ def scalar_subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "stat_aggregates_lineitem",
     """
+    WITH mom AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(l_tax AS DECIMAL(4,2))
+                      * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS stt
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2) AS qty_price_covar,
-           ROUND(stddev_samp(l_discount) + 1e-9, 4) AS discount_stddev,
-           ROUND(var_samp(l_tax) + 1e-9, 4) AS tax_var
-    FROM lineitem GROUP BY l_returnflag
+           ROUND((sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                 + 1e-9, 4) AS qty_price_corr,
+           ROUND((sxy - sx * sy / n) / (n - 1) + 1e-9, 2) AS qty_price_covar,
+           ROUND(SQRT((sdd - sd * sd / n) / (n - 1)) + 1e-9, 4) AS discount_stddev,
+           ROUND((stt - st * st / n) / (n - 1) + 1e-9, 4) AS tax_var
+    FROM mom
     """,
 )
 def stat_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (corr/covar/stddev/var) — all single-pass,
-    mergeable (sum-of-moments) partial aggregations, so they scale exactly
-    like count/sum: one shuffle on the group key."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice") + 1e-9, 4).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-9, 2).alias(
-                "qty_price_covar"
-            ),
-            F.round(F.stddev_samp("l_discount") + 1e-9, 4).alias("discount_stddev"),
-            F.round(F.var_samp("l_tax") + 1e-9, 4).alias("tax_var"),
-        )
+    """Statistical aggregates (corr/covar/stddev/var) computed from EXACT
+    decimal moment sums (sum x, sum y, sum xy, sum x^2, ...), with the
+    final scalar algebra done in double using the identical expression in
+    both engines. Built-in corr/covar/stddev accumulate doubles in
+    partition order, which drifts at the last bits and can flip a rounded
+    cent (the q9 failure mode) — moment sums over exact decimals are
+    order-independent, still single-pass, still mergeable, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    price = _x.money("l_extendedprice")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(disc).cast("double").alias("sd"),
+        F.sum(disc * disc).cast("double").alias("sdd"),
+        F.sum(tax).cast("double").alias("st"),
+        F.sum(tax * tax).cast("double").alias("stt"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    sd, sdd, st, stt = F.col("sd"), F.col("sdd"), F.col("st"), F.col("stt")
+    return mom.select(
+        "l_returnflag",
+        F.round(
+            (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            + 1e-9,
+            4,
+        ).alias("qty_price_corr"),
+        F.round((sxy - sx * sy / n) / (n - 1) + 1e-9, 2).alias("qty_price_covar"),
+        F.round(F.sqrt((sdd - sd * sd / n) / (n - 1)) + 1e-9, 4).alias(
+            "discount_stddev"
+        ),
+        F.round((stt - st * st / n) / (n - 1) + 1e-9, 4).alias("tax_var"),
     )
 
 
@@ -496,8 +551,9 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, COUNT(*) AS n_above
     FROM orders o
-    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
-                          WHERE o2.o_custkey = o.o_custkey)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(14,2)))
+                                     AS DOUBLE) / COUNT(*)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     GROUP BY o_custkey
     """,
 )
@@ -510,7 +566,11 @@ def correlated_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFr
     w = Window.partitionBy("o_custkey")
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("_cust_avg", F.avg("o_totalprice").over(w))
+        .withColumn(
+            "_cust_avg",
+            F.sum(_x.money("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
         .filter(F.col("o_totalprice") > F.col("_cust_avg"))
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_above"))
@@ -530,7 +590,7 @@ def correlated_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFr
       SELECT s_suppkey, 'supplier', s_acctbal, NULL FROM supplier
     )
     SELECT kind, COUNT(*) AS n_accounts,
-           ROUND(SUM(bal), 2) AS total_bal,
+           CAST(ROUND(SUM(CAST(bal AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_bal,
            COUNT(segment) AS n_with_segment
     FROM accounts GROUP BY kind
     """,
@@ -556,7 +616,7 @@ def union_by_name_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_accounts"),
-            F.round(F.sum("bal"), 2).alias("total_bal"),
+            _x.money_sum(_x.money("bal")).alias("total_bal"),
             F.count("segment").alias("n_with_segment"),
         )
     )
@@ -645,12 +705,27 @@ def histogram_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "regr_price_vs_qty_lineitem",
     """
+    WITH mom AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+                      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 2) AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 2) AS intercept,
-           ROUND(regr_r2(l_extendedprice, l_quantity) + 1e-9, 4) AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n) + 1e-9, 2) AS slope,
+           ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+                 + 1e-9, 2) AS intercept,
+           ROUND(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)) + 1e-9, 4) AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM mom
     """,
 )
 def regr_price_vs_qty_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,16 +733,35 @@ def regr_price_vs_qty_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept, and R² of extendedprice against quantity for each return
     flag — closed-form regression as a plain aggregation, the
     groupBy-and-fit primitive feature pipelines use for drift and trend
-    checks. Like corr/covar these are sum-of-moments aggregates: partial
-    combine map-side, one shuffle on the group key, no second pass."""
+    checks. Computed from exact decimal moment sums (not the built-in
+    regr_* double accumulators) so the result is independent of partition
+    order — same single-pass, mergeable shape, one shuffle, and the final
+    scalar algebra is the identical double expression in both engines."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope("l_extendedprice", "l_quantity") + 1e-9, 2).alias("slope"),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity") + 1e-9, 2).alias(
-            "intercept"
-        ),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity") + 1e-9, 4).alias("r2"),
-        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    price = _x.money("l_extendedprice")
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return mom.select(
+        "l_returnflag",
+        F.round(slope + 1e-9, 2).alias("slope"),
+        F.round((sy - slope * sx) / n + 1e-9, 2).alias("intercept"),
+        F.round(
+            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+            + 1e-9,
+            4,
+        ).alias("r2"),
+        F.col("n").cast("bigint").alias("n"),
     )
 
 
@@ -675,11 +769,12 @@ def regr_price_vs_qty_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_frame_moving_avg_orders",
     """
     SELECT o_orderkey,
-           ROUND(AVG(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
-             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
-           ) + 1e-9, 2) AS avg_30d
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w + 1e-9, 2) AS avg_30d
     FROM orders WHERE o_custkey < 50
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+      RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def range_frame_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +793,12 @@ def range_frame_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return o.select(
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w) + 1e-9, 2).alias("avg_30d"),
+        F.round(
+            F.sum(_x.money("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            + 1e-9,
+            2,
+        ).alias("avg_30d"),
     )
 
 

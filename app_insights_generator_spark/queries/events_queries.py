@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.operators.joins import asof_join
+from app_insights_generator_spark.queries import _exact as _x
 from app_insights_generator_spark.queries import register
 from app_insights_generator_spark.sources import load_table
 
@@ -28,7 +29,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch_us(ts) // 600000000 * 600 AS BIGINT) AS window_start_epoch,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -39,7 +40,10 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _x.money_sum(_x.money("value")).alias("sum_value"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
             "event_type",
@@ -58,7 +62,8 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT CAST(epoch_us(ts) // 300000000 * 300 - 300 AS BIGINT), value FROM events
     )
-    SELECT window_start_epoch, COUNT(*) AS n_events, ROUND(AVG(value) + 1e-9, 2) AS avg_value
+    SELECT window_start_epoch, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(value) + 1e-9, 2) AS avg_value
     FROM starts GROUP BY 1
     """,
 )
@@ -68,7 +73,9 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value") + 1e-9, 2).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(
+                F.sum(_x.money("value")).cast("double") / F.count("value") + 1e-9, 2
+            ).alias("avg_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
             "n_events",
@@ -97,7 +104,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(MIN(t) // 1000000 AS BIGINT) AS session_start_epoch,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
     FROM numbered GROUP BY user_id, session_id
     """,
 )
@@ -107,7 +114,10 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _x.money_sum(_x.money("value")).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
@@ -217,12 +227,12 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
     "cdc_merge_user_profiles",
     """
     WITH base AS (
-      SELECT user_id, COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 2) AS v
+      SELECT user_id, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS v
       FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
       GROUP BY user_id
     ),
     chg AS (
-      SELECT user_id, COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 2) AS v
+      SELECT user_id, COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS v
       FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
       GROUP BY user_id
     )
@@ -250,7 +260,7 @@ def cdc_merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def profile(df: DataFrame, prefix: str) -> DataFrame:
         return df.groupBy(F.col("user_id").alias(f"{prefix}_key")).agg(
             F.count(F.lit(1)).alias(f"{prefix}_n"),
-            F.round(F.sum("value") + 1e-9, 2).alias(f"{prefix}_v"),
+            _x.money_sum(_x.money("value")).alias(f"{prefix}_v"),
         )
 
     base = profile(ev.filter(F.col("ts") < cutoff), "b")
@@ -400,7 +410,8 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -418,7 +429,7 @@ def stateful_type_stats_batch_twin_events(spark: SparkSession, sf_dir: str) -> D
         .agg(
             F.count_distinct("event_type").cast("int").alias("n_types"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _x.money_sum(_x.money("value")).alias("total_value"),
         )
     )
 
@@ -456,7 +467,7 @@ def _us(c):
     SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, session_idx
     """,
@@ -503,7 +514,7 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_start_epoch"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _x.money_sum(_x.money("value")).alias("sum_value"),
     )
 
 

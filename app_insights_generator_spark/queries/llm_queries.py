@@ -741,13 +741,15 @@ def similarity_join_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return n_truth.unionByName(n_outside)
 
 
-@register("similarity_join_lsh_production")  # rows-only: bench twin, no O(n^2)
 def similarity_join_lsh_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure banded-LSH similarity join, WITHOUT the O(n^2) exact truth
     anchor that the gate query `similarity_join_lsh_embeddings` adds for
-    its invariant oracle. This is the entry bench.py times — benchmarking
-    the invariant query would measure the all-pairs oracle, not the scale
-    path."""
+    its invariant oracle. Deliberately NOT registered: its parameters are
+    identical to the gated invariant query (threshold=0.3, 8 planes, 4
+    tables), so correctness is already driver-hash-verified there, and the
+    raw emitted pair set has no SQL-expressible oracle (the hyperplanes
+    come from a seeded numpy RNG). bench.py imports this directly so the
+    timed path is the scale path, never the O(n^2) anchor."""
     return S.similarity_join_lsh(
         _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3, n_planes=8, n_tables=4
     )
@@ -774,7 +776,9 @@ def _curation_oracle() -> str:
         FROM kept
       ) WHERE rn = 1
     )
-    SELECT source, COUNT(*) AS n_kept, ROUND(AVG(q) + 1e-9, 4) AS avg_quality
+    SELECT source, COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(4,1))) AS DOUBLE) / COUNT(q)
+                 + 1e-9, 4) AS avg_quality
     FROM deduped GROUP BY source
     """
 
@@ -802,9 +806,15 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.7))
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # q is an exact 1-decimal score, so the mean runs on an exact decimal
+    # sum — order-independent, unlike AVG over doubles (see _exact.py).
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.avg("q") + 1e-9, 4).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(4,1)")).cast("double") / F.count("q")
+            + 1e-9,
+            4,
+        ).alias("avg_quality"),
     )
 
 

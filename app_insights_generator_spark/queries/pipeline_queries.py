@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.pipeline import extract_data
+from app_insights_generator_spark.queries import _exact as _x
 from app_insights_generator_spark.queries import register
 from app_insights_generator_spark.queries.insights_queries import (
     ORDERS_CFG,
@@ -170,7 +171,8 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioned_parquet_orders",
     """
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total_price
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
     """,
@@ -193,7 +195,7 @@ def partitioned_parquet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[1].split("]")[0], "partition predicate did not prune"
     return scan.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        _x.money_sum(_x.money("o_totalprice")).alias("total_price"),
     )
 
 
@@ -201,7 +203,8 @@ def partitioned_parquet_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted_sink_rowgroup_skip_lineitem",
     """
     SELECT l_returnflag, COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS sum_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
       AND l_shipdate <  TIMESTAMP '1995-04-01'
@@ -267,7 +270,7 @@ def sorted_sink_rowgroup_skip_lineitem(spark: SparkSession, sf_dir: str) -> Data
     )
     return scan.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        _x.money_sum(_x.money("l_extendedprice")).alias("sum_price"),
     )
 
 
@@ -275,7 +278,10 @@ def sorted_sink_rowgroup_skip_lineitem(spark: SparkSession, sf_dir: str) -> Data
     "bucketed_join_orders_lineitem",
     """
     SELECT o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue,
            COUNT(*) AS n_items
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -314,9 +320,7 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
     assert "SortMergeJoin" in plan and "Bucketed: true" in plan
     return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        _x.money_sum(_x.disc_price()).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -407,7 +411,8 @@ def xml_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 0.1 * MAX(l_partkey) AS pk_cut FROM lineitem
     )
     SELECT l_returnflag, COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS sum_price
     FROM lineitem, bounds
     WHERE l_partkey <= pk_cut AND l_extendedprice < 11000
     GROUP BY l_returnflag
@@ -469,7 +474,7 @@ def zorder_sink_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scan.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        _x.money_sum(_x.money("l_extendedprice")).alias("sum_price"),
     )
 
 
@@ -477,7 +482,7 @@ def zorder_sink_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "foreach_batch_sink_events",
     """
     SELECT event_type, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -520,7 +525,7 @@ def foreach_batch_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_foreach_batch_output(spark, sink, schema=ev.schema)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _x.money_sum(_x.money("value")).alias("sum_value"),
     )
 
 
@@ -528,7 +533,7 @@ def foreach_batch_sink_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compact_small_files_events",
     """
     SELECT event_type, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -554,7 +559,7 @@ def compact_small_files_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _x.money_sum(_x.money("value")).alias("sum_value"),
     )
 
 
@@ -637,7 +642,8 @@ def malformed_csv_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zstd_sink_roundtrip_lineitem",
     """
     SELECT l_returnflag, COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -657,7 +663,7 @@ def zstd_sink_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            _x.money_sum(_x.money("l_extendedprice")).alias("sum_price"),
         )
     )
 
@@ -713,7 +719,8 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cbo_stats_orders",
     """
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(o_totalprice), 2) AS avg_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -754,5 +761,8 @@ def cbo_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
     return t.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(
+            F.sum(_x.money("o_totalprice")).cast("double") / F.count("o_totalprice"),
+            2,
+        ).alias("avg_price"),
     )

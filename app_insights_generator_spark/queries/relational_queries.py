@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from app_insights_generator_spark.queries import _exact as _x
 from app_insights_generator_spark.queries import register
 from app_insights_generator_spark.sources import load_table
 
@@ -26,15 +27,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {_x.sql_money_sum(_x.sql_money('l_extendedprice'))} AS sum_base_price,
+           {_x.sql_money_sum(_x.sql_disc_price())} AS sum_disc_price,
+           {_x.sql_money_sum(_x.sql_charge())} AS sum_charge,
            ROUND(AVG(l_quantity) + 1e-9, 2) AS avg_qty,
-           ROUND(AVG(l_extendedprice) + 1e-9, 2) AS avg_price,
-           ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc,
+           ROUND({_x.sql_mean(_x.sql_money('l_extendedprice'))} + 1e-9, 2) AS avg_price,
+           ROUND({_x.sql_mean('CAST(l_discount AS DECIMAL(4,2))')} + 1e-9, 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,20 +44,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial+final hash aggregation with multiple aggregates; the filter
-    pushes into the parquet scan (PushedFilters on l_shipdate)."""
+    pushes into the parquet scan (PushedFilters on l_shipdate). Money sums
+    run in exact DECIMAL (quantity is integral, hence exact in double);
+    averages divide an exact decimal sum by the row count — see _exact.py."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _x.money_sum(_x.money("l_extendedprice")).alias("sum_base_price"),
+            _x.money_sum(_x.disc_price()).alias("sum_disc_price"),
+            _x.money_sum(_x.charge()).alias("sum_charge"),
             F.round(F.avg("l_quantity") + 1e-9, 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice") + 1e-9, 2).alias("avg_price"),
-            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
+            F.round(
+                F.sum(_x.money("l_extendedprice")).cast("double") / cnt + 1e-9, 2
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / cnt
+                + 1e-9,
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -68,7 +77,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_revenue_by_nation",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS revenue,
            COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -90,7 +100,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _x.money_sum(_x.money("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -183,9 +193,10 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_revenue,
            ROUND(o_totalprice - LAG(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
     FROM orders
@@ -200,7 +211,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_revenue"),
+        F.round(F.sum(_x.money("o_totalprice")).over(frame), 2).cast("double").alias("running_revenue"),
         F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
     )
 
@@ -327,7 +338,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS gid,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+           COUNT(*) AS n, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -341,7 +352,7 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _x.money_sum(_x.money("o_totalprice")).alias("revenue"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
     )
@@ -355,7 +366,7 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
            CAST(month(o_orderdate) AS INTEGER) AS o_month,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -368,7 +379,7 @@ def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _x.money_sum(_x.money("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -399,7 +410,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -434,9 +445,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _x.money_sum(_x.disc_price()).alias("revenue")
         )
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -448,7 +457,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -483,9 +492,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _x.money_sum(_x.disc_price()).alias("revenue")
         )
     )
 
@@ -500,7 +507,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(l_extendedprice) AS n_items,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
-           ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / COUNT(l_discount) + 1e-9, 4) AS avg_disc
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -521,7 +529,8 @@ def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items": ("count", "l_extendedprice"),
             "min_price": ("min", "l_extendedprice"),
             "max_price": ("max", "l_extendedprice"),
-            "avg_disc": ("avg", "l_discount"),
+            # decimal input -> the salted partial sums merge exactly
+            "avg_disc": ("avg", F.col("l_discount").cast("decimal(4,2)")),
         },
         salt_n=16,
     )
@@ -539,7 +548,7 @@ def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_join_supplier_revenue",
     """
     SELECT s.s_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
@@ -555,9 +564,7 @@ def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     joined = salted_join(li, s, F.col("l_suppkey") == F.col("s_suppkey"), salt_n=8)
     return joined.groupBy("s_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        _x.money_sum(_x.disc_price()).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -565,7 +572,7 @@ def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -589,7 +596,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            _x.money_sum(_x.money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -601,7 +608,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full_outer_nation_bigspenders",
     """
     WITH big AS (
-      SELECT c_nationkey, COUNT(*) AS n_big, ROUND(SUM(c_acctbal), 2) AS bal
+      SELECT c_nationkey, COUNT(*) AS n_big,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS bal
       FROM customer WHERE c_acctbal > 8000 GROUP BY c_nationkey
     )
     SELECT n.n_name, b.n_big, b.bal,
@@ -618,7 +626,7 @@ def full_outer_nation_bigspenders(spark: SparkSession, sf_dir: str) -> DataFrame
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 8000)
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_big"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .agg(F.count(F.lit(1)).alias("n_big"), _x.money_sum(_x.money("c_acctbal")).alias("bal"))
     )
     return n.join(big, n.n_nationkey == big.c_nationkey, "full_outer").select(
         "n_name",
@@ -728,7 +736,7 @@ def hll_sketch_parts_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY o.o_orderpriority
@@ -764,10 +772,7 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n_lines"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9,
-                    2,
-                ).alias("revenue"),
+                _x.money_sum(_x.disc_price()).alias("revenue"),
             )
         )
         # Materialize the memoized optimized plan while the overrides are
@@ -1005,7 +1010,7 @@ def recursive_cte_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     b AS (
-      SELECT NULLIF(o_orderstatus, 'P') AS s, ROUND(SUM(o_totalprice), 2) AS price_b
+      SELECT NULLIF(o_orderstatus, 'P') AS s, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS price_b
       FROM orders GROUP BY 1
     )
     SELECT a.s AS status, n_a, price_b
@@ -1022,7 +1027,7 @@ def nullsafe_join_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     s = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("s")
     a = o.groupBy(s).agg(F.count(F.lit(1)).alias("n_a"))
-    b = o.groupBy(s).agg(F.round(F.sum("o_totalprice"), 2).alias("price_b"))
+    b = o.groupBy(s).agg(_x.money_sum(_x.money("o_totalprice")).alias("price_b"))
     return (
         a.join(b, a["s"].eqNullSafe(b["s"]))
         .select(a["s"].alias("status"), "n_a", "price_b")

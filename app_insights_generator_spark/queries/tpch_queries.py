@@ -773,7 +773,7 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_money("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
 

@@ -119,7 +119,7 @@ def decontaminate_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT source, bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-           ROUND(SUM(n_tokens) / {_PACK_BUDGET}.0 + 1e-9, 4) AS fill_ratio
+           CAST(SUM(n_tokens) * 10000 // {_PACK_BUDGET} AS BIGINT) AS fill_bp
     FROM b
     GROUP BY source, bin_id
     """,
@@ -145,10 +145,15 @@ def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .withColumn("bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {_PACK_BUDGET}"))
     )
+    # Bin fill is reported in integer basis points (tokens*10000 DIV budget):
+    # no float ever reaches the gate, so no engine/platform rounding rule can
+    # flip the last digit (the round-3 driver divergence on this query).
     return b.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
-        F.round(F.sum("n_tokens") / float(_PACK_BUDGET) + 1e-9, 4).alias("fill_ratio"),
+        F.expr(f"sum(n_tokens) * 10000 DIV {_PACK_BUDGET}")
+        .cast("bigint")
+        .alias("fill_bp"),
     )
 
 
