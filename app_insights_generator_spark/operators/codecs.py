@@ -44,6 +44,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        # Truncated chunk: slicing short would silently yield a shortened
+        # sample array (or an opaque numpy error on an odd remainder) —
+        # the contract is malformed bytes RAISE, never emit garbage.
+        if pos + 8 + size > len(data):
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
@@ -56,6 +64,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
+    if len(pcm) % 2:
+        raise ValueError(f"odd PCM-16 data chunk length {len(pcm)}")
     return np.frombuffer(pcm, dtype="<i2"), rate
 
 

@@ -313,18 +313,15 @@ def similarity_join_lsh(
     )
 
 
-def pca_eigenspectrum(embs: DataFrame, vec_col: str = "embedding") -> tuple:
-    """Distributed PCA, the 100 TB shape: only dim-sized summaries ever
-    reach the driver. One Arrow-batched pass computes per-partition
-    partial (count, sum-vector, raw Gram X^T X); partials reduce
-    element-wise through a posexplode + groupBy(index) aggregation; the
-    driver assembles the dim x dim covariance (Gram/n - outer(mean)) and
-    runs numpy eigh on it — O(dim^3) driver work, independent of row
-    count. Returns (eigenvalues_desc: np.ndarray, n_rows: int).
+def _pca_moments(embs: DataFrame, vec_col: str):
+    """(n, mean, cov) from ONE Arrow-batched pass over the data.
 
-    The covariance trace equals the data's total variance, which an
-    external engine can recompute exactly — the anchor the oracle gate
-    uses (eigendecomposition itself is not SQL-expressible)."""
+    Per-partition partial payload = [count, sum-vector, raw Gram X^T X
+    flattened]; the count rides INSIDE the payload (index 0), so a single
+    posexplode + groupBy(idx) reduction covers everything — no second
+    branch re-reading the mapInPandas subtree (ADVICE r03: the old
+    count-union shape executed the full scan and per-partition Gram twice
+    per fit). Only (1 + dim + dim^2) doubles ever reach the driver."""
     import numpy as np
     import pandas as pd
 
@@ -335,30 +332,41 @@ def pca_eigenspectrum(embs: DataFrame, vec_col: str = "embedding") -> tuple:
             X = np.asarray([np.asarray(v, dtype="f8") for v in pdf[vec_col]])
             if len(X) == 0:
                 continue
-            gram = X.T @ X
-            row = {"n": float(len(X))}
-            payload = np.concatenate([X.sum(axis=0), gram.ravel()])
-            yield pd.DataFrame({"n": [float(len(X))], "payload": [payload.tolist()]})
+            payload = np.concatenate([[float(len(X))], X.sum(axis=0), (X.T @ X).ravel()])
+            yield pd.DataFrame({"payload": [payload.tolist()]})
 
-    parts = embs.select(vec_col).mapInPandas(
-        partials, schema="n double, payload array<double>"
-    )
+    parts = embs.select(vec_col).mapInPandas(partials, schema="payload array<double>")
     reduced = (
-        parts.select("n", F.posexplode("payload").alias("idx", "v"))
+        parts.select(F.posexplode("payload").alias("idx", "v"))
         .groupBy("idx")
         .agg(F.sum("v").alias("s"))
-        .unionByName(
-            parts.agg(F.sum("n").alias("s")).select(F.lit(-1).alias("idx"), "s")
-        )
         .collect()
     )
     vals = {r.idx: r.s for r in reduced}
-    n = int(vals.pop(-1))
     flat = np.array([vals[i] for i in range(len(vals))])
-    dim = int(round((-1 + (1 + 4 * len(flat)) ** 0.5) / 2))  # d + d^2 = len
-    mean = flat[:dim] / n
-    gram = flat[dim:].reshape(dim, dim)
+    n = int(flat[0])
+    dim = int(round((-1 + (1 + 4 * (len(flat) - 1)) ** 0.5) / 2))  # d + d^2
+    mean = flat[1 : dim + 1] / n
+    gram = flat[dim + 1 :].reshape(dim, dim)
     cov = gram / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_eigenspectrum(embs: DataFrame, vec_col: str = "embedding") -> tuple:
+    """Distributed PCA, the 100 TB shape: only dim-sized summaries ever
+    reach the driver. One Arrow-batched pass computes per-partition
+    partial (count, sum-vector, raw Gram X^T X); partials reduce
+    element-wise through a single posexplode + groupBy(index) aggregation;
+    the driver assembles the dim x dim covariance (Gram/n - outer(mean))
+    and runs numpy eigh on it — O(dim^3) driver work, independent of row
+    count. Returns (eigenvalues_desc: np.ndarray, n_rows: int).
+
+    The covariance trace equals the data's total variance, which an
+    external engine can recompute exactly — the anchor the oracle gate
+    uses (eigendecomposition itself is not SQL-expressible)."""
+    import numpy as np
+
+    n, _mean, cov = _pca_moments(embs, vec_col)
     eig = np.linalg.eigvalsh(cov)[::-1]
     return eig, n
 
@@ -392,40 +400,11 @@ def pca_project(
 
 def pca_fit(embs: DataFrame, vec_col: str = "embedding") -> tuple:
     """Full PCA fit: (eigenvalues_desc, components (dim x dim, row-major
-    eigenvectors), mean, n). Same driver-bounded reduction as
+    eigenvectors), mean, n). Same single-pass driver-bounded reduction as
     pca_eigenspectrum, also returning the basis for pca_project."""
     import numpy as np
-    import pandas as pd
 
-    from collections.abc import Iterator
-
-    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            X = np.asarray([np.asarray(v, dtype="f8") for v in pdf[vec_col]])
-            if len(X) == 0:
-                continue
-            payload = np.concatenate([X.sum(axis=0), (X.T @ X).ravel()])
-            yield pd.DataFrame({"n": [float(len(X))], "payload": [payload.tolist()]})
-
-    parts = embs.select(vec_col).mapInPandas(
-        partials, schema="n double, payload array<double>"
-    )
-    reduced = (
-        parts.select("n", F.posexplode("payload").alias("idx", "v"))
-        .groupBy("idx")
-        .agg(F.sum("v").alias("s"))
-        .unionByName(
-            parts.agg(F.sum("n").alias("s")).select(F.lit(-1).alias("idx"), "s")
-        )
-        .collect()
-    )
-    vals = {r.idx: r.s for r in reduced}
-    n = int(vals.pop(-1))
-    flat = np.array([vals[i] for i in range(len(vals))])
-    dim = int(round((-1 + (1 + 4 * len(flat)) ** 0.5) / 2))
-    mean = flat[:dim] / n
-    gram = flat[dim:].reshape(dim, dim)
-    cov = gram / n - np.outer(mean, mean)
+    n, mean, cov = _pca_moments(embs, vec_col)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1]
     return w[order], v[:, order].T, mean, n

@@ -1079,25 +1079,39 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_minhash_documents",
     f"""
-    WITH {_JACCARD_ALL_PAIRS_CTES}
+    WITH {_JACCARD_ALL_PAIRS_CTES},
+    cut AS (SELECT MAX(doc_id) * 4 // 5 AS c FROM documents)
     SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
-    FROM jac
-    WHERE jaccard >= 0.5 AND (id_a >= 4000 OR id_b >= 4000)
+    FROM jac, cut
+    WHERE jaccard >= 0.5 AND (id_a >= cut.c OR id_b >= cut.c)
     """,
 )
 def dedup_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dedup — the daily-ingest mode: docs with id < 4000
-    play the EXISTING corpus (band index built once,
-    operators/dedup.py build_band_index), the rest arrive as the new
-    batch, which is sketched alone and probes the index
+    """Incremental near-dedup — the daily-ingest mode: the first 4/5 of
+    the doc_id space plays the EXISTING corpus (band index built once,
+    operators/dedup.py build_band_index), the top 1/5 arrives as the new
+    batch, which is sketched alone and probes the index. The cutoff is
+    data-relative (max_id*4 DIV 5, integer both engines) so the batch is
+    non-empty at EVERY scale factor — a fixed id constant left the gate
+    vacuously green at the driver's sf0.01
     (incremental_near_dedup). Emitted pairs must EXACTLY equal the full
     run's truth pairs that touch at least one new document — corpus-only
     pairs are history and never recomputed. At 100 TB this turns daily
     dedup from O(corpus) into O(batch): the corpus is never re-read, only
-    its (band, bhash)-keyed index is joined."""
+    its (band, bhash)-keyed index is joined.
+
+    Gate-validity note (ADVICE r03): exact equality to the truth set is a
+    FIXTURE-DEPENDENT claim. 16-band/4-row banding surfaces a pair with
+    probability 1-(1-j^4)^16 — ~65% at jaccard exactly 0.5, >99.99% at
+    j >= 0.9. It holds here because every duplicate pair in the driver
+    corpus has jaccard >= 0.9 (measured; same argument as
+    dedup_minhash_documents). A corpus with pairs near the 0.5 threshold
+    would make this equality probabilistic — recall near the knee is
+    covered by pytest on a constructed corpus, not by this gate."""
     docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("doc_id") < 4000)
-    batch = docs.filter(F.col("doc_id") >= 4000)
+    cutoff = docs.agg(F.expr("max(doc_id) * 4 DIV 5").cast("long")).first()[0]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
     index = D.build_band_index(corpus, "doc_id", "text")
     pairs = D.incremental_near_dedup(batch, index, "doc_id", "text", threshold=0.5)
     return pairs.select(

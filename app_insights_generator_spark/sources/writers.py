@@ -176,10 +176,27 @@ def compact_parquet_dir(
                 total += os.path.getsize(os.path.join(root, f))
     n_out = max(min_files, -(-total // target_bytes))
     df = spark.read.parquet(path)
+    n_rows_before = df.count()
     tmp = path.rstrip("/") + "__compact_tmp"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # Verify the rewrite BEFORE touching the source, and never have a
+    # moment where nothing sits at `path`: row-count check, then move the
+    # original aside, rename tmp into place, and only then delete the old
+    # copy. A crash mid-swap leaves either the original or the compacted
+    # data at (or one rename away from) the path — never an absent dataset.
+    n_rows_after = spark.read.parquet(tmp).count()
+    if n_rows_after != n_rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row-count mismatch at {path}: "
+            f"{n_rows_before} before vs {n_rows_after} after — source left intact"
+        )
+    old = path.rstrip("/") + "__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return sum(
         1
         for root, _dirs, files in os.walk(path)

@@ -47,7 +47,14 @@ def run_foreach_batch_to_parquet(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout with the query still
+        # running — swallowing that would hand callers a partially drained
+        # sink as success.
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"stream did not drain within {timeout_s}s "
+                f"(checkpoint {checkpoint_dir})"
+            )
     finally:
         q.stop()
 

@@ -126,6 +126,57 @@ def test_jaccard_pairs_values(spark):
     assert got[(1, 3)] == 0.0
 
 
+def test_empty_docs_and_threshold_boundary_pinned(spark):
+    """Adversarial gate inputs pinned (VERDICT r03 item 6):
+
+    - Two EMPTY documents: the shingle convention is ``['']`` (one empty
+      shingle) in BOTH the Spark operator and the DuckDB oracle CTEs, so
+      two empty docs are jaccard-1.0 duplicates of each other (they ARE
+      identical) and never a cross-engine divergence. An empty and a
+      non-empty doc share nothing.
+    - A pair at EXACTLY the 0.5 threshold: intersection 25 / union 50 is
+      exactly representable (0.5), and the filter biases with +1e-9 on the
+      UNROUNDED value, so the pair is included deterministically. A pair
+      just below (24/49) is excluded.
+    """
+    shared = [f"s{i}" for i in range(25)]
+    a_only = [f"a{i}" for i in range(12)]
+    b_only = [f"b{i}" for i in range(13)]  # union = 25+12+13 = 50, j = 0.5
+    c_only = [f"c{i}" for i in range(12)]
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, " ".join(shared + a_only)),
+            (4, " ".join(shared + b_only)),
+            (5, " ".join(shared[:24] + c_only + ["zz"])),  # inter 24, union 24+13+1+12=50 -> 0.48
+        ],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4), (3, 5)], ["id_a", "id_b"]
+    )
+    # shingle_n=1 -> shingles are the tokens themselves, set sizes exact
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(
+            df, cand, "doc_id", "text", shingle_n=1, threshold=0.0
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0  # two empty docs are identical
+    assert got[(1, 3)] == 0.0  # empty vs non-empty shares nothing
+    assert got[(3, 4)] == 0.5  # exact boundary, representable
+    assert abs(got[(3, 5)] - 0.48) < 1e-9
+    # threshold filter: +1e-9 bias admits the exact-0.5 pair, rejects 0.48
+    kept = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(
+            df, cand, "doc_id", "text", shingle_n=1, threshold=0.5
+        ).collect()
+    }
+    assert (3, 4) in kept and (3, 5) not in kept and (1, 2) in kept
+
+
 def test_connected_components_chain_and_singletons(spark):
     # Graph: chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
     # pair {10,11}, singletons 20 and 21.
