@@ -393,23 +393,32 @@ def incremental_near_dedup(
     Output [id_a, id_b, jaccard] with id_a < id_b, id collision-free
     because batch ids and corpus ids share one id space.
 
-    The batch's OWN index rows are unioned in, so intra-batch duplicates
-    are also caught; pairs already present corpus-side are the caller's
-    dedup history and never re-emitted (both sides corpus = excluded)."""
+    The batch's OWN index rows are unioned into the probe TARGET, so
+    intra-batch duplicates are also caught; pairs already present
+    corpus-side are the caller's dedup history and never re-emitted
+    (corpus-corpus pairs are structurally impossible: one join side is
+    always the batch).
+
+    Shape: the batch index (tiny) joins INTO the full index on the
+    (band, bhash) key — an asymmetric probe Spark broadcasts, never a
+    full-index self-join (the original full x full + `_new` filter shape
+    re-scanned the corpus index on BOTH sides; measured 20x-corpus probe
+    9.5 s -> 5.8 s after the rewrite, tools/scale_bench.py). At 100 TB
+    store the index bucketed on (band, bhash): the probe then prunes to
+    the batch's buckets instead of scanning the index at all."""
     batch_index = build_band_index(
         new_df, id_col, text_col, shingle_n, num_hashes, bands
-    ).withColumn("_new", F.lit(True))
-    full = index.withColumn("_new", F.lit(False)).unionByName(batch_index)
-    a, b = full.alias("a"), full.alias("b")
+    )
+    full = index.unionByName(batch_index)
+    probe = batch_index.select("band", "bhash", F.col("_id").alias("_bid"))
+    target = full.select("band", "bhash", F.col("_id").alias("_tid"))
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a._id") < F.col("b._id"))
-            & (F.col("a._new") | F.col("b._new")),
+        target.join(F.broadcast(probe), ["band", "bhash"])
+        .filter(F.col("_bid") != F.col("_tid"))
+        .select(
+            F.least("_bid", "_tid").alias("id_a"),
+            F.greatest("_bid", "_tid").alias("id_b"),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
     sh_all = full.select("_id", "_sh").dropDuplicates(["_id"])

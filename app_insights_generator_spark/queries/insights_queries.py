@@ -213,25 +213,51 @@ _WIDE_BUCKETS = {
     "l_suppgrp": 200,
 }
 
+_WIDE_COLS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_shipyear",
+    "l_discpct",
+    "l_taxpct",
+    "l_partgrp",
+    "l_suppgrp",
+)
+
 WIDE_CFG = InsightsConfig(
-    agg_cols=(
-        "l_returnflag",
-        "l_linestatus",
-        "l_linenumber",
-        "l_quantity",
-        "l_extendedprice",
-        "l_shipyear",
-        "l_discpct",
-        "l_taxpct",
-        "l_partgrp",
-        "l_suppgrp",
-    ),
+    agg_cols=_WIDE_COLS,
     bucket_sizes=_WIDE_BUCKETS,
     threshold_percent=2.0,
 )
 
+# Low-cardinality twin of the wide sweep (VERDICT r03 item 8): the SAME 10
+# columns with coarse buckets, so the distinct-tuple pre-aggregation
+# collapses ~600k rows to a few hundred tuples and the count distribution
+# over tuples is heavily skewed. The high-card workload above stresses
+# Expand volume; this one stresses pruning-threshold math and guards the
+# _adaptive_chunk_size constants against distribution shift.
+_WIDE_LOWCARD_BUCKETS = {
+    "l_quantity": 25,
+    "l_extendedprice": 50_000,
+    "l_shipyear": 10,
+    "l_discpct": 10,
+    "l_taxpct": 8,
+    "l_partgrp": 100_000,
+    "l_suppgrp": 10_000,
+}
 
-def _lineitem_wide_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+WIDE_LOWCARD_CFG = InsightsConfig(
+    agg_cols=_WIDE_COLS,
+    bucket_sizes=_WIDE_LOWCARD_BUCKETS,
+    threshold_percent=2.0,
+)
+
+
+def _lineitem_wide_base(
+    spark: SparkSession, sf_dir: str, cfg: InsightsConfig = WIDE_CFG
+) -> DataFrame:
     df = (
         load_table(spark, sf_dir, "lineitem")
         .withColumn("l_shipyear", F.year("l_shipdate"))
@@ -240,28 +266,29 @@ def _lineitem_wide_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_partgrp", F.col("l_partkey"))
         .withColumn("l_suppgrp", F.col("l_suppkey"))
     )
-    return bucketize(df, WIDE_CFG.bucket_sizes)
+    return bucketize(df, cfg.bucket_sizes)
 
 
-def _wide_oracle() -> str:
-    cols = list(WIDE_CFG.agg_cols)
+def _wide_oracle(buckets: dict[str, int] = _WIDE_BUCKETS) -> str:
+    cols = list(_WIDE_COLS)
+    b = buckets
     base_exprs = [
         "l_returnflag",
         "l_linestatus",
         "l_linenumber",
-        "CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS l_quantity",
-        "CAST(FLOOR(l_extendedprice / 20000) * 20000 AS BIGINT) AS l_extendedprice",
-        "CAST(FLOOR(CAST(year(l_shipdate) AS DOUBLE) / 5) * 5 AS BIGINT) AS l_shipyear",
-        "CAST(FLOOR(CAST(ROUND(l_discount * 100) AS INTEGER) / 5) * 5 AS BIGINT) AS l_discpct",
-        "CAST(FLOOR(CAST(ROUND(l_tax * 100) AS INTEGER) / 4) * 4 AS BIGINT) AS l_taxpct",
-        "CAST(FLOOR(l_partkey / 2000) * 2000 AS BIGINT) AS l_partgrp",
-        "CAST(FLOOR(l_suppkey / 200) * 200 AS BIGINT) AS l_suppgrp",
+        f"CAST(FLOOR(l_quantity / {b['l_quantity']}) * {b['l_quantity']} AS BIGINT) AS l_quantity",
+        f"CAST(FLOOR(l_extendedprice / {b['l_extendedprice']}) * {b['l_extendedprice']} AS BIGINT) AS l_extendedprice",
+        f"CAST(FLOOR(CAST(year(l_shipdate) AS DOUBLE) / {b['l_shipyear']}) * {b['l_shipyear']} AS BIGINT) AS l_shipyear",
+        f"CAST(FLOOR(CAST(ROUND(l_discount * 100) AS INTEGER) / {b['l_discpct']}) * {b['l_discpct']} AS BIGINT) AS l_discpct",
+        f"CAST(FLOOR(CAST(ROUND(l_tax * 100) AS INTEGER) / {b['l_taxpct']}) * {b['l_taxpct']} AS BIGINT) AS l_taxpct",
+        f"CAST(FLOOR(l_partkey / {b['l_partgrp']}) * {b['l_partgrp']} AS BIGINT) AS l_partgrp",
+        f"CAST(FLOOR(l_suppkey / {b['l_suppgrp']}) * {b['l_suppgrp']} AS BIGINT) AS l_suppgrp",
     ]
     gflags = ", ".join(f"GROUPING({c}) AS g{i}" for i, c in enumerate(cols))
     fields = []
     for i, c in enumerate(cols):
-        if c in _WIDE_BUCKETS:
-            hi = _WIDE_BUCKETS[c]
+        if c in b:
+            hi = b[c]
             val = f"concat('{c}=[', {c}, '-', {c} + {hi}, ']')"
         else:
             val = f"concat('{c}=', {c})"
@@ -300,6 +327,20 @@ def insights_sweep_lineitem_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold prunes supersets of empty sets, so only a few level jobs run
     instead of a 1,024-way Expand."""
     return sweep_apriori(_lineitem_wide_base(spark, sf_dir), WIDE_CFG)
+
+
+@register("insights_sweep_lineitem_wide_lowcard", _wide_oracle(_WIDE_LOWCARD_BUCKETS))
+def insights_sweep_lineitem_wide_lowcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The low-cardinality/skewed twin of the wide sweep: same 10 columns
+    and 1,023 sets, but coarse buckets collapse the distinct-tuple table to
+    a few hundred rows — the distribution where the pre-aggregation pays
+    hardest and far more sets survive the 2% threshold (denser lattice
+    levels). Benchmarked alongside the high-cardinality twin so the
+    _adaptive_chunk_size codegen-cliff constants are exercised under BOTH
+    tuple distributions."""
+    return sweep_apriori(
+        _lineitem_wide_base(spark, sf_dir, WIDE_LOWCARD_CFG), WIDE_LOWCARD_CFG
+    )
 
 
 @register("insights_sweep_lineitem_wide_cube", _WIDE_ORACLE)

@@ -44,6 +44,7 @@ HEADLINE = [
     "insights_sweep_lineitem",        # native grouping-sets sweep (M3)
     "insights_sweep_lineitem_loop",   # faithful reference loop (M2 baseline)
     "insights_sweep_lineitem_wide",   # 10-col/1023-set sweep, Apriori-pruned
+    "insights_sweep_lineitem_wide_lowcard",  # same lattice, compressible tuples
     "insights_sweep_orders",
     "q1_pricing_summary",
     "join_revenue_by_nation",

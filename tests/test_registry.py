@@ -12,12 +12,13 @@ def test_gate_window_is_fully_oracled():
     assert not missing, f"rows-only queries in the gate window: {missing}"
 
 
-def test_rows_only_is_explicitly_quarantined():
-    """The only permitted rows-only query is the deliberately un-anchored
-    bench twin; anything else must get an oracle (invariant framing at
-    minimum) before registration."""
+def test_no_rows_only_queries():
+    """Every registered query carries an oracle (invariant framing at
+    minimum). The un-anchorable raw-LSH bench twin is deliberately NOT
+    registered (bench.py times it directly; its invariant twin
+    similarity_join_lsh_embeddings is the gated one)."""
     rows_only = [n for n in QUERIES if n not in ORACLES]
-    assert rows_only == ["similarity_join_lsh_production"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_every_oracle_has_a_query():

@@ -1,0 +1,127 @@
+"""Measured scaling curves for the two round-3 '100 TB shape' claims
+(VERDICT r03 item 7): incremental near-dedup probe vs full re-run, and
+distributed PCA wall-clock vs row count.
+
+Builds replicated corpora (N x sf0.1 documents/embeddings, ids offset per
+replica so the id space stays collision-free) under /tmp, then times:
+
+1. dedup: full `near_dedup_minhash` over corpus+batch vs
+   `incremental_near_dedup` of a fixed-size batch probing a PRE-BUILT
+   persisted band index — the daily-ingest claim is that probe time is
+   O(batch), roughly flat while the full run grows with the corpus.
+2. PCA: `pca_eigenspectrum` wall-clock at growing row counts — the claim
+   is a single linear data pass with constant (dim^2) driver work.
+
+Prints a markdown table per experiment; paste into SCALE.md.
+
+Usage: python tools/scale_bench.py [--scales 1,2,5,10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators import dedup as D
+from app_insights_generator_spark.operators import similarity as S
+from app_insights_generator_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/aig_scale_bench"
+
+
+def replicate(spark, table: str, id_col: str, n_rep: int, out: str) -> None:
+    """n_rep copies of the sf0.1 table, ids offset per replica."""
+    base = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+    n = base.count()
+    parts = [
+        base.withColumn(id_col, F.col(id_col) + F.lit(i * n)) for i in range(n_rep)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(out)
+
+
+def bench_dedup(spark, scales: list[int], batch_rows: int = 500) -> list[dict]:
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"docs_x{s}")
+        replicate(spark, "documents", "doc_id", s, path)
+        docs = spark.read.parquet(path)
+        n = docs.count()
+        cutoff = docs.agg(F.expr(f"max(doc_id) - {batch_rows}")).first()[0]
+        corpus = docs.filter(F.col("doc_id") <= cutoff)
+        batch = docs.filter(F.col("doc_id") > cutoff)
+
+        # one-time index build (amortized across every future batch) — built
+        # and persisted OUTSIDE the probe timing, like a nightly job would
+        idx = D.build_band_index(corpus, "doc_id", "text").persist()
+        idx.count()
+
+        t0 = time.time()
+        D.incremental_near_dedup(batch, idx, "doc_id", "text", threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_probe = time.time() - t0
+
+        t0 = time.time()
+        D.near_dedup_minhash(docs, "doc_id", "text", threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_full = time.time() - t0
+        idx.unpersist()
+        rows.append(
+            {
+                "scale": s,
+                "corpus_rows": n - batch_rows,
+                "batch_rows": batch_rows,
+                "probe_s": round(t_probe, 2),
+                "full_s": round(t_full, 2),
+            }
+        )
+    return rows
+
+
+def bench_pca(spark, scales: list[int]) -> list[dict]:
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"embs_x{s}")
+        replicate(spark, "embeddings", "vec_id", s, path)
+        embs = spark.read.parquet(path)
+        n = embs.count()
+        t0 = time.time()
+        eig, n_fit = S.pca_eigenspectrum(embs, "embedding")
+        dt = time.time() - t0
+        assert n_fit == n
+        rows.append({"scale": s, "rows": n, "pca_s": round(dt, 2)})
+    return rows
+
+
+def md_table(rows: list[dict]) -> str:
+    cols = list(rows[0])
+    out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
+    out += ["| " + " | ".join(str(r[c]) for c in cols) + " |" for r in rows]
+    return "\n".join(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,5,10")
+    args = ap.parse_args()
+    scales = [int(x) for x in args.scales.split(",")]
+    spark = get_spark(app_name="scale-bench")
+    print("## incremental dedup: probe vs full run\n")
+    print(md_table(bench_dedup(spark, scales)))
+    print("\n## PCA eigenspectrum wall-clock vs rows\n")
+    print(md_table(bench_pca(spark, scales)))
+
+
+if __name__ == "__main__":
+    main()
