@@ -122,18 +122,26 @@ def _preaggregate(df: DataFrame, cols: Sequence[str], display: Sequence[str]) ->
     return df.groupBy(*[qcol(c) for c in cols]).agg(*aggs)
 
 
-def _adaptive_chunk_size(total_count: int) -> int:
-    """Grouping sets per aggregation job, chosen by input volume.
+def _adaptive_chunk_size(expand_rows: int) -> int:
+    """Grouping sets per aggregation job, chosen by the volume the Expand
+    actually multiplies — the PRE-AGGREGATED distinct-tuple table's row
+    count, NOT the raw input count (round-4 fix: the 1,023-set sweep over
+    a compressible distribution pre-aggregates 600k raw rows to ~2.5k
+    tuples; keying the decision on the raw count picked 40-set chunks and
+    spent the whole sweep on ~26 jobs' fixed overhead per level — 38s vs
+    7s at sf0.1 after the fix).
 
     Two regimes, both measured on the 1,023-set wide sweep in fresh
-    sessions: at 600k input rows 40-set chunks win (16.4s vs 24.0s with
-    256 — a wide Expand leaves the whole-stage-codegen fast path and the
-    per-row penalty dominates); at 60k rows 256-set chunks win (15.7s vs
-    25.5s — each chunk's ~1s Janino compile dominates tiny data, so fewer
-    jobs beat faster rows). Crossover sits around 1-2e5 rows; at 100 TB
-    every input is in the 40-set regime.
+    sessions: at 600k Expand-input rows 40-set chunks win (16.4s vs 24.0s
+    with 256 — a wide Expand leaves the whole-stage-codegen fast path and
+    the per-row penalty dominates); at 60k rows 256-set chunks win (15.7s
+    vs 25.5s — each chunk's ~1s Janino compile dominates tiny data, so
+    fewer jobs beat faster rows). Crossover sits around 1-2e5 rows; at
+    100 TB a HIGH-cardinality pre-agg is in the 40-set regime, while a
+    compressible one stays in the few-big-chunks regime no matter how
+    large the raw input — the tuple table is what Expand sees.
     """
-    return 40 if total_count > 150_000 else 256
+    return 40 if expand_rows > 150_000 else 256
 
 
 def sweep_grouping_sets(
@@ -144,6 +152,7 @@ def sweep_grouping_sets(
     preaggregate: bool = True,
     expand_batch_size: int | str | None = None,
     checkpoint_dir: str | None = None,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Native mode -> DataFrame[Insights], semantics identical to sweep_loop.
 
@@ -156,13 +165,22 @@ def sweep_grouping_sets(
     ``checkpoint_dir``: reliable-storage checkpoint location for cluster
     deployments (see _pin_result for the executor-loss caveat of the
     default localCheckpoint).
+
+    ``_base``: an ALREADY-persisted pre-aggregated tuple table (the
+    _preaggregate shape, `_pre_count` included) — sweep_apriori hands its
+    own pre-agg over when it bails out to exhaustive mode, so the input is
+    never scanned twice. Implies ``preaggregate`` semantics.
     """
     cols = list(cols or cfg.agg_cols)
 
     ids_in_cols = [c for c in cols if c in cfg.id_cols]
     display = [v for c in ids_in_cols for v in cfg.id_to_value[c]]
 
-    base = _preaggregate(df, cols, display) if preaggregate else df
+    if _base is not None:
+        preaggregate = True
+        base = _base
+    else:
+        base = _preaggregate(df, cols, display) if preaggregate else df
     count_expr = F.sum("_pre_count") if preaggregate else F.count(F.lit(1))
 
     # Threshold denominator: when no count is supplied, derive it from the
@@ -189,7 +207,9 @@ def sweep_grouping_sets(
     max_size = cfg.max_combo_size or len(cols)
     key_cols = [qcol(c) for c in cols]
 
-    persisted_base = counted_from_base
+    # A caller-provided _base arrives persisted: pin the result and release
+    # the cache on the way out exactly as for a locally-persisted base.
+    persisted_base = counted_from_base or _base is not None
     if expand_batch_size is None and max_size >= len(cols):
         grouped = [base.cube(*key_cols).agg(*aggs)]
     else:
@@ -197,11 +217,19 @@ def sweep_grouping_sets(
         # would Expand 2^n sets and post-filter (2^14 = 16,384 for the
         # capped-at-2 Play-Store config wanting 105 — a ~150x wasted
         # fan-out). Chunk to stay on the Expand codegen fast path.
+        sets = [list(c) for c in all_combinations(cfg, cols)]
         if expand_batch_size in (None, "auto"):
-            chunk_size = _adaptive_chunk_size(total_count)
+            # Chunk by what Expand multiplies: the pre-aggregated tuple
+            # table (persist it first — the count below and every chunk
+            # job reuse it), falling back to the raw count when the
+            # caller disabled pre-aggregation.
+            if preaggregate and not persisted_base:
+                base = base.persist()
+                persisted_base = True
+            expand_rows = base.count() if preaggregate else total_count
+            chunk_size = _adaptive_chunk_size(expand_rows)
         else:
             chunk_size = expand_batch_size
-        sets = [list(c) for c in all_combinations(cfg, cols)]
         if len(sets) > chunk_size and not persisted_base:
             # Several jobs will scan the pre-aggregated table; pay it once.
             base = base.persist()
@@ -303,8 +331,35 @@ def sweep_apriori(
     # the raw input (see sweep_grouping_sets).
     if total_count is None:
         total_count = base.agg(F.sum("_pre_count").alias("n")).collect()[0]["n"] or 0
+    n_tuples = base.count()  # cached-scan no-op: materialized by the sum above
+
+    # Exhaustive bailout for COMPRESSIBLE distributions: when the full
+    # lattice's Expand volume over the tuple table is trivial, level-wise
+    # iteration is pure overhead — ~n levels of (Janino compile + job +
+    # survival collect) to prune work that was already cheap. One
+    # exhaustive job computes the identical result (pruned sets emit no
+    # qualifying rows by anti-monotonicity, the threshold filter drops
+    # them). Caps: volume so the Expand output stays tiny, and set count
+    # so a 2^14 lattice can never generate a 16k-projection plan.
+    # Measured (sf0.1, 1,023 sets, 2.5k tuples): 20.6s level-wise ->
+    # ~12s exhaustive cube.
+    n_sets_full = sum(1 for _ in all_combinations(cfg, cols))
+    if n_tuples * n_sets_full <= 20_000_000 and n_sets_full <= 1100:
+        return sweep_grouping_sets(
+            df,
+            cfg,
+            cols,
+            total_count=total_count,
+            expand_batch_size=None,
+            checkpoint_dir=checkpoint_dir,
+            _base=base,
+        )
+
     if max_sets_per_job is None:
-        max_sets_per_job = _adaptive_chunk_size(total_count)
+        # Chunk by the pre-agg tuple count (what Expand multiplies), not
+        # the raw total: base is already persisted and materialized by the
+        # denominator action, so this count is a cached-scan no-op.
+        max_sets_per_job = _adaptive_chunk_size(n_tuples)
     t = threshold_count(cfg, total_count)
     key_cols = [qcol(c) for c in cols]
     aggs = [F.min(qcol(v)).alias(v) for v in display]
