@@ -739,3 +739,62 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").cast("bigint").alias("n_events"),
         F.round(ewma + F.lit(1e-9), 4).alias("ewma"),
     )
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH m AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))
+                      * CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ROUND(value, 2) AS value,
+           ROUND((value - s / n) / SQRT((ss - s * s / n) / (n - 1)) + 1e-9, 4)
+             AS zscore
+    FROM m
+    WHERE n >= 10 AND (ss - s * s / n) / (n - 1) > 0
+      AND ABS((value - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 3.0
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection as a batch window: each event is
+    scored against the trailing 20 events of the SAME user (z-score over a
+    ROWS frame that excludes the current row), flagged at |z| > 3. The
+    rolling mean/variance come from exact decimal moment sums over the
+    frame — the identical double algebra runs in both engines, so a
+    boundary |z| can't flip on accumulation order (see _exact.py). Scale:
+    one shuffle on user_id; the frame is a per-user sorted scan, state
+    bounded by the frame length — the same plan at any user count."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    val = _x.money("value")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(val).over(w).cast("double").alias("s"),
+        F.sum(val * val).over(w).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss - s * s / n) / (n - 1)
+    z = (F.col("value") - s / n) / F.sqrt(var)
+    return (
+        m.filter((n >= 10) & (var > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(z + 1e-9, 4).alias("zscore"),
+        )
+    )

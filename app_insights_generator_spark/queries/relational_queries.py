@@ -1032,3 +1032,66 @@ def nullsafe_join_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["s"].eqNullSafe(b["s"]))
         .select(a["s"].alias("status"), "n_a", "price_b")
     )
+
+
+@register(
+    "merge_upsert_customer_balances",
+    """
+    WITH changes AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(ANY_VALUE(CAST(c.c_acctbal AS DECIMAL(14,2)))
+                  + SUM(CAST(o.o_totalprice AS DECIMAL(14,2)))
+                    * CAST(0.001 AS DECIMAL(4,3)) AS DOUBLE) AS c_acctbal
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o.o_custkey
+    ),
+    inserts AS (
+      SELECT 100000 + s_suppkey AS c_custkey,
+             CAST(CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS c_acctbal
+      FROM supplier
+    ),
+    src AS (SELECT * FROM changes UNION ALL SELECT * FROM inserts)
+    SELECT COALESCE(src.c_custkey, c.c_custkey) AS c_custkey,
+           ROUND(COALESCE(src.c_acctbal, c.c_acctbal), 2) AS c_acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN src.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS _action
+    FROM customer c FULL OUTER JOIN src ON c.c_custkey = src.c_custkey
+    """,
+)
+def merge_upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO shape (operators/merge.py merge_upsert — SCD1 upsert
+    without a table format): a deterministic change batch — 1998+ spenders
+    get their balance bumped by 0.1% of their order volume (exact decimal
+    arithmetic), suppliers arrive as brand-new customer rows under an
+    offset key — merges into the customer dim. Matched keys update,
+    source-only keys insert, the rest keep. One full-outer join on the
+    key; a real daily batch broadcasts, leaving the dimension unshuffled."""
+    from app_insights_generator_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    changes = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (
+                F.any_value(_x.money("c_acctbal"))
+                + F.sum(_x.money("o_totalprice")) * F.lit(0.001).cast("decimal(4,3)")
+            )
+            .cast("double")
+            .alias("c_acctbal")
+        )
+    )
+    inserts = _t(spark, sf_dir, "supplier").select(
+        (F.lit(100000) + F.col("s_suppkey")).alias("c_custkey"),
+        _x.money("s_acctbal").cast("double").alias("c_acctbal"),
+    )
+    src = changes.unionByName(inserts)
+    merged = merge_upsert(c, src, keys=["c_custkey"])
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "_action"
+    )

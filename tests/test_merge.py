@@ -1,0 +1,54 @@
+"""merge_upsert (operators/merge.py): MERGE INTO semantics on constructed
+frames — matched rows update, source-only keys insert, target-only keys
+keep, and source columns may be a subset of the target's."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators.merge import merge_upsert
+
+
+def test_merge_actions_and_values(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "name", "bal"],
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0), (4, 40.0)],  # update id=2, insert id=4; no `name` column
+        ["id", "bal"],
+    )
+    out = {
+        r.id: (r.name, r.bal, r._action)
+        for r in merge_upsert(target, source, keys=["id"]).collect()
+    }
+    assert out == {
+        1: ("a", 10.0, "keep"),
+        2: ("b", 99.0, "update"),  # bal overwritten, name preserved
+        3: ("c", 30.0, "keep"),
+        4: (None, 40.0, "insert"),  # unlisted column NULL on insert
+    }
+
+
+def test_merge_rejects_unknown_source_columns(spark):
+    target = spark.createDataFrame([(1, 1.0)], ["id", "bal"])
+    source = spark.createDataFrame([(1, 1.0)], ["id", "nope"])
+    with pytest.raises(ValueError, match="nope"):
+        merge_upsert(target, source, keys=["id"])
+
+
+def test_merge_composite_key(spark):
+    target = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], ["id", "k2", "v"]
+    )
+    source = spark.createDataFrame(
+        [(1, "y", 9.0), (2, "x", 5.0)], ["id", "k2", "v"]
+    )
+    out = {
+        (r.id, r.k2): (r.v, r._action)
+        for r in merge_upsert(target, source, keys=["id", "k2"]).collect()
+    }
+    assert out == {
+        (1, "x"): (1.0, "keep"),
+        (1, "y"): (9.0, "update"),
+        (2, "x"): (5.0, "insert"),
+    }
