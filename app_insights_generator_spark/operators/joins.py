@@ -81,3 +81,61 @@ def asof_join(
             *[F.when(within, F.col(o)).alias(o) for o in out_values],
         )
     return out.select(*on, F.col("_ats").alias(left_ts), *left_payload, *out_values)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    keys: Sequence[str] = (),
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap join: every (a, b) pair (same ``keys``)
+    whose [start, end] epoch-second intervals overlap (closed ends:
+    a_start <= b_end AND b_start <= a_end).
+
+    A naive theta join is a nested loop — O(|a| x |b|) per key group. This
+    plans as a HASH join instead: each interval explodes into the
+    fixed-width epoch buckets it touches (sequence + explode, generated
+    distributed), the sides equi-join on (keys..., bucket), duplicate
+    bucket hits collapse with a distinct on the pair identity, and the
+    exact overlap predicate verifies the candidates — the same
+    candidate-generate-then-verify shape as the LSH band joins. Candidate
+    cost is bounded by intervals-per-bucket, not group size; pick
+    ``bucket_width`` near the typical interval length so most intervals
+    touch O(1) buckets.
+
+    Inputs must carry epoch-second (integer) start/end columns; all of
+    a's and b's columns survive (b's renamed with a ``b_`` prefix on
+    collision).
+    """
+    keys = list(keys)
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width).cast("long"),
+                    F.floor(F.col(e) / bucket_width).cast("long"),
+                )
+            ),
+        )
+
+    rename = {c: f"b_{c}" for c in b.columns if c in a.columns and c not in keys}
+    b2 = b.select(
+        [F.col(c).alias(rename.get(c, c)) for c in b.columns]
+    )
+    bs, be = rename.get(b_start, b_start), rename.get(b_end, b_end)
+
+    aa = bucketed(a, a_start, a_end)
+    bb = bucketed(b2, bs, be)
+    joined = aa.join(bb, [*keys, "_bk"]).filter(
+        (F.col(a_start) <= F.col(be)) & (F.col(bs) <= F.col(a_end))
+    )
+    # A pair overlapping k shared buckets appears k times: keep one.
+    out_cols = [*a.columns, *[rename.get(c, c) for c in b.columns if c not in keys]]
+    return joined.select(*out_cols).distinct()

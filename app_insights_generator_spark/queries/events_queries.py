@@ -798,3 +798,68 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z + 1e-9, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "interval_overlap_sessions_errors",
+    """
+    WITH spans AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(MIN(epoch_us(ts) // 1000000) AS BIGINT) AS span_start,
+             CAST(MAX(epoch_us(ts) // 1000000) AS BIGINT) AS span_end
+      FROM events GROUP BY 1, 2
+    ),
+    errs AS (
+      SELECT user_id, event_id AS error_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS err_start,
+             CAST(epoch_us(ts) // 1000000 + 1800 AS BIGINT) AS err_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.day, s.span_start, s.span_end,
+           e.error_id, e.err_start, e.err_end
+    FROM spans s JOIN errs e
+      ON s.user_id = e.user_id
+     AND s.span_start <= e.err_end AND e.err_start <= s.span_end
+    """,
+)
+def interval_overlap_sessions_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/joins.py
+    interval_overlap_join): each user's daily activity span [first event,
+    last event] joined to the same user's 30-minute error windows it
+    overlaps. The operator explodes both interval sets into fixed-width
+    epoch buckets and equi-joins on (user_id, bucket) — a HASH join whose
+    candidate cost is intervals-per-bucket, never the per-user nested loop
+    a raw theta join plans (the oracle states the theta form; DuckDB can
+    afford it at gate scale). Completes the temporal-join taxonomy next to
+    as-of (point to latest point) and range (point into interval)."""
+    from app_insights_generator_spark.operators.joins import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86_400).cast("long")
+    spans = (
+        ev.select("user_id", day.alias("day"), epoch.alias("_e"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("_e").cast("long").alias("span_start"),
+            F.max("_e").cast("long").alias("span_end"),
+        )
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        epoch.alias("err_start"),
+        (epoch + 1800).cast("long").alias("err_end"),
+    )
+    return interval_overlap_join(
+        spans,
+        errs,
+        "span_start",
+        "span_end",
+        "err_start",
+        "err_end",
+        keys=["user_id"],
+        bucket_width=21600,
+    ).select(
+        "user_id", "day", "span_start", "span_end", "error_id", "err_start", "err_end"
+    )

@@ -64,3 +64,36 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     )
     for r in both.collect():
         assert abs(r.approx - r.exact) / max(r.exact, 1) < 0.05
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Constructed intervals: closed-end overlap, bucket-spanning
+    intervals deduped to one pair, key isolation, non-overlap excluded."""
+    from app_insights_generator_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 10, 100, 200),   # overlaps b10 (end-touch), b11; not b12
+         (1, 11, 5000, 9000), # spans many buckets with b13 -> must dedup
+         (2, 20, 100, 200)],  # same span, other key: only matches b20
+        ["k", "aid", "s", "e"],
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 200, 300),    # touches a10 at 200 (closed ends)
+         (1, 11, 150, 160),    # inside a10
+         (1, 12, 201, 300),    # just past a10
+         (1, 13, 4000, 10000), # spans buckets with a11
+         (2, 20, 0, 100)],
+        ["k", "bid", "s", "e"],
+    )
+    out = {
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, "s", "e", "b_s", "b_e", keys=["k"], bucket_width=1000
+        ).collect()
+    }
+    assert out == {(10, 10), (10, 11), (11, 13), (20, 20)}
+    # dedup check: the multi-bucket pair (11, 13) appears exactly once
+    rows = interval_overlap_join(
+        a, b, "s", "e", "b_s", "b_e", keys=["k"], bucket_width=1000
+    ).collect()
+    assert len(rows) == len(out)
