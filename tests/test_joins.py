@@ -97,3 +97,40 @@ def test_interval_overlap_join_semantics(spark):
         a, b, "s", "e", "b_s", "b_e", keys=["k"], bucket_width=1000
     ).collect()
     assert len(rows) == len(out)
+
+
+def test_interval_overlap_join_matches_bruteforce_property(spark):
+    """Property check: on a randomized interval corpus the bucketed join
+    emits EXACTLY the brute-force overlap set, for bucket widths far
+    smaller and far larger than the interval lengths."""
+    import random
+
+    rng = random.Random(11)
+    a_rows = [
+        (k, i, s, s + rng.randrange(0, 5000))
+        for i in range(120)
+        for k, s in [(rng.randrange(3), rng.randrange(100_000))]
+    ]
+    b_rows = [
+        (k, i, s, s + rng.randrange(0, 5000))
+        for i in range(120)
+        for k, s in [(rng.randrange(3), rng.randrange(100_000))]
+    ]
+    truth = {
+        (ak, ai, bi)
+        for ak, ai, as_, ae in a_rows
+        for bk, bi, bs, be in b_rows
+        if ak == bk and as_ <= be and bs <= ae
+    }
+    from app_insights_generator_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(a_rows, ["k", "aid", "s", "e"])
+    b = spark.createDataFrame(b_rows, ["k", "bid", "s", "e"])
+    for width in (100, 1000, 50_000):
+        got = {
+            (r.k, r.aid, r.bid)
+            for r in interval_overlap_join(
+                a, b, "s", "e", "b_s", "b_e", keys=["k"], bucket_width=width
+            ).collect()
+        }
+        assert got == truth, f"width={width}: {len(got)} vs {len(truth)}"

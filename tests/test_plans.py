@@ -171,3 +171,22 @@ def test_lm_quality_model_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lm_quality_bigram_documents")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+    """The bucketed interval-overlap join must plan as a real equi hash
+    join (bucket key carries the equi condition) — never the nested-loop
+    a raw theta join would give, which is the whole point of the
+    candidate-generate-then-verify shape."""
+    plan = _plan(spark, sf_dir, "interval_overlap_sessions_errors")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        f"interval overlap degraded to a nested loop:\n{plan}"
+    )
+
+
+def test_merge_upsert_is_single_join(spark, sf_dir):
+    """MERGE INTO shape: one full-outer (or AQE-broadcast) join, no
+    Cartesian, no repeated scan of the dimension."""
+    plan = _plan(spark, sf_dir, "merge_upsert_customer_balances")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") >= 1 or "full_outer" in plan.lower()
