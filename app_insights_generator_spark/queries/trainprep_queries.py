@@ -401,3 +401,65 @@ def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFram
     return tagged.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
     )
+
+
+@register(
+    "decontaminate_semantic_embeddings",
+    """
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS bn
+      FROM embeddings WHERE vec_id < 50
+    ),
+    corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    sims AS (
+      SELECT c.vec_id,
+             CASE WHEN c.cn * b.bn > 0
+                  THEN list_dot_product(c.cv, b.bv) / (c.cn * b.bn)
+                  ELSE 0.0 END AS sim
+      FROM corpus c CROSS JOIN bench b
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) FILTER (WHERE sim + 1e-9 >= 0.25) AS BIGINT)
+             AS n_bench_hits,
+           ROUND(MAX(sim) + 1e-9, 6) AS max_bench_sim,
+           CASE WHEN COUNT(*) FILTER (WHERE sim + 1e-9 >= 0.25) > 0
+                THEN 'drop' ELSE 'keep' END AS decision
+    FROM sims GROUP BY vec_id
+    """,
+)
+def decontaminate_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space twin of
+    decontaminate_ngram_documents: a training example is dropped when its
+    embedding is cosine-similar (>= 0.25, +1e-9 boundary bias) to ANY
+    benchmark vector (vec_ids < 50 stand in for the eval set). The
+    benchmark side is small by nature, so the plan is a BROADCAST
+    nested-loop over a constant-size set — a single linear scan of the
+    corpus at any scale, no shuffle (at very large bench sets, swap in the
+    banded-LSH similarity join). Cosine is the left-to-right fold dot
+    product, byte-identical to DuckDB's list_dot_product evaluation
+    order, so every similarity is the same double in both engines."""
+    from app_insights_generator_spark.operators.similarity import cosine
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    bench = F.broadcast(
+        embs.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv")
+        )
+    )
+    corpus = embs.filter(F.col("vec_id") >= 50).select("vec_id", "embedding")
+    sims = corpus.crossJoin(bench).select(
+        "vec_id", cosine(F.col("embedding"), F.col("bv")).alias("sim")
+    )
+    hit = F.col("sim") + F.lit(1e-9) >= 0.25
+    return sims.groupBy("vec_id").agg(
+        F.count_if(hit).cast("bigint").alias("n_bench_hits"),
+        F.round(F.max("sim") + 1e-9, 6).alias("max_bench_sim"),
+        F.when(F.count_if(hit) > 0, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    )
