@@ -224,3 +224,22 @@ def test_late_data_dropped_after_watermark(spark):
     # The fresh event's earlier-window flush proves run 2 processed data:
     # the 60:00 window (offset-60 event from run 1) is now finalized.
     assert final.get(w0 + 3600) == 1, final
+
+
+def test_streaming_anomaly_matches_batch(spark, sf_dir, events_stream):
+    """The stateful streaming z-score detector must flag EXACTLY the same
+    events as the batch anomaly_zscore_events window query, with
+    bit-identical scores (both derive mean/var from exact cent sums with
+    the same double algebra)."""
+    from app_insights_generator_spark.streaming.anomaly import user_zscore_anomalies
+
+    got = run_to_memory(
+        user_zscore_anomalies(events_stream), "t_anomaly", output_mode="update"
+    )
+    batch = QUERIES["anomaly_zscore_events"](spark, sf_dir)
+    g = {r.event_id: r.zscore for r in got.collect()}
+    b = {r.event_id: r.zscore for r in batch.collect()}
+    assert set(g) == set(b)
+    for eid, z in b.items():
+        # batch emits round(z + 1e-9, 4); undo nothing — compare rounded
+        assert abs(round(g[eid] + 1e-9, 4) - z) < 5e-4, (eid, g[eid], z)
