@@ -1311,3 +1311,60 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "corpus_report_documents",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_TOKS}) AS n_toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+             CAST(ROUND({_quality_score_sql()} + 1e-9, 1) AS DECIMAL(4,1)) AS q,
+             {_lang_scores_sql()}
+      FROM documents
+    ),
+    lp AS (SELECT *, {_lang_case_sql()} AS lang_pred FROM scored)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT digest) AS n_unique_texts,
+           CAST((COUNT(*) - COUNT(DISTINCT digest)) * 10000 // COUNT(*) AS BIGINT)
+             AS dup_rate_bp,
+           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(q) + 1e-9, 4) AS mean_quality,
+           CAST(COUNT(*) FILTER (WHERE lang_pred = 'en') AS BIGINT) AS n_english
+    FROM lp GROUP BY source
+    """,
+)
+def corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus observability report — the dashboard row a training
+    pipeline checks before every run: per source, document and token
+    volume, exact-dup rate (md5 of normalized text, integer basis points),
+    mean quality (exact 1-decimal decimal sum), and language mix. ONE scan
+    + one shuffle on source (COUNT(DISTINCT digest) expands per group);
+    every metric is integer or exact-decimal, so the gate is
+    float-drift-proof."""
+    docs = _docs(spark, sf_dir)
+    toks_n = T.token_count(F.col("text")).alias("n_toks")
+    scored = docs.select(
+        "source",
+        toks_n,
+        T.fingerprint_md5(F.col("text")).alias("digest"),
+        F.round(T.quality_score(F.col("text")) + 1e-9, 1)
+        .cast("decimal(4,1)")
+        .alias("q"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.countDistinct("digest").alias("n_unique_texts"),
+        ((cnt - F.countDistinct("digest")) * 10000 / cnt)
+        .cast("bigint")
+        .alias("dup_rate_bp"),
+        F.round(F.sum("q").cast("double") / F.count("q") + 1e-9, 4).alias(
+            "mean_quality"
+        ),
+        F.count_if(F.col("lang_pred") == "en").cast("bigint").alias("n_english"),
+    )
