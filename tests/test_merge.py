@@ -52,3 +52,42 @@ def test_merge_composite_key(spark):
         (1, "y"): (9.0, "update"),
         (2, "x"): (5.0, "insert"),
     }
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    t_keys=st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True),
+    s_keys=st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True),
+    seed=st.integers(0, 1000),
+)
+def test_merge_matches_dict_oracle_property(spark, t_keys, s_keys, seed):
+    """Property: merge_upsert equals the trivial dict-merge oracle for any
+    overlap pattern of target/source key sets (including empty sides)."""
+    import random
+
+    rng = random.Random(seed)
+    target_rows = [(k, rng.randrange(100)) for k in t_keys]
+    source_rows = [(k, 100 + rng.randrange(100)) for k in s_keys]
+    expect = {}
+    for k, v in target_rows:
+        expect[k] = (v, "keep")
+    for k, v in source_rows:
+        expect[k] = (v, "update" if any(tk == k for tk, _ in target_rows) else "insert")
+
+    target = spark.createDataFrame(target_rows, "id int, v int") if target_rows else \
+        spark.createDataFrame([], "id int, v int")
+    source = spark.createDataFrame(source_rows, "id int, v int") if source_rows else \
+        spark.createDataFrame([], "id int, v int")
+    got = {
+        r.id: (r.v, r._action)
+        for r in merge_upsert(target, source, keys=["id"]).collect()
+    }
+    assert got == expect
