@@ -276,6 +276,36 @@ def synthesize_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
     )
 
 
+def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate REAL compressed payloads: 8-bit RGB PNGs (zlib DEFLATE —
+    the first genuinely compressed format in the codec set), one per id,
+    using scanline filter ``id % 5`` so the distributed decode path
+    exercises every PNG filter type. Pixels are the closed-form gradient
+    px[y, x, c] = (3y + 7x + id + 11c) % 256, so an external oracle can
+    predict width, height, and the R-channel sum without any codec."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 * (2 + mid % 6), 3 * (1 + mid % 5)
+                y, x = np.mgrid[0:h, 0:w]
+                base = (3 * y + 7 * x + mid) % 256
+                px = np.stack([(base + 11 * c) % 256 for c in range(3)], axis=2)
+                rows.append(
+                    (mid, "image_png", encode_png(px.astype("u1"), filter_type=mid % 5))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=REAL_MEDIA_SCHEMA
+    )
+
+
 def extract_real_media_features(media: DataFrame) -> DataFrame:
     """REAL decode path (no stub): parses actual BMP headers/pixels and WAV
     chunk lists/PCM samples with the pure-numpy codecs. Same Arrow-batched
@@ -284,7 +314,11 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
     raise (fail loudly, never emit garbage features)."""
     import numpy as np
 
-    from app_insights_generator_spark.operators.codecs import decode_bmp, decode_wav
+    from app_insights_generator_spark.operators.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -295,6 +329,12 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                 raw = bytes(content)
                 if mtype == "image":
                     px = decode_bmp(raw)
+                    h, w, _ = px.shape
+                    out.append(
+                        (int(mid), mtype, w, h, None, int(px[:, :, 0].astype("i8").sum()))
+                    )
+                elif mtype == "image_png":
+                    px = decode_png(raw)
                     h, w, _ = px.shape
                     out.append(
                         (int(mid), mtype, w, h, None, int(px[:, :, 0].astype("i8").sum()))
@@ -384,7 +424,11 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    from app_insights_generator_spark.operators.codecs import decode_bmp, decode_wav
+    from app_insights_generator_spark.operators.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+    )
 
     def batches(it):
         for rb in it:
@@ -394,8 +438,8 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
             width, height, dur, psum = [], [], [], []
             for mtype, content in zip(mtypes, contents):
                 raw = bytes(content)
-                if mtype == "image":
-                    px = decode_bmp(raw)
+                if mtype in ("image", "image_png"):
+                    px = decode_bmp(raw) if mtype == "image" else decode_png(raw)
                     h, w, _ = px.shape
                     width.append(w)
                     height.append(h)

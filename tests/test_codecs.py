@@ -103,3 +103,48 @@ def test_map_in_arrow_equals_map_in_pandas(spark):
     a = {tuple(r) for r in extract_real_media_features(media).collect()}
     b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
     assert a == b and len(a) == 30
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in ((13, 17), (9, 5, 3), (6, 4, 4), (1, 1, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            back = decode_png(encode_png(img, filter_type=ft))
+            assert back.shape == img.shape and (back == img).all(), (shape, ft)
+
+
+def test_png_malformed_rejected():
+    import numpy as np
+    import pytest
+
+    from app_insights_generator_spark.operators.codecs import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + good[2:])
+    with pytest.raises(ValueError, match="CRC"):
+        bad = bytearray(good)
+        bad[good.index(b"IDAT") + 6] ^= 0xFF  # corrupt an IDAT body byte
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-8])
+
+
+def test_png_media_arrow_twin_matches_pandas(spark):
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        extract_real_media_features_arrow,
+        synthesize_png_media,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "media_id")
+    media = synthesize_png_media(ids, "media_id").persist()
+    a = {tuple(r) for r in extract_real_media_features(media).collect()}
+    b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
+    media.unpersist()
+    assert a == b and len(a) == 40
