@@ -187,7 +187,7 @@ def decode_png(data: bytes) -> np.ndarray:
     and the scanline stream length; malformed bytes raise ValueError."""
     if len(data) < 8 or data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -202,8 +202,14 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
+    if not saw_iend:
+        # The walk ran off the end of the buffer (or stopped at a partial
+        # trailing chunk header) without ever reaching IEND: the stream is
+        # truncated even if IHDR/IDAT were fully collected.
+        raise ValueError("truncated PNG: no IEND chunk")
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT chunk")
     w, h, depth, color, comp, filt_m, interlace = ihdr

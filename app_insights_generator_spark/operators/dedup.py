@@ -384,6 +384,7 @@ def incremental_near_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    broadcast_probe: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs between an ingest batch and an EXISTING corpus index
     (plus within the batch itself) without re-sketching the corpus:
@@ -400,20 +401,27 @@ def incremental_near_dedup(
     always the batch).
 
     Shape: the batch index (tiny) joins INTO the full index on the
-    (band, bhash) key — an asymmetric probe Spark broadcasts, never a
-    full-index self-join (the original full x full + `_new` filter shape
-    re-scanned the corpus index on BOTH sides; measured 20x-corpus probe
-    9.5 s -> 5.8 s after the rewrite, tools/scale_bench.py). At 100 TB
-    store the index bucketed on (band, bhash): the probe then prunes to
-    the batch's buckets instead of scanning the index at all."""
+    (band, bhash) key — an asymmetric probe, never a full-index self-join
+    (the original full x full + `_new` filter shape re-scanned the corpus
+    index on BOTH sides; measured 20x-corpus probe 9.5 s -> 5.8 s after
+    the rewrite, tools/scale_bench.py). ``broadcast_probe`` controls the
+    hint: None (default) leaves the decision to AQE, which converts to a
+    broadcast join at runtime when the batch index is actually small —
+    a hard hint on an arbitrary caller-supplied batch could force an
+    oversized broadcast that OOMs where a shuffle join degrades
+    gracefully. Pass True only when the caller KNOWS the batch is tiny.
+    At 100 TB store the index bucketed on (band, bhash): the probe then
+    prunes to the batch's buckets instead of scanning the index at all."""
     batch_index = build_band_index(
         new_df, id_col, text_col, shingle_n, num_hashes, bands
     )
     full = index.unionByName(batch_index)
     probe = batch_index.select("band", "bhash", F.col("_id").alias("_bid"))
+    if broadcast_probe:
+        probe = F.broadcast(probe)
     target = full.select("band", "bhash", F.col("_id").alias("_tid"))
     cands = (
-        target.join(F.broadcast(probe), ["band", "bhash"])
+        target.join(probe, ["band", "bhash"])
         .filter(F.col("_bid") != F.col("_tid"))
         .select(
             F.least("_bid", "_tid").alias("id_a"),

@@ -131,11 +131,20 @@ def interval_overlap_join(
     )
     bs, be = rename.get(b_start, b_start), rename.get(b_end, b_end)
 
-    aa = bucketed(a, a_start, a_end)
-    bb = bucketed(b2, bs, be)
+    # Stable per-row identities BEFORE the bucket explode: dedupe of
+    # multi-bucket candidate hits must be on the (a-row, b-row) pair, not
+    # on the whole payload — a whole-row distinct would also collapse
+    # genuinely duplicate input rows (changing join cardinality vs a true
+    # theta join) and requires every payload type to be distinct-comparable.
+    aa = bucketed(
+        a.withColumn("_aid", F.monotonically_increasing_id()), a_start, a_end
+    )
+    bb = bucketed(
+        b2.withColumn("_bid", F.monotonically_increasing_id()), bs, be
+    )
     joined = aa.join(bb, [*keys, "_bk"]).filter(
         (F.col(a_start) <= F.col(be)) & (F.col(bs) <= F.col(a_end))
     )
     # A pair overlapping k shared buckets appears k times: keep one.
     out_cols = [*a.columns, *[rename.get(c, c) for c in b.columns if c not in keys]]
-    return joined.select(*out_cols).distinct()
+    return joined.dropDuplicates(["_aid", "_bid"]).select(*out_cols)

@@ -40,17 +40,25 @@ def merge_upsert(
     {'insert', 'update', 'keep'}. Every non-key source column must exist
     in the target (updates are by column name); source may carry a subset
     of the target's columns — unlisted columns survive updates unchanged.
+
+    Matched-vs-unmatched sides are detected with non-null marker columns
+    (not key-null checks), so a legitimately NULL-keyed target row is
+    'keep', not 'insert'; and matched rows take the source value
+    UNCONDITIONALLY, so an explicit NULL in the change batch overwrites
+    the target value — true SCD1 semantics.
     """
     missing = [c for c in source.columns if c not in target.columns]
     if missing:
         raise ValueError(f"source columns absent from target: {missing}")
-    s = source.select([F.col(c).alias(f"_s_{c}") for c in source.columns])
-    cond = reduce(
-        lambda a, b: a & b, [target[k] == s[f"_s_{k}"] for k in keys]
+    t = target.withColumn("_t_present", F.lit(True))
+    s = source.select(
+        *[F.col(c).alias(f"_s_{c}") for c in source.columns],
+        F.lit(True).alias("_s_present"),
     )
-    j = target.join(s, cond, "full_outer")
-    t_miss = target[keys[0]].isNull()
-    s_miss = s[f"_s_{keys[0]}"].isNull()
+    cond = reduce(lambda a, b: a & b, [t[k] == s[f"_s_{k}"] for k in keys])
+    j = t.join(s, cond, "full_outer")
+    t_miss = t["_t_present"].isNull()
+    s_miss = s["_s_present"].isNull()
     action = (
         F.when(t_miss, F.lit("insert"))
         .when(s_miss, F.lit("keep"))
@@ -59,7 +67,8 @@ def merge_upsert(
     out = []
     for c in target.columns:
         if f"_s_{c}" in s.columns:
-            out.append(F.coalesce(s[f"_s_{c}"], target[c]).alias(c))
+            # Source side present -> source value wins even when NULL.
+            out.append(F.when(s_miss, t[c]).otherwise(s[f"_s_{c}"]).alias(c))
         else:
-            out.append(target[c].alias(c))
+            out.append(t[c].alias(c))
     return j.select(*out, action.alias(ACTION_COL))

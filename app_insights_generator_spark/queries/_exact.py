@@ -99,3 +99,110 @@ def charge(price="l_extendedprice", disc="l_discount", tax="l_tax") -> Column:
 def money_sum(expr, nd: int = 2) -> Column:
     """ROUND(SUM(decimal expr), nd) as double — alias at the call site."""
     return F.round(F.sum(_c(expr)), nd).cast("double")
+
+
+# Integer-cents fast path (round-4 verdict item 5) ------------------------
+#
+# Decimal128 aggregation runs interpreted, not on the codegen'd long
+# fast path — q1 regressed +131% when money sums moved to DECIMAL. Money
+# columns are exact 2-decimal values, so the SAME exactness is available
+# in integer cents: CAST(ROUND(col*100) AS BIGINT) is the exact cent
+# count per row (col*100 in double is within 1 ulp of the true integer,
+# ROUND recovers it; no half-way cases can occur), and SUM(bigint) is
+# exact, order-independent, and codegen'd. Measured at sf0.1 (median of
+# 5, tools/bench_money.py): decimal 0.78s, cents 0.48s, split-cents
+# 0.53s — value-IDENTICAL outputs on all variants.
+#
+# Overflow headroom: plain money sums are cents (<= ~9e16 dollars —
+# safe at any scale). Products (price x (1±frac)) are exact in 1e-4 /
+# 1e-6 dollar units whose direct bigint sums could overflow near 100 TB
+# in low-cardinality groups (~6e11 rows x ~3.6e10 units), so product
+# sums SPLIT each row into whole-dollar and sub-dollar integer parts,
+# aggregate both (each partial < 2^63 by a wide margin), and recombine:
+#   sum_units = H*M + L  (M = units per dollar)
+#   cents     = (sum_units + half) DIV per_cent
+#             = H*100 + (L + half) DIV per_cent      [M % per_cent == 0]
+# — exact half-up integer rounding with no overflow. Spark `DIV` and
+# DuckDB `//` agree on the non-negative values involved.
+#
+# Windowed money sums and mixed decimal arithmetic (running totals,
+# merge_upsert's balance math) stay on the DECIMAL helpers above: they
+# aggregate per-window/per-key (no 1e11-row groups), and the decimal
+# forms read as the documented exactness argument.
+
+#: exact integer cents of a 2-decimal money column (same text both engines)
+SQL_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def sql_cents(col: str) -> str:
+    return SQL_CENTS.format(col=col)
+
+
+def sql_cents_sum(col: str) -> str:
+    """SUM of a plain money column via bigint cents, as DOUBLE."""
+    return f"(SUM({sql_cents(col)}) / CAST(100 AS DOUBLE))"
+
+
+def _sql_u4(price: str, disc: str) -> str:
+    """price * (1 - disc) in exact 1e-4-dollar integer units."""
+    return f"({sql_cents(price)} * (100 - {sql_cents(disc)}))"
+
+
+def _sql_u6(price: str, disc: str, tax: str) -> str:
+    """price * (1 - disc) * (1 + tax) in exact 1e-6-dollar integer units."""
+    return f"({_sql_u4(price, disc)} * (100 + {sql_cents(tax)}))"
+
+
+def _sql_split_sum(u: str, m: int, per_cent: int, div: str) -> str:
+    """Overflow-safe half-up cents of SUM(u): hi/lo split recombined."""
+    half = per_cent // 2
+    return (
+        f"(SUM({u} {div} {m}) * 100"
+        f" + (SUM({u} % {m}) + {half}) {div} {per_cent})"
+    )
+
+
+def sql_cents_sum_disc_price(
+    price: str = "l_extendedprice", disc: str = "l_discount", div: str = "//"
+) -> str:
+    """SUM(price * (1 - disc)) rounded half-up to cents, as DOUBLE.
+    ``div='//'`` for DuckDB oracles; the Spark twin uses ``DIV``."""
+    return f"({_sql_split_sum(_sql_u4(price, disc), 10_000, 100, div)} / CAST(100 AS DOUBLE))"
+
+
+def sql_cents_sum_charge(
+    price: str = "l_extendedprice",
+    disc: str = "l_discount",
+    tax: str = "l_tax",
+    div: str = "//",
+) -> str:
+    """SUM(price * (1 - disc) * (1 + tax)) half-up to cents, as DOUBLE."""
+    return (
+        f"({_sql_split_sum(_sql_u6(price, disc, tax), 1_000_000, 10_000, div)}"
+        " / CAST(100 AS DOUBLE))"
+    )
+
+
+def cents(col) -> Column:
+    """Exact integer cents of a 2-decimal money column."""
+    return F.round(_c(col) * 100, 0).cast("bigint")
+
+
+def cents_sum(col: str) -> Column:
+    """SUM of a plain money column via bigint cents — twin of
+    ``sql_cents_sum``; double result, alias at the call site."""
+    return F.expr(sql_cents_sum(col))
+
+
+def cents_sum_disc_price(
+    price: str = "l_extendedprice", disc: str = "l_discount"
+) -> Column:
+    return F.expr(sql_cents_sum_disc_price(price, disc, div="DIV"))
+
+
+def cents_sum_charge(
+    price: str = "l_extendedprice",
+    disc: str = "l_discount",
+    tax: str = "l_tax",
+) -> Column:
+    return F.expr(sql_cents_sum_charge(price, disc, tax, div="DIV"))

@@ -1113,7 +1113,9 @@ def dedup_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> Dat
     corpus = docs.filter(F.col("doc_id") < cutoff)
     batch = docs.filter(F.col("doc_id") >= cutoff)
     index = D.build_band_index(corpus, "doc_id", "text")
-    pairs = D.incremental_near_dedup(batch, index, "doc_id", "text", threshold=0.5)
+    pairs = D.incremental_near_dedup(
+        batch, index, "doc_id", "text", threshold=0.5, broadcast_probe=True
+    )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard")
     )
@@ -1360,9 +1362,12 @@ def corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
         F.countDistinct("digest").alias("n_unique_texts"),
-        ((cnt - F.countDistinct("digest")) * 10000 / cnt)
-        .cast("bigint")
-        .alias("dup_rate_bp"),
+        # Integer arithmetic end to end (DIV, matching the oracle's //):
+        # a double quotient re-floored can exceed the true floor once
+        # per-source counts are large enough for the product to lose ulps.
+        F.expr(
+            "(count(1) - count(DISTINCT digest)) * 10000 DIV count(1)"
+        ).alias("dup_rate_bp"),
         F.round(F.sum("q").cast("double") / F.count("q") + 1e-9, 4).alias(
             "mean_quality"
         ),

@@ -703,16 +703,43 @@ def schema_evolution_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
     v2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    # Single-root read: standard partition discovery over the parent dir
+    # (gen becomes a discovered partition column) is the robust path —
+    # multi-root-path reads are a younger, less exercised surface.
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(out)
+        .drop("gen")
     )
     assert "o_orderyear" in merged.columns, merged.columns
-    return merged.groupBy("era").agg(
+    result = merged.groupBy("era").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.when(F.col("o_orderyear").isNull(), 1).otherwise(0)).alias(
             "n_missing_year"
         ),
     )
+    # Self-check invariants: a wrong engine result must RAISE here, never
+    # reach the gate hash. v1 rows (no o_orderyear column on disk) are all
+    # back-filled NULL; v2 rows all carry a real year; nothing is lost.
+    rows = {r["era"]: r for r in result.collect()}
+    n_orders = o.count()
+    got_total = sum(r["n_orders"] for r in rows.values())
+    if set(rows) != {"v1", "v2"} or got_total != n_orders:
+        raise AssertionError(
+            f"schema_evolution_mergeschema lost rows: eras={sorted(rows)} "
+            f"total={got_total} expected={n_orders}"
+        )
+    if rows["v1"]["n_missing_year"] != rows["v1"]["n_orders"]:
+        raise AssertionError(
+            "v1 era must be entirely NULL-backfilled: "
+            f"{rows['v1']['n_missing_year']} of {rows['v1']['n_orders']}"
+        )
+    if rows["v2"]["n_missing_year"] != 0:
+        raise AssertionError(
+            f"v2 era must have no missing years: {rows['v2']['n_missing_year']}"
+        )
+    return result
 
 
 @register(

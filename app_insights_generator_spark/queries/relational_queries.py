@@ -30,12 +30,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           {_x.sql_money_sum(_x.sql_money('l_extendedprice'))} AS sum_base_price,
-           {_x.sql_money_sum(_x.sql_disc_price())} AS sum_disc_price,
-           {_x.sql_money_sum(_x.sql_charge())} AS sum_charge,
+           {_x.sql_cents_sum('l_extendedprice')} AS sum_base_price,
+           {_x.sql_cents_sum_disc_price()} AS sum_disc_price,
+           {_x.sql_cents_sum_charge()} AS sum_charge,
            ROUND(AVG(l_quantity) + 1e-9, 2) AS avg_qty,
-           ROUND({_x.sql_mean(_x.sql_money('l_extendedprice'))} + 1e-9, 2) AS avg_price,
-           ROUND({_x.sql_mean('CAST(l_discount AS DECIMAL(4,2))')} + 1e-9, 4) AS avg_disc,
+           ROUND((SUM({_x.sql_cents('l_extendedprice')}) / CAST(100 AS DOUBLE))
+                 / COUNT(*) + 1e-9, 2) AS avg_price,
+           ROUND((SUM({_x.sql_cents('l_discount')}) / CAST(100 AS DOUBLE))
+                 / COUNT(*) + 1e-9, 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,8 +47,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial+final hash aggregation with multiple aggregates; the filter
     pushes into the parquet scan (PushedFilters on l_shipdate). Money sums
-    run in exact DECIMAL (quantity is integral, hence exact in double);
-    averages divide an exact decimal sum by the row count — see _exact.py."""
+    run as exact integer-cents BIGINT aggregates on the codegen'd long
+    fast path (value-identical to the DECIMAL path, measured 32% faster —
+    _exact.py cents rationale); quantity is integral, hence exact in
+    double; averages divide the exact cents sum by the row count."""
     li = _t(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return (
@@ -54,18 +58,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _x.money_sum(_x.money("l_extendedprice")).alias("sum_base_price"),
-            _x.money_sum(_x.disc_price()).alias("sum_disc_price"),
-            _x.money_sum(_x.charge()).alias("sum_charge"),
+            _x.cents_sum("l_extendedprice").alias("sum_base_price"),
+            _x.cents_sum_disc_price().alias("sum_disc_price"),
+            _x.cents_sum_charge().alias("sum_charge"),
             F.round(F.avg("l_quantity") + 1e-9, 2).alias("avg_qty"),
-            F.round(
-                F.sum(_x.money("l_extendedprice")).cast("double") / cnt + 1e-9, 2
-            ).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / cnt
-                + 1e-9,
-                4,
-            ).alias("avg_disc"),
+            F.round(_x.cents_sum("l_extendedprice") / cnt + 1e-9, 2).alias(
+                "avg_price"
+            ),
+            F.round(_x.cents_sum("l_discount") / cnt + 1e-9, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,7 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_revenue_by_nation",
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+           (SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE))
              AS revenue,
            COUNT(*) AS n_orders
     FROM orders o
@@ -100,7 +100,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            _x.money_sum(_x.money("o_totalprice")).alias("revenue"),
+            _x.cents_sum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -987,19 +987,37 @@ def recursive_cte_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part")
     part.select("p_partkey").createOrReplaceTempView("_rc_part")
-    return spark.sql(
+    # Integer `DIV` end to end — no double division feeding a cast, so the
+    # parent derivation cannot drift across engines or codegen paths.
+    result = spark.sql(
         """
         WITH RECURSIVE walk(p_partkey, depth) AS (
           SELECT p_partkey, 0 FROM _rc_part WHERE p_partkey = 0
           UNION ALL
           SELECT c.p_partkey, w.depth + 1
-          FROM _rc_part c JOIN walk w ON w.p_partkey = CAST(c.p_partkey / 4 AS BIGINT)
+          FROM _rc_part c JOIN walk w ON w.p_partkey = c.p_partkey DIV 4
           WHERE c.p_partkey > 0
         )
         SELECT depth, COUNT(*) AS n_parts, SUM(p_partkey) AS key_sum
         FROM walk GROUP BY depth
         """
     )
+    # Self-check invariants: every part is visited exactly once on a tree,
+    # so the depth histogram must partition the table. A wrong recursion
+    # result RAISES here instead of silently hash-failing at the gate.
+    totals = part.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p_partkey").alias("s")
+    ).collect()[0]
+    got = result.agg(
+        F.sum("n_parts").alias("n"), F.sum("key_sum").alias("s")
+    ).collect()[0]
+    if got["n"] != totals["n"] or got["s"] != totals["s"]:
+        raise AssertionError(
+            "recursive_cte_part_hierarchy did not visit every part exactly "
+            f"once: walked n={got['n']} key_sum={got['s']} vs table "
+            f"n={totals['n']} key_sum={totals['s']}"
+        )
+    return result
 
 
 @register(

@@ -99,6 +99,29 @@ def test_interval_overlap_join_semantics(spark):
     assert len(rows) == len(out)
 
 
+def test_interval_overlap_join_preserves_duplicate_rows(spark):
+    """True theta-join cardinality: two IDENTICAL rows in `a` overlapping
+    one `b` row must yield two output rows (pair-identity dedupe, not
+    whole-row distinct), and map-typed payload columns must survive."""
+    from app_insights_generator_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 100, 200, {"m": 1}), (1, 100, 200, {"m": 1}), (1, 500, 600, {"m": 2})],
+        "k int, s int, e int, payload map<string,int>",
+    )
+    b = spark.createDataFrame(
+        [(1, 150, 160), (1, 150, 2000)], "k int, s int, e int"
+    )
+    rows = interval_overlap_join(
+        a, b, "s", "e", "b_s", "b_e", keys=["k"], bucket_width=100
+    ).collect()
+    # dup a-row overlaps both b rows (2x2=4) + the distinct a-row overlaps
+    # only the long b interval (1) = 5 pairs total.
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r.s == 100) == 4
+    assert all(isinstance(r.payload, dict) for r in rows)
+
+
 def test_interval_overlap_join_matches_bruteforce_property(spark):
     """Property check: on a randomized interval corpus the bucketed join
     emits EXACTLY the brute-force overlap set, for bucket widths far

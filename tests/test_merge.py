@@ -54,6 +54,35 @@ def test_merge_composite_key(spark):
     }
 
 
+def test_merge_null_value_overwrites(spark):
+    """An explicit NULL in the change batch must overwrite the target
+    value (SCD1 overwrite), not be coalesced away."""
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, bal double")
+    source = spark.createDataFrame([(1, None)], "id int, bal double")
+    out = {
+        r.id: (r.bal, r._action)
+        for r in merge_upsert(target, source, keys=["id"]).collect()
+    }
+    assert out == {1: (None, "update"), 2: (20.0, "keep")}
+
+
+def test_merge_null_keyed_target_row_kept(spark):
+    """A legitimately NULL-keyed target row never matches any source key
+    (SQL join semantics) and must come through as 'keep', not 'insert'."""
+    target = spark.createDataFrame([(None, 7.0), (1, 1.0)], "id int, bal double")
+    source = spark.createDataFrame([(1, 9.0), (None, 5.0)], "id int, bal double")
+    rows = merge_upsert(target, source, keys=["id"]).collect()
+    # NULL source key matches nothing either -> insert of a NULL-keyed row.
+    assert sorted(
+        [(r.id, r.bal, r._action) for r in rows],
+        key=lambda x: (x[0] is not None, x[0] or 0, x[1]),
+    ) == [
+        (None, 5.0, "insert"),
+        (None, 7.0, "keep"),
+        (1, 9.0, "update"),
+    ]
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

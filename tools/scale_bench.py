@@ -66,7 +66,9 @@ def bench_dedup(spark, scales: list[int], batch_rows: int = 500) -> list[dict]:
         idx.count()
 
         t0 = time.time()
-        D.incremental_near_dedup(batch, idx, "doc_id", "text", threshold=0.5).write.format(
+        D.incremental_near_dedup(
+            batch, idx, "doc_id", "text", threshold=0.5, broadcast_probe=True
+        ).write.format(
             "noop"
         ).mode("overwrite").save()
         t_probe = time.time() - t0
