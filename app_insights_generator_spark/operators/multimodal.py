@@ -4,12 +4,14 @@ Media is carried as an opaque ``binary`` column plus typed metadata —
 the parquet-native pattern that scales: bytes stay columnar, predicates
 prune on metadata without touching payloads.
 
-Decoding real media needs codec libraries that are NOT in this
-environment, so the decode step is STUBBED: ``decode_stub=True`` (default)
-derives deterministic fake features from the bytes; ``decode_stub=False``
-raises NotImplementedError where a Pillow/ffmpeg call would go. Everything
-Spark-side — schema, Arrow batch shape, mapInPandas signature,
-partitioning — is real and tested.
+WAV, BMP, PNG, and baseline JPEG decode for REAL via the pure-numpy
+codecs in operators/codecs.py (synthesize_*/extract_real_* below). Only
+video (MP4) still needs codec libraries that are NOT in this
+environment, so that decode step is STUBBED: ``decode_stub=True``
+(default) derives deterministic fake features from the bytes;
+``decode_stub=False`` raises NotImplementedError where the ffmpeg call
+would go. Everything Spark-side — schema, Arrow batch shape,
+mapInPandas signature, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -306,6 +308,35 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate REAL baseline JPEGs (Huffman + DCT, operators/codecs.py),
+    one grayscale image per id, built from constant 8x8 blocks
+    v(bx, by) = (7*bx + 13*by + id) % 256 under the flat quantization
+    table — constant blocks survive DCT -> quantize -> IDCT exactly (only
+    the DC coefficient is nonzero and quantizes losslessly), so an
+    external oracle can predict the decoded pixel sum in closed form
+    while the payload still exercises real DPCM/Huffman entropy coding."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                bw, bh = 2 + mid % 5, 1 + mid % 4
+                bx, by = np.meshgrid(np.arange(bw), np.arange(bh))
+                vals = ((7 * bx + 13 * by + mid) % 256).astype(np.uint8)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                rows.append((mid, "image_jpeg", encode_jpeg(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=REAL_MEDIA_SCHEMA
+    )
+
+
 def extract_real_media_features(media: DataFrame) -> DataFrame:
     """REAL decode path (no stub): parses actual BMP headers/pixels and WAV
     chunk lists/PCM samples with the pure-numpy codecs. Same Arrow-batched
@@ -316,6 +347,7 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
 
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
+        decode_jpeg,
         decode_png,
         decode_wav,
     )
@@ -338,6 +370,12 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                     h, w, _ = px.shape
                     out.append(
                         (int(mid), mtype, w, h, None, int(px[:, :, 0].astype("i8").sum()))
+                    )
+                elif mtype == "image_jpeg":
+                    px = decode_jpeg(raw)  # grayscale (h, w)
+                    h, w = px.shape
+                    out.append(
+                        (int(mid), mtype, w, h, None, int(px.astype("i8").sum()))
                     )
                 elif mtype == "audio":
                     samples, rate = decode_wav(raw)
@@ -426,6 +464,7 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
 
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
+        decode_jpeg,
         decode_png,
         decode_wav,
     )
@@ -438,13 +477,18 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
             width, height, dur, psum = [], [], [], []
             for mtype, content in zip(mtypes, contents):
                 raw = bytes(content)
-                if mtype in ("image", "image_png"):
-                    px = decode_bmp(raw) if mtype == "image" else decode_png(raw)
-                    h, w, _ = px.shape
+                if mtype in ("image", "image_png", "image_jpeg"):
+                    if mtype == "image":
+                        px = decode_bmp(raw)[:, :, 0]
+                    elif mtype == "image_png":
+                        px = decode_png(raw)[:, :, 0]
+                    else:
+                        px = decode_jpeg(raw)  # grayscale (h, w)
+                    h, w = px.shape
                     width.append(w)
                     height.append(h)
                     dur.append(None)
-                    psum.append(int(px[:, :, 0].astype("i8").sum()))
+                    psum.append(int(px.astype("i8").sum()))
                 elif mtype == "audio":
                     samples, rate = decode_wav(raw)
                     width.append(None)

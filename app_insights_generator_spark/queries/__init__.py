@@ -43,29 +43,48 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02/r03's rows are exactly positions 0-49 of this dict).
-# Rotation policy (one capability = one recorded hard signal): after
-# round 3, 52 of 154 queries had never been driver-sampled — nearly the
-# whole round-3 surface. Front-load 50 of those (the 52 minus the
-# de-registered bench twin similarity_join_lsh_production, minus
-# train_val_test_split_documents); the leftover plus the two round-3
-# flakes now fixed (q9_product_type_profit, pack_documents_token_budget)
-# sit immediately after for round 5.
+# CORRECTNESS_r02/r03/r04's rows are exactly positions 0-49 of this
+# dict). Round-5 rotation (one capability = one recorded hard signal):
+# front-load (a) the two r04 reds, now hardened with in-query invariant
+# asserts; (b) the three queued re-confirmations (r03 reds fixed in r04
+# but never re-sampled); (c) the 8 round-4 additions that have never
+# been driver-sampled; (d) everything round 5 touched or added — the
+# cents-money migration (q1, join_revenue), the incremental-dedup
+# broadcast change, the new JPEG codec query. The back of the window is
+# padded with r04-green rows (re-confirmation is free signal).
 _GATE_PRIORITY = [
-    # product analytics + SCD2 + EWMA (round-3 additions, never gated)
+    # (a) r04 driver reds — hardened, must land green
+    "schema_evolution_mergeschema",
+    "recursive_cte_part_hierarchy",
+    # (b) r03 reds fixed in r04, queued for driver re-confirmation
+    "q9_product_type_profit",
+    "pack_documents_token_budget",
+    "train_val_test_split_documents",
+    # (c) round-4 additions never driver-sampled
+    "merge_upsert_customer_balances",
+    "interval_overlap_sessions_errors",
+    "anomaly_zscore_events",
+    "decontaminate_semantic_embeddings",
+    "corpus_report_documents",
+    "insights_sweep_lineitem_wide_lowcard",
+    "multimodal_png_codec_features",
+    # (d) round-5 changes: cents-money migration, dedup broadcast flag,
+    #     new JPEG baseline codec
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "dedup_incremental_minhash_documents",
+    "multimodal_jpeg_codec_features",
+    # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
     "retention_cohorts_events",
     "scd2_user_event_history",
     "ewma_user_values",
     "stateful_type_stats_batch_twin_events",
-    # dedup/similarity/PCA round-3 additions
-    "dedup_incremental_minhash_documents",
     "dedup_canonical_by_quality",
     "pca_eigenspectrum_embeddings",
     "lm_quality_bigram_documents",
     "pii_redact_documents",
-    # multimodal (real codecs + plumbing)
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
@@ -73,15 +92,12 @@ _GATE_PRIORITY = [
     "multimodal_real_resize",
     "multimodal_audio_windows",
     "binaryfile_source_media",
-    # sources/sinks never gated
     "xml_roundtrip_supplier",
     "zorder_sink_lineitem",
     "foreach_batch_sink_events",
     "compact_small_files_events",
     "malformed_csv_handling",
     "zstd_sink_roundtrip_lineitem",
-    "schema_evolution_mergeschema",
-    # analytics / windows / set ops never gated
     "regr_price_vs_qty_lineitem",
     "range_frame_moving_avg_orders",
     "conditional_aggregates_orders",
@@ -94,23 +110,6 @@ _GATE_PRIORITY = [
     "setop_nations_except",
     "distinct_parts_per_flag",
     "rollup_orders_status_priority",
-    "orders_by_year_month",
-    "json_extract_events",
-    "salted_agg_lineitem",
-    "full_outer_nation_bigspenders",
-    "cross_join_region_status",
-    "exceptall_multi_lineitem_orders",
-    "bloom_pruned_join_revenue",
-    "heavy_hitters_orders_clerk",
-    "dq_report_orders",
-    "fuzzy_join_part_names",
-    "recursive_cte_part_hierarchy",
-    "nullsafe_join_order_status",
-    "exact_k_sample_documents",
-    # round-5 rotation starts here
-    "train_val_test_split_documents",
-    "q9_product_type_profit",
-    "pack_documents_token_budget",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

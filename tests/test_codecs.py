@@ -148,3 +148,124 @@ def test_png_media_arrow_twin_matches_pandas(spark):
     b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
     media.unpersist()
     assert a == b and len(a) == 40
+
+
+def test_jpeg_constant_blocks_exact_roundtrip():
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        bh, bw = int(rng.integers(1, 5)), int(rng.integers(1, 6))
+        vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        back = decode_jpeg(encode_jpeg(img))
+        assert back.shape == img.shape and (back == img).all()
+
+
+def test_jpeg_decode_matches_quantization_prediction():
+    """The entropy layer is lossless: decode must equal the independently
+    computed DCT -> quantize -> dequantize -> IDCT reconstruction, bit for
+    bit, under both the flat and a realistic quantization table."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # ITU T.81 Annex K.1 luminance table (public spec constants)
+    std_lum = np.array([
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ], dtype=np.uint8)
+
+    n = np.arange(8)
+    T = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2
+    T[0, :] *= 1 / np.sqrt(2)
+
+    def predict(img, q):
+        h, w = img.shape
+        out = np.zeros_like(img)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                b = img[by*8:by*8+8, bx*8:bx*8+8].astype(np.float64) - 128.0
+                qc = np.round((T @ b @ T.T) / q)
+                rec = T.T @ (qc * q) @ T
+                out[by*8:by*8+8, bx*8:bx*8+8] = np.clip(
+                    np.round(rec + 128.0), 0, 255
+                ).astype(np.uint8)
+        return out
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    for q in (np.ones((8, 8), dtype=np.uint8), std_lum):
+        back = decode_jpeg(encode_jpeg(img, quant=q))
+        assert (back == predict(img, q.astype(np.int64))).all()
+
+
+def test_jpeg_edge_padding_roundtrip():
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(2)
+    for shape in ((13, 21), (1, 1), (8, 9), (17, 8)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(img)).shape == shape
+
+
+def test_jpeg_malformed_rejected():
+    import numpy as np
+    import pytest
+
+    from app_insights_generator_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(np.full((16, 16), 77, dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"PK" + good[2:])
+    with pytest.raises(ValueError, match="EOI"):
+        decode_jpeg(good[:-2])  # strip the EOI marker
+    with pytest.raises(ValueError, match="SOF0"):
+        # flip SOF0 -> SOF2 (progressive) — must be rejected, not misparsed
+        bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        decode_jpeg(bad)
+    with pytest.raises(ValueError, match="truncated|Huffman|marker"):
+        # remove most of the entropy-coded scan but keep the EOI marker:
+        # the block loop must run out of bits and raise, not emit a
+        # partial image. (Bit-flips inside the scan are NOT reliably
+        # detectable — JPEG carries no checksum — so that is not tested.)
+        sos = good.index(b"\xff\xda")
+        scan_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
+        decode_jpeg(good[: scan_start + 1] + b"\xff\xd9")
+
+
+def test_jpeg_media_arrow_twin_matches_pandas(spark):
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        extract_real_media_features_arrow,
+        synthesize_jpeg_media,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "media_id")
+    media = synthesize_jpeg_media(ids, "media_id").persist()
+    a = {tuple(r) for r in extract_real_media_features(media).collect()}
+    b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
+    media.unpersist()
+    assert a == b and len(a) == 40
