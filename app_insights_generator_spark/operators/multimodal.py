@@ -4,9 +4,11 @@ Media is carried as an opaque ``binary`` column plus typed metadata —
 the parquet-native pattern that scales: bytes stay columnar, predicates
 prune on metadata without touching payloads.
 
-WAV, BMP, PNG, and baseline JPEG decode for REAL via the pure-numpy
-codecs in operators/codecs.py (synthesize_*/extract_real_* below). Only
-video (MP4) still needs codec libraries that are NOT in this
+WAV, BMP, PNG, baseline JPEG, and MP4 (ISO BMFF container with
+uncompressed 'raw ' RGB24 video samples) decode for REAL via the
+pure-numpy codecs in operators/codecs.py (synthesize_*/extract_real_*
+below). The one remaining stub is MOTION-COMPRESSED video payloads
+(H.264 etc.) — those need codec libraries that are NOT in this
 environment, so that decode step is STUBBED: ``decode_stub=True``
 (default) derives deterministic fake features from the bytes;
 ``decode_stub=False`` raises NotImplementedError where the ffmpeg call
@@ -337,6 +339,83 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
     )
 
 
+def synthesize_mp4_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate REAL MP4 files (ISO BMFF: ftyp + mdat + moov with full
+    stts/stsc/stsz/stco sample tables, operators/codecs.py encode_mp4),
+    one uncompressed-RGB video per id: n = 2 + id%4 frames of
+    w = 4*(2+id%4) by h = 4*(1+id%3) at 10 fps, pixels
+    px[f, y, x, c] = (5y + 3x + 17f + id + 11c) % 256 — all closed-form
+    in the id, so an external oracle predicts every decoded feature
+    (dims, duration, R-channel sum across frames) without a parser."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n, w, h = 2 + mid % 4, 4 * (2 + mid % 4), 4 * (1 + mid % 3)
+                f, y, x = np.mgrid[0:n, 0:h, 0:w]
+                base = (5 * y + 3 * x + 17 * f + mid) % 256
+                frames = np.stack(
+                    [(base + 11 * c) % 256 for c in range(3)], axis=3
+                ).astype("u1")
+                rows.append((mid, "video_mp4", encode_mp4(frames, fps=10)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=REAL_MEDIA_SCHEMA
+    )
+
+
+def sample_frames_real(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the MP4 container (box tree + sample
+    tables), materialize frames, keep every ``every_k``-th one, and emit
+    (media_id, frame_idx, frame_ts_ms, frame_sum) — the same one-to-many
+    mapInPandas shape as the stubbed sample_frames, with frame_sum the
+    R-channel pixel sum of the REAL decoded frame (closed-form oracle-
+    checkable). Non-video rows produce no output; malformed bytes raise."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_mp4
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_ts_ms", LongType()),
+            StructField("frame_sum", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                if mtype != "video_mp4":
+                    continue
+                frames, dur_ms = decode_mp4(bytes(content))
+                n = frames.shape[0]
+                for i in range(0, n, every_k):
+                    out.append(
+                        (
+                            int(mid),
+                            i,
+                            i * dur_ms // n,
+                            int(frames[i, :, :, 0].astype("i8").sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sum"]
+            ).astype({"frame_idx": "int32"})
+
+    return media.mapInPandas(batches, schema=schema)
+
+
 def extract_real_media_features(media: DataFrame) -> DataFrame:
     """REAL decode path (no stub): parses actual BMP headers/pixels and WAV
     chunk lists/PCM samples with the pure-numpy codecs. Same Arrow-batched
@@ -348,6 +427,7 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
         decode_jpeg,
+        decode_mp4,
         decode_png,
         decode_wav,
     )
@@ -376,6 +456,19 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                     h, w = px.shape
                     out.append(
                         (int(mid), mtype, w, h, None, int(px.astype("i8").sum()))
+                    )
+                elif mtype == "video_mp4":
+                    frames, dur_ms = decode_mp4(raw)
+                    _, h, w, _ = frames.shape
+                    out.append(
+                        (
+                            int(mid),
+                            mtype,
+                            w,
+                            h,
+                            int(dur_ms),
+                            int(frames[:, :, :, 0].astype("i8").sum()),
+                        )
                     )
                 elif mtype == "audio":
                     samples, rate = decode_wav(raw)
@@ -465,6 +558,7 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
         decode_jpeg,
+        decode_mp4,
         decode_png,
         decode_wav,
     )
@@ -489,6 +583,13 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
                     height.append(h)
                     dur.append(None)
                     psum.append(int(px.astype("i8").sum()))
+                elif mtype == "video_mp4":
+                    frames, dur_ms = decode_mp4(raw)
+                    _, h, w, _ = frames.shape
+                    width.append(w)
+                    height.append(h)
+                    dur.append(int(dur_ms))
+                    psum.append(int(frames[:, :, :, 0].astype("i8").sum()))
                 elif mtype == "audio":
                     samples, rate = decode_wav(raw)
                     width.append(None)

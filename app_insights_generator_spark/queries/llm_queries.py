@@ -1471,3 +1471,108 @@ def multimodal_jpeg_codec_features(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id").alias("media_id")
     )
     return extract_real_media_features(synthesize_jpeg_media(ids, "media_id"))
+
+
+@register(
+    "multimodal_mp4_codec_features",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 100),
+    dims AS (
+      SELECT media_id,
+             2 + media_id % 4 AS n,
+             4 * (2 + media_id % 4) AS w,
+             4 * (1 + media_id % 3) AS h
+      FROM ids
+    ),
+    px AS (
+      SELECT d.media_id, d.n, d.w, d.h,
+             (5 * y.y + 3 * x.x + 17 * f.f + d.media_id) % 256 AS r
+      FROM dims d,
+           LATERAL (SELECT unnest(range(0, d.n)) AS f) f,
+           LATERAL (SELECT unnest(range(0, d.h)) AS y) y,
+           LATERAL (SELECT unnest(range(0, d.w)) AS x) x
+    )
+    SELECT media_id,
+           'video_mp4' AS media_type,
+           CAST(ANY_VALUE(w) AS INT) AS width,
+           CAST(ANY_VALUE(h) AS INT) AS height,
+           CAST(ANY_VALUE(n) * 100 AS BIGINT) AS duration_ms,
+           CAST(SUM(r) AS BIGINT) AS payload_sum
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_mp4_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO BMFF) decode, end to end: per-id videos of
+    uncompressed-RGB24 'raw ' samples are written with full container
+    structure — ftyp, mdat, and a moov whose stts/stsc/stsz/stco sample
+    tables address every frame — then parsed back by the pure-numpy box
+    walker (operators/codecs.py decode_mp4: box tree, sample-table
+    reconstruction, per-sample bounds checks) inside Arrow-batched
+    mapInPandas. The oracle predicts width, height, duration, and the
+    R-channel sum across ALL frames in closed form from the id
+    (px[f,y,x] = (5y+3x+17f+id)%256), so one wrong chunk offset, sample
+    size, or box length hash-mismatches the gate. This retires the
+    'video container is environment-blocked' caveat: only MOTION-
+    COMPRESSED payloads (H.264 inside the container) remain stubbed.
+    Reference parity: the reference has no media pipeline at all — this
+    is part of the §2.4 training-data extension surface."""
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        synthesize_mp4_media,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return extract_real_media_features(synthesize_mp4_media(ids, "media_id"))
+
+
+@register(
+    "multimodal_mp4_frame_sample",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 100),
+    dims AS (
+      SELECT media_id,
+             2 + media_id % 4 AS n,
+             4 * (2 + media_id % 4) AS w,
+             4 * (1 + media_id % 3) AS h
+      FROM ids
+    ),
+    fr AS (
+      SELECT d.media_id, d.w, d.h, f.f
+      FROM dims d, LATERAL (SELECT unnest(range(0, d.n, 2)) AS f) f
+    ),
+    px AS (
+      SELECT fr.media_id, fr.f,
+             (5 * y.y + 3 * x.x + 17 * fr.f + fr.media_id) % 256 AS r
+      FROM fr,
+           LATERAL (SELECT unnest(range(0, fr.h)) AS y) y,
+           LATERAL (SELECT unnest(range(0, fr.w)) AS x) x
+    )
+    SELECT media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 100 AS BIGINT) AS frame_ts_ms,
+           CAST(SUM(r) AS BIGINT) AS frame_sum
+    FROM px GROUP BY media_id, f
+    """,
+)
+def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling out of a REAL container: every 2nd frame is
+    extracted by walking the MP4 sample tables and slicing the actual
+    sample bytes out of mdat (operators/multimodal.py sample_frames_real
+    -> codecs.decode_mp4), one-to-many mapInPandas. frame_ts_ms comes
+    from the mdhd duration (n*100ms at 10fps, delta-1 samples) and
+    frame_sum is the decoded R-channel sum of that specific frame — both
+    closed-form in (id, frame_idx), so a frame addressed at the wrong
+    mdat offset fails the hash. The stubbed sample_frames (digest
+    payloads, _fake_decode durations) remains for the compressed-video
+    case this environment cannot decode."""
+    from app_insights_generator_spark.operators.multimodal import (
+        sample_frames_real,
+        synthesize_mp4_media,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return sample_frames_real(synthesize_mp4_media(ids, "media_id"), every_k=2)

@@ -269,3 +269,104 @@ def test_jpeg_media_arrow_twin_matches_pandas(spark):
     b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
     media.unpersist()
     assert a == b and len(a) == 40
+
+
+# --- MP4 / ISO BMFF ----------------------------------------------------------
+
+
+def test_mp4_roundtrip_exact():
+    from app_insights_generator_spark.operators.codecs import decode_mp4, encode_mp4
+
+    rng = np.random.default_rng(11)
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (6, 8, 12)]:
+        frames = rng.integers(0, 256, size=(n, h, w, 3)).astype("u1")
+        out, dur_ms = decode_mp4(encode_mp4(frames, fps=10))
+        assert (out == frames).all()
+        assert dur_ms == n * 100
+
+
+def test_mp4_multi_chunk_and_co64_decode():
+    """The decoder must be MORE general than the encoder: reconstruct
+    samples split across two chunks (2-run stsc) addressed via 64-bit
+    co64 offsets, with the chunks stored in non-contiguous mdat spots."""
+    import struct
+
+    from app_insights_generator_spark.operators.codecs import _box, _full, decode_mp4, encode_mp4
+
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, size=(5, 2, 3, 3)).astype("u1")
+    n, h, w = 5, 2, 3
+    fb = h * w * 3
+    base = encode_mp4(frames, fps=10)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # mdat: 3 samples, 4 bytes of junk, then 2 samples
+    payload = frames[:3].tobytes() + b"\xde\xad\xbe\xef" + frames[3:].tobytes()
+    mdat = _box(b"mdat", payload)
+    off1 = len(ftyp) + 8
+    off2 = off1 + 3 * fb + 4
+
+    moov_start = base.index(b"moov") - 4
+    moov = bytearray(base[moov_start:])
+    # surgically replace stsc (1 run -> 2 runs) and stco -> co64
+    old_stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    new_stsc = _full(
+        b"stsc", 0, 0, struct.pack(">I", 2) + struct.pack(">III", 1, 3, 1) + struct.pack(">III", 2, 2, 1)
+    )
+    old_stco = _full(b"stco", 0, 0, struct.pack(">II", 1, off1))
+    new_co64 = _full(b"co64", 0, 0, struct.pack(">IQQ", 2, off1, off2))
+    assert bytes(old_stsc) in moov and bytes(old_stco) in moov
+    moov = moov.replace(old_stsc, new_stsc).replace(old_stco, new_co64)
+
+    # fix every enclosing box size on the moov->stbl path (all grew)
+    grow = (len(new_stsc) - len(old_stsc)) + (len(new_co64) - len(old_stco))
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = moov.index(tag) - 4
+        (size,) = struct.unpack_from(">I", moov, at)
+        struct.pack_into(">I", moov, at, size + grow)
+
+    out, dur_ms = decode_mp4(ftyp + mdat + bytes(moov))
+    assert (out == frames).all() and dur_ms == 500
+
+
+def test_mp4_malformed_rejected():
+    import struct
+
+    from app_insights_generator_spark.operators.codecs import decode_mp4, encode_mp4
+
+    frames = np.zeros((2, 4, 4, 3), dtype="u1")
+    good = encode_mp4(frames, fps=10)
+
+    with pytest.raises(ValueError):
+        decode_mp4(b"")
+    with pytest.raises(ValueError):
+        decode_mp4(b"\x00\x00\x00\x08mdat")  # no ftyp first
+    with pytest.raises(ValueError):
+        decode_mp4(good[:-9])  # truncated final box
+    # trailing garbage that is not a valid box
+    with pytest.raises(ValueError):
+        decode_mp4(good + b"\xff\xff")
+    # box size overrunning the file
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 0, len(good) + 64)
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(bad))
+    # compressed codec fourcc must be rejected, not misparsed
+    bad = bytearray(good)
+    at = bad.index(b"raw ")
+    bad[at : at + 4] = b"avc1"
+    with pytest.raises(ValueError) as ei:
+        decode_mp4(bytes(bad))
+    assert "avc1" in str(ei.value)
+    # sample escaping mdat: point the chunk offset past the payload
+    bad = bytearray(good)
+    at = bad.index(b"stco")
+    struct.pack_into(">I", bad, at + 12, len(good) - 4)
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(bad))
+    # depth != 24
+    bad = bytearray(good)
+    at = bad.index(b"raw ") + 4 + 74
+    struct.pack_into(">H", bad, at, 32)
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(bad))

@@ -63,6 +63,14 @@ def main() -> int:
         help="comma-separated substring filters on query names (OR-ed)",
     )
     ap.add_argument(
+        "--first",
+        type=int,
+        default=None,
+        metavar="N",
+        help="only run the first N registered queries — the driver gates "
+        "exactly positions 0..49, so --first 50 replicates its window",
+    )
+    ap.add_argument(
         "--json",
         default=None,
         metavar="PATH",
@@ -77,6 +85,8 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.first is not None:
+        queries = dict(list(queries.items())[: args.first])
 
     spark = get_spark(app_name="check-oracle")
     con = duckdb.connect()
