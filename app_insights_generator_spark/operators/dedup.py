@@ -431,3 +431,93 @@ def incremental_near_dedup(
     )
     sh_all = full.select("_id", "_sh").dropDuplicates(["_id"])
     return _jaccard_from_sets(sh_all, cands, threshold)
+
+
+# --- Substring-level duplicate spans (Lee et al., "Deduplicating Training
+# --- Data Makes Language Models Better", arXiv:2107.06499) -------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-substring statistics: slide a k-token
+    window over every document, hash each window (md5 of the joined
+    tokens — the same expression is available verbatim in ANSI SQL, so
+    the gate compares identical keys), call a window DUPLICATED when its
+    hash occurs >= 2 times anywhere in the corpus (cross- OR within-doc,
+    the Lee-et-al. criterion), and report per doc:
+
+      n_tokens, n_windows, dup_windows, dup_tokens (tokens covered by
+      the UNION of duplicated windows), dup_frac_bp (integer basis
+      points — drift-proof).
+
+    Scale shape: one scan -> posexplode to (doc, pos, hash) -> one
+    groupBy(hash) with map-side partial counts -> semi-shape join back
+    -> ONE window pass per doc for merged-interval coverage (running
+    max-end subtraction), so overlapping windows are unioned WITHOUT
+    exploding k positions per window — coverage costs O(dup_windows),
+    not O(k * dup_windows). A true suffix array (the paper's tool) is a
+    single-machine construct; the k-token rolling-window hash is the
+    standard distributed re-expression and finds every duplicated
+    substring of length >= k.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_t")
+    ).select("_id", F.size("_t").alias("n_tokens"), "_t")
+    wins = base.filter(F.col("n_tokens") >= k).select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_tokens - {k}),"
+                f" i -> md5(array_join(slice(_t, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    dups = wins.join(dup_h.select("h"), "h", "inner").select("_id", "pos")
+
+    w = Window.partitionBy("_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cov = (
+        dups.withColumn(
+            "_prev_end", F.coalesce(F.max(F.col("pos") + k).over(w), F.lit(0))
+        )
+        .withColumn(
+            "_contrib",
+            F.greatest(
+                F.lit(0),
+                F.col("pos") + k - F.greatest(F.col("_prev_end"), F.col("pos")),
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("_dup_windows"),
+            F.sum("_contrib").alias("_dup_tokens"),
+        )
+    )
+    return (
+        base.select(
+            "_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.greatest(F.lit(0), F.col("n_tokens") - (k - 1))
+            .cast("long")
+            .alias("n_windows"),
+        )
+        .join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("_dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("_dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0 "
+                "ELSE coalesce(_dup_tokens, 0) * 10000 DIV n_tokens END"
+            )
+            .cast("long")
+            .alias("dup_frac_bp"),
+        )
+    )

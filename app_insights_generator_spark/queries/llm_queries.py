@@ -1576,3 +1576,58 @@ def multimodal_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return sample_frames_real(synthesize_mp4_media(ids, "media_id"), every_k=2)
+
+
+@register(
+    "duplicate_spans_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i.i AS pos,
+             md5(array_to_string(list_slice(t, i.i + 1, i.i + 8), ' ')) AS h
+      FROM base, LATERAL (SELECT unnest(range(0, n_tokens - 7)) AS i) i
+      WHERE n_tokens >= 8
+    ),
+    duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    dups AS (SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)),
+    cov0 AS (
+      SELECT doc_id, pos,
+             COALESCE(MAX(pos + 8) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      FROM dups
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(*) AS dup_windows,
+             SUM(GREATEST(0, pos + 8 - GREATEST(prev_end, pos))) AS dup_tokens
+      FROM cov0 GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(GREATEST(0, n_tokens - 7) AS BIGINT) AS n_windows,
+           CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE COALESCE(dup_tokens, 0) * 10000 // n_tokens END
+                AS BIGINT) AS dup_frac_bp
+    FROM base b LEFT JOIN cov USING (doc_id)
+    """,
+)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup statistics (Lee et al. 2021, the
+    suffix-array training-data dedup re-expressed distributed): 8-token
+    rolling windows hashed with md5, duplicated = hash count >= 2
+    corpus-wide, per-doc coverage = merged-interval union of duplicated
+    windows (single window-function pass, no per-position explosion).
+    Complements the document-level dedup family (exact / MinHash /
+    SimHash / n-gram Jaccard / embedding): this one finds REPEATED
+    PASSAGES inside otherwise-unique documents — the thing trainers
+    actually cut. All outputs integers (counts + basis points), so the
+    gate is float-drift-proof."""
+    from app_insights_generator_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), "doc_id", "text", k=8)

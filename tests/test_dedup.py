@@ -225,3 +225,42 @@ def test_components_query_matches_union_find(spark, sf_dir):
         for r in docs.select("doc_id").collect()
     }
     assert got == want
+
+
+def test_duplicate_span_stats_known_passage(spark):
+    """Two docs share one 10-token passage; a third repeats a 4-token
+    phrase internally (below k=4? no — exactly at k). Hand-checkable."""
+    passage = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = [
+        (1, "alpha beta " + passage + " gamma delta"),          # 14 tokens
+        (2, passage + " epsilon zeta eta theta"),                # 14 tokens
+        (3, "one two three four five six seven eight nine ten"), # unique
+        (4, "ping pong ping pong ping pong ping pong"),          # self-repeat
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.duplicate_span_stats(df, "doc_id", "text", k=4).collect()}
+
+    # docs 1&2: every 4-window inside the shared 10-token passage is
+    # duplicated -> 7 windows covering the 10 passage tokens.
+    for d in (1, 2):
+        assert out[d].n_tokens == 14 and out[d].n_windows == 11
+        assert out[d].dup_windows == 7
+        assert out[d].dup_tokens == 10
+        assert out[d].dup_frac_bp == 10 * 10000 // 14
+    assert out[3].dup_windows == 0 and out[3].dup_tokens == 0 and out[3].dup_frac_bp == 0
+    # doc 4: "ping pong ping pong" repeats; windows at pos 0..4 all
+    # hash-equal pairs (0,2,4 identical; 1,3 identical) -> all 5 windows
+    # duplicated, covering all 8 tokens.
+    assert out[4].dup_windows == 5 and out[4].dup_tokens == 8
+    assert out[4].dup_frac_bp == 10000
+
+
+def test_duplicate_span_stats_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in D.duplicate_span_stats(df, "doc_id", "text", k=4).collect()}
+    # 3-token docs have no 4-windows even though they are exact dups
+    assert all(out[d].n_windows == 0 and out[d].dup_windows == 0 for d in (1, 2))
+    # empty string splits to one empty token -> 1 token, 0 windows, no div-by-zero
+    assert out[3].n_tokens == 1 and out[3].dup_frac_bp == 0
