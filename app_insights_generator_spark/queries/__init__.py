@@ -74,6 +74,12 @@ _GATE_PRIORITY = [
     "join_revenue_by_nation",
     "dedup_incremental_minhash_documents",
     "multimodal_jpeg_codec_features",
+    # (e) round-5 additions: real MP4 container codec, substring-level
+    #     duplicate spans, embedding-cosine dedup composition
+    "multimodal_mp4_codec_features",
+    "multimodal_mp4_frame_sample",
+    "duplicate_spans_documents",
+    "dedup_embedding_cosine_embeddings",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -105,11 +111,6 @@ _GATE_PRIORITY = [
     "cbo_stats_orders",
     "supplier_part_theta_join",
     "window_running_revenue",
-    "top10_parts_by_price",
-    "setop_nations_intersect",
-    "setop_nations_except",
-    "distinct_parts_per_flag",
-    "rollup_orders_status_priority",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -1631,3 +1631,56 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from app_insights_generator_spark.operators.dedup import duplicate_span_stats
 
     return duplicate_span_stats(_docs(spark, sf_dir), "doc_id", "text", k=8)
+
+
+@register(
+    "dedup_embedding_cosine_embeddings",
+    """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE a.n * b.n > 0
+        AND list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.3
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT v.vec_id,
+           LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) AS canonical_id,
+           LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id)) <> v.vec_id AS is_dup
+    FROM v LEFT JOIN reach r ON r.src = v.vec_id
+    GROUP BY v.vec_id
+    """,
+)
+def dedup_embedding_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine NEAR-DUP as a dedup verdict (the last named mode
+    of the brief's dedup family): pairs >= 0.3 cosine -> connected
+    components (iterative hash-min, operators/dedup.py) -> canonical =
+    min vec_id per cluster -> per-row keep/drop flag. The gated pair
+    source is cosine_pairs_exact — already hash-anchored to DuckDB via
+    oracle_exact_cosine_pairs, so threshold-boundary float drift is a
+    solved problem — while the 100 TB pair source is the banded
+    similarity_join_lsh (same verify step, bench-timed); the composition
+    downstream of the pair set is identical. Oracle: recursive
+    transitive closure + min-reachable label, DuckDB-side only (the
+    Spark side keeps the driver-loop hash-min that one-shuffles per
+    round)."""
+    from app_insights_generator_spark.operators.dedup import connected_components
+
+    embs = _embs(spark, sf_dir)
+    pairs = S.cosine_pairs_exact(
+        embs, "embedding", "vec_id", threshold=0.3, round_bias=1e-9
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, embs, "vec_id")
+    return comp.select(
+        "vec_id",
+        F.col("component").alias("canonical_id"),
+        (F.col("vec_id") != F.col("component")).alias("is_dup"),
+    )
