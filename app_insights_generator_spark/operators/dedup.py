@@ -475,8 +475,17 @@ def duplicate_span_stats(
             )
         ).alias("pos", "h"),
     )
-    dup_h = wins.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
-    dups = wins.join(dup_h.select("h"), "h", "inner").select("_id", "pos")
+    # Duplicated = window-hash count >= 2, computed as count() OVER
+    # (PARTITION BY h) rather than groupBy + join-back: the join-back
+    # shape scans (and re-md5s) the window table TWICE and materializes
+    # the duplicated-hash set — which Catalyst then broadcasts, an
+    # unbounded-size broadcast at corpus scale. The window form is one
+    # shuffle on h over a single pass, no broadcast, no second scan.
+    dups = (
+        wins.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("_c") >= 2)
+        .select("_id", "pos")
+    )
 
     w = Window.partitionBy("_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1

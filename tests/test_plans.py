@@ -190,3 +190,14 @@ def test_merge_upsert_is_single_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "merge_upsert_customer_balances")
     assert "CartesianProduct" not in plan
     assert plan.count("FullOuter") >= 1 or "full_outer" in plan.lower()
+
+
+def test_duplicate_spans_single_window_pass(spark, sf_dir):
+    """duplicate_spans: the k-token window table must be generated (and
+    md5-hashed) exactly ONCE — the duplicated-hash detection is a count
+    OVER (PARTITION BY h), not a groupBy + join-back that would re-scan,
+    re-hash, and broadcast an unbounded duplicated-hash set."""
+    plan = _plan(spark, sf_dir, "duplicate_spans_documents")
+    assert plan.count("Generate posexplode") == 1, plan
+    # exactly two data shuffles: by window hash, then by doc for coverage
+    assert plan.count("Exchange hashpartitioning") == 2, plan
