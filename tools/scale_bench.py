@@ -106,6 +106,48 @@ def bench_pca(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_dup_spans(spark, scales: list[int]) -> list[dict]:
+    """duplicate_span_stats wall-clock vs corpus size. Claim: linear in
+    total window count — one explode+md5 pass, two shuffles (by window
+    hash, by doc), no joins that grow superlinearly."""
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"docs_x{s}")
+        if not os.path.exists(path):
+            replicate(spark, "documents", "doc_id", s, path)
+        docs = spark.read.parquet(path)
+        n = docs.count()
+        t0 = time.time()
+        D.duplicate_span_stats(docs, "doc_id", "text", k=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rows.append({"scale": s, "docs": n, "dup_spans_s": round(time.time() - t0, 2)})
+    return rows
+
+
+def bench_mp4(spark, scales: list[int]) -> list[dict]:
+    """MP4 synthesize+decode throughput vs media count: both ends are
+    Arrow-batched mapInPandas, so wall-clock should be linear in total
+    frames with no shuffle at all (1:1 row transforms)."""
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        synthesize_mp4_media,
+    )
+
+    rows = []
+    for s in scales:
+        n_media = 1000 * s
+        ids = spark.range(n_media).select(F.col("id").alias("media_id"))
+        t0 = time.time()
+        extract_real_media_features(
+            synthesize_mp4_media(ids, "media_id")
+        ).write.format("noop").mode("overwrite").save()
+        rows.append(
+            {"scale": s, "media": n_media, "mp4_s": round(time.time() - t0, 2)}
+        )
+    return rows
+
+
 def md_table(rows: list[dict]) -> str:
     cols = list(rows[0])
     out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
@@ -116,13 +158,27 @@ def md_table(rows: list[dict]) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
+    ap.add_argument("--only", default=None, help="comma list: dedup,pca,spans,mp4")
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
     spark = get_spark(app_name="scale-bench")
-    print("## incremental dedup: probe vs full run\n")
-    print(md_table(bench_dedup(spark, scales)))
-    print("\n## PCA eigenspectrum wall-clock vs rows\n")
-    print(md_table(bench_pca(spark, scales)))
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
+    if want("dedup"):
+        print("## incremental dedup: probe vs full run\n")
+        print(md_table(bench_dedup(spark, scales)))
+    if want("pca"):
+        print("\n## PCA eigenspectrum wall-clock vs rows\n")
+        print(md_table(bench_pca(spark, scales)))
+    if want("spans"):
+        print("\n## duplicate-span stats wall-clock vs corpus\n")
+        print(md_table(bench_dup_spans(spark, scales)))
+    if want("mp4"):
+        print("\n## MP4 container encode+decode wall-clock vs media count\n")
+        print(md_table(bench_mp4(spark, scales)))
 
 
 if __name__ == "__main__":
