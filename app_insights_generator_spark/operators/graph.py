@@ -1,0 +1,93 @@
+"""Iterative graph algorithms as driver-loop DataFrame fixpoints.
+
+Connected components lives in operators/dedup.py (hash-min label
+propagation for dup clusters); this module holds the general-purpose
+additions, starting with PageRank.
+
+Design notes (same iterative-Spark discipline as connected_components):
+- each iteration is ONE shuffle: edges join ranks on src (map-side when
+  the rank table is broadcastable), then sum per dst;
+- ``localCheckpoint`` per round truncates lineage so the plan stays flat;
+- NOTHING is collected per round — the loop count is fixed, so there is
+  no driver-side convergence state at all.
+
+Determinism: ranks are INTEGER fixed-point (micro-units of total mass
+``scale``), contributions use floor division — integer sums are exact
+and associative, so the result is bit-identical regardless of partition
+merge order AND reproducible in ANSI SQL with `//`/`DIV` (the class of
+cross-engine float drift round 4 eliminated never appears). The floor
+steps leak a little mass (as does the simplified dangling-node handling:
+sinks absorb rank) — standard for the fixed-point formulation and
+documented behavior, not an accident of the engine.
+
+Reference parity: the reference (main.py) has no graph operators at all;
+this is part of the §2.3/§2.4 engine-extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list -> [node, rank]
+    with rank in integer micro-units of ``scale`` total mass.
+
+    rank_0(v)   = scale DIV n
+    rank_i+1(v) = (100-d)*scale DIV (100*n)
+                  + d * SUM_{u->v} (rank_i(u) DIV outdeg(u)) DIV 100
+
+    Every step is integer arithmetic, so the 5-iteration unrolled SQL twin
+    (see pagerank_nation_trade's oracle) matches bit-for-bit.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list")
+    outdeg = (
+        edges.groupBy(F.col(src).alias("_src"))
+        .agg(F.count(F.lit(1)).alias("_odeg"))
+        .localCheckpoint()
+    )
+    teleport = (100 - damping_pct) * scale // (100 * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).join(
+        outdeg, "_src"
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank DIV _odeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"{damping_pct} * coalesce(_s, 0L) DIV 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

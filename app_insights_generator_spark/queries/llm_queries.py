@@ -1684,3 +1684,85 @@ def dedup_embedding_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataF
         F.col("component").alias("canonical_id"),
         (F.col("vec_id") != F.col("component")).alias("is_dup"),
     )
+
+
+# --- BM25 relevance scoring (integer fixed-point, rational IDF) --------------
+
+_BM25_TERMS = ("spark", "table", "value")
+
+
+def _bm25_oracle(terms=_BM25_TERMS, scale=1_000_000) -> str:
+    """DuckDB twin of the integer BM25 below — identical rational
+    arithmetic, floor division at the same single point."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{t}')) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    contrib = " + ".join(
+        f"((2*s.n_docs - 2*s.df_{t} + 1) * (22 * d.tf_{t} * s.total_len) * {scale})"
+        f" // ((2*s.df_{t} + 1)"
+        f" * (10 * s.total_len * d.tf_{t} + 3 * s.total_len + 9 * d.dl * s.n_docs))"
+        for t in terms
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len, {df_cols} FROM d)
+    SELECT d.doc_id, CAST({contrib} AS BIGINT) AS bm25_ppm
+    FROM d, s
+    """
+
+
+@register("bm25_documents", _bm25_oracle())
+def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores for a fixed 3-term query, in INTEGER
+    fixed-point (parts-per-million) with a RATIONAL IDF — the log is
+    dropped in favor of its argument (N - df + .5)/(df + .5), scaled to
+    integers ((2N-2df+1)/(2df+1)), and the k1=1.2/b=0.75 term-frequency
+    saturation is cleared of denominators:
+
+      tf_part = 22*tf*T / (10*T*tf + 3*T + 9*dl*N)   (T = corpus tokens)
+
+    so the whole score is one integer floor-division per term — exact,
+    partition-order-independent, bit-identical in ANSI SQL. Search
+    scoring as a curation signal (rank documents against a benchmark
+    query before sampling). Scale shape: one scan computes per-doc tf/dl;
+    ONE 1-row stats aggregate (N, T, df per term) is broadcast back —
+    no shuffle of the corpus at all. Magnitudes: products stay < 2^63
+    for corpora to ~1e7 docs at this scale constant; production sizing
+    would move the same algebra to DECIMAL(38) unchanged."""
+    terms, scale = _BM25_TERMS, 1_000_000
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(split(text, ' '), t -> t = '{t}')"))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    contrib = " + ".join(
+        f"((2*n_docs - 2*df_{t} + 1) * (22 * tf_{t} * total_len) * {scale})"
+        f" DIV ((2*df_{t} + 1)"
+        f" * (10 * total_len * tf_{t} + 3 * total_len + 9 * dl * n_docs))"
+        for t in terms
+    )
+    return d.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.expr(contrib).cast("long").alias("bm25_ppm")
+    )

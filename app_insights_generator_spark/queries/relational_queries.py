@@ -1113,3 +1113,82 @@ def merge_upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFram
     return merged.select(
         "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "_action"
     )
+
+
+# --- iterative graph: integer fixed-point PageRank ----------------------------
+
+_PR_EDGES_SQL = """
+  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+"""
+
+
+def _pagerank_oracle(iterations: int = 5, damping: int = 85, scale: int = 1_000_000) -> str:
+    """Unrolled-iteration SQL twin of operators/graph.py pagerank: the
+    recursion is a FIXED count, so the oracle is iterations chained CTEs
+    (standard SQL forbids aggregates in a recursive term; unrolling
+    sidesteps engine-specific recursion extensions entirely). All
+    arithmetic is integer floor division — bit-identical to Spark DIV."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "meta AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src AS _src, COUNT(*) AS odeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {scale} // n AS rank FROM nodes, meta)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.node,
+             (SELECT ({100 - damping} * {scale}) // (100 * n) FROM meta)
+             + {damping} * COALESCE(c.s, 0) // 100 AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, SUM(r{i - 1}.rank // o.odeg) AS s
+        FROM edges e
+        JOIN outdeg o ON e.src = o._src
+        JOIN r{i - 1} ON r{i - 1}.node = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
+    )
+
+
+@register("pagerank_nation_trade", _pagerank_oracle())
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (edges = DISTINCT customer
+    nation -> supplier nation across order lineitems, the TPC-H Q7 join
+    shape): 5 iterations of INTEGER fixed-point rank (operators/graph.py
+    pagerank). The iterative-fixpoint capability Spark has no built-in
+    for, expressed as one shuffle per round with localCheckpoint lineage
+    truncation; integer micro-unit arithmetic makes every iteration
+    bit-identical across engines (no float-drift class at all), and the
+    oracle is the same recurrence unrolled into chained CTEs. The edge
+    derivation is the scale-bearing part — a distinct over the full
+    6-table join — while the node set stays bounded."""
+    from app_insights_generator_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n.alias("cn"), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n.alias("sn"), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(F.col("cn.n_name") != F.col("sn.n_name"))
+        .select(F.col("cn.n_name").alias("src"), F.col("sn.n_name").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, "src", "dst", iterations=5)

@@ -1,0 +1,40 @@
+"""pagerank (operators/graph.py): integer fixed-point recurrence checked
+against a pure-python dict oracle on hand-built graphs."""
+
+from pyspark.sql import functions as F
+
+from app_insights_generator_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iterations=5, damping=85, scale=1_000_000):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    teleport = (100 - damping) * scale // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: teleport + damping * s[v] // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_oracle(spark):
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"),          # c is a sink
+        ("d", "a"), ("d", "b"), ("d", "c"), ("c", "d"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert got == _py_pagerank(edges, iterations=5)
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    edges = [(f"leaf{i}", "hub") for i in range(6)] + [("hub", "leaf0")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert got == _py_pagerank(edges, iterations=5)
+    assert got["hub"] == max(got.values())
