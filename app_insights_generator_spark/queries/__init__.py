@@ -75,11 +75,15 @@ _GATE_PRIORITY = [
     "dedup_incremental_minhash_documents",
     "multimodal_jpeg_codec_features",
     # (e) round-5 additions: real MP4 container codec, substring-level
-    #     duplicate spans, embedding-cosine dedup composition
+    #     duplicate spans, embedding-cosine dedup, integer PageRank,
+    #     log-free BM25, custom Python DataSource
     "multimodal_mp4_codec_features",
     "multimodal_mp4_frame_sample",
     "duplicate_spans_documents",
     "dedup_embedding_cosine_embeddings",
+    "pagerank_nation_trade",
+    "bm25_documents",
+    "python_datasource_events",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -108,9 +112,6 @@ _GATE_PRIORITY = [
     "range_frame_moving_avg_orders",
     "conditional_aggregates_orders",
     "cume_dist_customers",
-    "cbo_stats_orders",
-    "supplier_part_theta_join",
-    "window_running_revenue",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -793,3 +793,54 @@ def cbo_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_price"),
     )
+
+
+@register(
+    "python_datasource_events",
+    """
+    WITH feed AS (
+      SELECT i.i AS event_id, i.i % 97 AS user_id,
+             CASE i.i % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                          WHEN 2 THEN 'purchase' WHEN 3 THEN 'refund'
+                          ELSE 'error' END AS event_type,
+             (i.i * 37) % 10000 AS amount_cents
+      FROM (SELECT unnest(range(0, 20000)) AS i) i
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(amount_cents) AS BIGINT) AS amount_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM feed GROUP BY event_type
+    """,
+)
+def python_datasource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM SOURCE surface (Spark 4 Python DataSource API,
+    sources/pysource.py): a registered `synthetic_events` format with
+    source-declared schema, SPLIT PLANNING via `partitions()` (one task
+    per split — asserted below: a custom reader without splits is a
+    single-task 100 TB bottleneck), and executor-side `read()`
+    generators. The feed is a closed-form function of the row id, so the
+    oracle replays it exactly with `range()`. This is the template a
+    reference user follows to plug any unsupported system (REST feed,
+    proprietary log) into the engine."""
+    from app_insights_generator_spark.sources.pysource import (
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    feed = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 20_000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    n_parts = feed.rdd.getNumPartitions()
+    if n_parts != 8:
+        raise AssertionError(
+            f"custom source split planning broken: {n_parts} partitions, want 8"
+        )
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").cast("long").alias("amount_sum"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

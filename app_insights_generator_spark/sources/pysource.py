@@ -1,0 +1,71 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API): the
+connector extension point users need when a system has no built-in
+reader — REST feeds, proprietary binary logs, queue snapshots.
+
+The reference hardcodes one CSV-on-S3 read (main.py:236); a complete
+engine exposes the custom-source surface itself. This module registers a
+deterministic synthetic-events source that demonstrates every piece a
+real connector needs:
+
+- ``schema()``      — source-declared schema (no inference pass);
+- ``partitions()``  — SPLIT PLANNING: the source decides its input
+  splits, so Spark schedules one task per split and a 100 TB feed reads
+  with full cluster parallelism (a reader without ``partitions()`` is a
+  single-task bottleneck — the classic custom-source mistake);
+- ``read(split)``   — per-partition generator executed ON THE EXECUTORS,
+  yielding plain tuples (Arrow-batched by the runtime).
+
+The row content is a closed-form function of the row id, so a SQL oracle
+can replay the exact feed with ``range()`` — the same trick the media
+synthesizers use: the plumbing is fully real, the payload is predictable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("view", "click", "purchase", "refund", "error")
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.n_partitions = max(1, int(options.get("n_partitions", 8)))
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_partitions)  # ceil
+        return [
+            _Slice(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            yield (i, i % 97, EVENT_TYPES[i % 5], (i * 37) % 10_000)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """spark.read.format("synthetic_events").option("n_rows", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id BIGINT, user_id BIGINT, event_type STRING, "
+            "amount_cents BIGINT"
+        )
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_events(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SyntheticEventsDataSource)
