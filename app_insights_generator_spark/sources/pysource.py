@@ -65,7 +65,53 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_synthetic_events(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --- streaming side of the same source ----------------------------------------
+#
+# The Python DataSource API's streaming half: offset bookkeeping +
+# per-microbatch reads. The bounded synthetic feed reports `batch_rows`
+# new rows per microbatch until `n_rows`, then holds its offset steady —
+# so `processAllAvailable()` drains it deterministically and a batch read
+# of the same options is the exact twin (pinned by tests/test_pysource.py).
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.batch_rows = max(1, int(options.get("batch_rows", 1_000)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_rows, self.n_rows)
+        # iter(list), not a bare generator or list: the simple-reader
+        # protocol requires an ITERATOR (it probes empty batches with
+        # next()) that is also PICKLABLE (prefetched rows are cached and
+        # shipped) — a list_iterator is both, a generator is not.
+        rows = [
+            (i, i % 97, EVENT_TYPES[i % 5], (i * 37) % 10_000)
+            for i in range(pos, end)
+        ]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay support (failure recovery): offsets fully determine rows
+        return iter(
+            [
+                (i, i % 97, EVENT_TYPES[i % 5], (i * 37) % 10_000)
+                for i in range(int(start["pos"]), int(end["pos"]))
+            ]
+        )
+

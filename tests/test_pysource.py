@@ -1,0 +1,49 @@
+"""Custom Python DataSource (sources/pysource.py): split planning, batch
+read correctness, and the streaming reader's batch-twin equality."""
+
+from app_insights_generator_spark.sources.pysource import (
+    register_synthetic_events,
+)
+
+
+def _batch(spark, **opts):
+    register_synthetic_events(spark)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_split_planning(spark):
+    df = _batch(spark, n_rows=1000, n_partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 1000
+    byid = {r.event_id: r for r in rows}
+    assert byid[7].user_id == 7 and byid[7].event_type == "purchase"
+    assert byid[300].amount_cents == (300 * 37) % 10_000
+
+
+def test_streaming_read_equals_batch_twin(spark, tmp_path):
+    register_synthetic_events(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("batch_rows", 128)  # -> 4 microbatches, last one short
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysource_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r) for r in spark.table("pysource_stream").collect()
+    }
+    want = {tuple(r) for r in _batch(spark, n_rows=500).collect()}
+    assert got == want and len(got) == 500
