@@ -85,6 +85,8 @@ _GATE_PRIORITY = [
     "bm25_documents",
     "python_datasource_events",
     "bpe_tokenize_documents",
+    "forward_fill_events",
+    "lateral_top2_orders_per_customer",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -110,8 +112,6 @@ _GATE_PRIORITY = [
     "malformed_csv_handling",
     "zstd_sink_roundtrip_lineitem",
     "regr_price_vs_qty_lineitem",
-    "range_frame_moving_avg_orders",
-    "conditional_aggregates_orders",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -856,3 +856,40 @@ def cume_dist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w) + 1e-9, 4).alias("bal_pct_rank"),
         )
     )
+
+
+@register(
+    "forward_fill_events",
+    """
+    SELECT event_id, user_id,
+           (event_type = 'error') AS is_masked,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM events
+    """,
+)
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / last-observation-carried-forward (the time-series
+    idiom behind sensor downsampling and SCD current-value views):
+    'error' readings are masked to NULL and replaced with the user's last
+    trusted value via last(..., ignorenulls=True) over a running frame —
+    IGNORE NULLS window semantics as a user-facing op (the as-of join
+    uses the same primitive internally, joins.py:69). One shuffle on
+    user_id; the filled value is a COPY of an input double (no
+    arithmetic), so the gate is bit-exact by construction. Rows before a
+    user's first trusted value stay NULL — the honest LOCF contract."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "error").alias("is_masked"),
+        F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
+    )

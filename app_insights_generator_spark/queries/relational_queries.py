@@ -1192,3 +1192,36 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, "src", "dst", iterations=5)
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 100
+    """,
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (per-row dependent subplan with
+    ORDER BY + LIMIT) — the modern SQL surface for 'top-N related rows
+    per outer row'. Catalyst decorrelates it to a ranked window join, so
+    at scale it costs the same as window_top3_orders_per_customer; the
+    capability claim here is the LATERAL syntax + decorrelation itself,
+    verbatim-portable to the DuckDB oracle. event_id tiebreak on price
+    keeps it deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 100
+        """
+    )
