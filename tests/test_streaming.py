@@ -243,3 +243,69 @@ def test_streaming_anomaly_matches_batch(spark, sf_dir, events_stream):
     for eid, z in b.items():
         # batch emits round(z + 1e-9, 4); undo nothing — compare rounded
         assert abs(round(g[eid] + 1e-9, 4) - z) < 5e-4, (eid, g[eid], z)
+
+
+def test_stateful_state_recovers_across_restart(spark):
+    """applyInPandasWithState state must SURVIVE a query restart: two
+    availableNow runs share one checkpoint; run 2's events for a user
+    seen in run 1 must CONTINUE that user's (count, sum) accumulator from
+    the state store, not restart it at zero."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.streaming.stateful import user_running_totals
+
+    scratch = tempfile.mkdtemp(prefix="aig_restart_")
+    src = os.path.join(scratch, "src")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    out = os.path.join(scratch, "out")
+
+    def run_once(run_tag):
+        sdf = (
+            spark.readStream.schema("user_id long, value double")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_dir = os.path.join(out, run_tag)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(run_dir)
+
+        # memory sink refuses checkpoint recovery; foreachBatch supports it
+        q = (
+            user_running_totals(sdf)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.read.parquet(run_dir).collect()
+        }
+
+    write_file("f1", [(1, 10.0), (1, 5.0), (2, 7.0)])
+    first = run_once("run1")
+    assert first[1] == (2, 15.0) and first[2] == (1, 7.0)
+
+    # restart with new data: user 1 continues, user 3 starts fresh
+    write_file("f2", [(1, 1.0), (3, 2.0)])
+    second = run_once("run2")
+    assert second[1] == (3, 16.0), second   # restored 2/15.0 + one event
+    assert second[3] == (1, 2.0), second
+    assert 2 not in second                   # untouched user not re-emitted
