@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     "bpe_tokenize_documents",
     "forward_fill_events",
     "lateral_top2_orders_per_customer",
+    "observe_metrics_orders",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -111,7 +112,6 @@ _GATE_PRIORITY = [
     "compact_small_files_events",
     "malformed_csv_handling",
     "zstd_sink_roundtrip_lineitem",
-    "regr_price_vs_qty_lineitem",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

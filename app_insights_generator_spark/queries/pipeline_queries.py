@@ -844,3 +844,56 @@ def python_datasource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount_cents").cast("long").alias("amount_sum"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "observe_metrics_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+             AS n_finished,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def observe_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime metrics via df.observe()/Observation — production DQ
+    counters collected ON THE HOT PATH of an existing action (here a
+    noop-sink write), costing zero extra scans: at 100 TB a separate
+    validation pass doubles the read bill; observe() rides the one you
+    already pay for. The observed values (exact integer metrics: row
+    count, cents total, status count, key bounds) are returned as a
+    1-row frame and hash-checked against the oracle recomputing them in
+    SQL — so a metric that silently drifted from the data would fail the
+    gate."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["total_cents"]),
+                int(m["n_finished"]),
+                int(m["min_key"]),
+                int(m["max_key"]),
+            )
+        ],
+        "n_rows long, total_cents long, n_finished long, min_key long, max_key long",
+    )
