@@ -88,6 +88,7 @@ _GATE_PRIORITY = [
     "forward_fill_events",
     "lateral_top2_orders_per_customer",
     "observe_metrics_orders",
+    "pysink_jsonl_roundtrip_nation",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -111,7 +112,6 @@ _GATE_PRIORITY = [
     "foreach_batch_sink_events",
     "compact_small_files_events",
     "malformed_csv_handling",
-    "zstd_sink_roundtrip_lineitem",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -897,3 +897,44 @@ def observe_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, total_cents long, n_finished long, min_key long, max_key long",
     )
+
+
+@register(
+    "pysink_jsonl_roundtrip_nation",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def pysink_jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python DataSource WRITER
+    (sources/pysource.py JsonLinesDataSource): nation is written via the
+    two-phase-commit jsonl_dir sink (per-task temp files, commit-rename,
+    _SUCCESS manifest) and read back with spark.read.json; the gate
+    hashes the recovered rows against the source table, and the manifest
+    row count is asserted in-query. Completes the connector surface:
+    custom batch reader + streaming reader + transactional writer."""
+    import json
+    import os
+    import tempfile
+
+    from app_insights_generator_spark.sources.pysource import register_jsonl_dir
+
+    register_jsonl_dir(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="aig_pysink_"), "nation")
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src.write.format("jsonl_dir").mode("overwrite").save(out)
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest_rows = json.load(f)["n_rows"]
+    n_src = src.count()
+    if manifest_rows != n_src:
+        raise AssertionError(
+            f"jsonl_dir manifest says {manifest_rows} rows, source has {n_src}"
+        )
+    return (
+        spark.read.json(out)
+        .select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("n_regionkey").cast("long"),
+        )
+    )

@@ -115,3 +115,79 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
             ]
         )
 
+
+
+# --- writer half: a two-phase-commit JSONL directory sink --------------------
+#
+# DataSourceWriter is the API's real prize: write() runs per task and
+# returns a COMMIT MESSAGE; commit() runs once on the driver only after
+# every task succeeded — the two-phase publish the engine's parquet
+# pipeline implements by hand (pipeline.py two-phase write + swap), here
+# expressed through the connector protocol itself. Tasks write to
+# temp-named files; commit() renames them into place and writes a
+# _SUCCESS manifest with the total row count; abort() removes the temps,
+# so a failed job leaves no partial output visible.
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires a path (.save(path))")
+        _os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in _os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_SUCCESS":
+                    _os.remove(_os.path.join(self.path, f))
+
+    def write(self, iterator) -> _JsonlCommit:
+        tmp = _os.path.join(self.path, f"_tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True, default=str))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for i, m in enumerate(m for m in messages if m is not None):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(m.tmp_path, final)
+            total += m.n_rows
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"n_rows": total}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
+class JsonLinesDataSource(DataSource):
+    """df.write.format("jsonl_dir").mode("overwrite").save(path)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+
+def register_jsonl_dir(spark) -> None:
+    spark.dataSource.register(JsonLinesDataSource)

@@ -47,3 +47,33 @@ def test_streaming_read_equals_batch_twin(spark, tmp_path):
     }
     want = {tuple(r) for r in _batch(spark, n_rows=500).collect()}
     assert got == want and len(got) == 500
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """Python DataSource WRITER: per-task temp files + driver-side
+    commit-rename + _SUCCESS manifest. Round-trip through spark.read.json
+    must preserve every row, and the manifest row count must match."""
+    import json
+    import os
+
+    from app_insights_generator_spark.sources.pysource import register_jsonl_dir
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(1000).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id * 3 AS DOUBLE) AS v"
+    ).repartition(4)
+    df.write.format("jsonl_dir").mode("overwrite").save(out)
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-") and f.endswith(".jsonl")]
+    assert len(parts) == 4 and not [f for f in files if f.startswith("_tmp-")]
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert json.load(f)["n_rows"] == 1000
+
+    back = spark.read.json(out)
+    assert back.count() == 1000
+    got = {(r.k, r.grp, r.v) for r in back.collect()}
+    want = {(r.k, r.grp, r.v) for r in df.collect()}
+    assert got == want
