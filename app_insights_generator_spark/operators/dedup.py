@@ -438,7 +438,11 @@ def incremental_near_dedup(
 
 
 def duplicate_span_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    skew_robust: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-substring statistics: slide a k-token
     window over every document, hash each window (md5 of the joined
@@ -451,9 +455,9 @@ def duplicate_span_stats(
       the UNION of duplicated windows), dup_frac_bp (integer basis
       points — drift-proof).
 
-    Scale shape: one scan -> posexplode to (doc, pos, hash) -> one
-    groupBy(hash) with map-side partial counts -> semi-shape join back
-    -> ONE window pass per doc for merged-interval coverage (running
+    Scale shape: one scan -> posexplode to (doc, pos, hash) -> dup
+    detection (one hash shuffle; see the skew_robust note inline) ->
+    ONE window pass per doc for merged-interval coverage (running
     max-end subtraction), so overlapping windows are unioned WITHOUT
     exploding k positions per window — coverage costs O(dup_windows),
     not O(k * dup_windows). A true suffix array (the paper's tool) is a
@@ -475,17 +479,39 @@ def duplicate_span_stats(
             )
         ).alias("pos", "h"),
     )
-    # Duplicated = window-hash count >= 2, computed as count() OVER
-    # (PARTITION BY h) rather than groupBy + join-back: the join-back
-    # shape scans (and re-md5s) the window table TWICE and materializes
-    # the duplicated-hash set — which Catalyst then broadcasts, an
-    # unbounded-size broadcast at corpus scale. The window form is one
-    # shuffle on h over a single pass, no broadcast, no second scan.
-    dups = (
-        wins.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("_c") >= 2)
-        .select("_id", "pos")
-    )
+    # Duplicated = window-hash count >= 2. Two shapes, same semantics:
+    #
+    # DEFAULT (skew_robust=False): count() OVER (PARTITION BY h) — ONE
+    # pass, one shuffle, no materialized dup-hash set and no broadcast.
+    # Its hazard: a window partition holds EVERY occurrence of a hash,
+    # so the corpus's single most-duplicated passage (boilerplate) lands
+    # in one task. Fine until the top hash's count rivals a partition.
+    #
+    # skew_robust=True: groupBy(h) (map-side partial counts collapse hot
+    # keys BEFORE the shuffle) + SHUFFLE_MERGE join-back (hinted: the
+    # dup-hash set is unbounded, it must never broadcast) — AQE's skew
+    # handling can split the join's hot partitions, which it cannot do
+    # for a window. Cost: the window table is computed twice (2x md5).
+    # Pick per corpus: robust for web-scale boilerplate, default for
+    # corpora whose top duplicate is partition-sized or smaller.
+    if skew_robust:
+        dup_h = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .select("h")
+        )
+        dups = wins.join(dup_h.hint("SHUFFLE_MERGE"), "h", "inner").select(
+            "_id", "pos"
+        )
+    else:
+        dups = (
+            wins.withColumn(
+                "_c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("_c") >= 2)
+            .select("_id", "pos")
+        )
 
     w = Window.partitionBy("_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1

@@ -264,3 +264,21 @@ def test_duplicate_span_stats_short_and_empty_docs(spark):
     assert all(out[d].n_windows == 0 and out[d].dup_windows == 0 for d in (1, 2))
     # empty string splits to one empty token -> 1 token, 0 windows, no div-by-zero
     assert out[3].n_tokens == 1 and out[3].dup_frac_bp == 0
+
+
+def test_duplicate_span_stats_skew_robust_identical(spark):
+    """skew_robust=True (groupBy + SHUFFLE_MERGE join-back, AQE-splittable)
+    must produce EXACTLY the default window-shape output, and its plan
+    must not broadcast the unbounded dup-hash set."""
+    rows = [(i, f"tok{i} " * 3 + "the quick brown fox jumps again") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {tuple(r) for r in D.duplicate_span_stats(df, k=4).collect()}
+    robust = D.duplicate_span_stats(df, k=4, skew_robust=True)
+    b = {tuple(r) for r in robust.collect()}
+    assert a == b
+    plan = robust._jdf.queryExecution().executedPlan().toString()
+    # the dup-hash join keys on h and must be sort-merge (never a
+    # broadcast of the unbounded dup-hash set); the OUTER per-doc stats
+    # join may still broadcast — that one AQE sizes at runtime
+    assert "SortMergeJoin [h#" in plan, plan
+    assert "BroadcastHashJoin [h#" not in plan, plan
