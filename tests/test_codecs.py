@@ -370,3 +370,18 @@ def test_mp4_malformed_rejected():
     struct.pack_into(">H", bad, at, 32)
     with pytest.raises(ValueError):
         decode_mp4(bytes(bad))
+
+
+def test_map_in_arrow_equals_map_in_pandas_mp4(spark):
+    """Same equivalence for the MP4 branch added round 5."""
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        extract_real_media_features_arrow,
+        synthesize_mp4_media,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "media_id")
+    media = synthesize_mp4_media(ids, "media_id")
+    a = {tuple(r) for r in extract_real_media_features(media).collect()}
+    b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
+    assert a == b and len(a) == 20
