@@ -504,9 +504,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xFFC4:
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment header")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = [0] + list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError(
+                        f"truncated DHT segment: declares {n} values, "
+                        f"{len(body) - i - 17} remain"
+                    )
                 vals = list(body[i + 17 : i + 17 + n])
                 tab = _huff_decode_table(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tab
@@ -701,6 +708,12 @@ def _boxes_dict(data: bytes, start: int, end: int) -> dict[bytes, tuple[int, int
     return {tag: (s, e) for tag, s, e in _walk_boxes(data, start, end)}
 
 
+def _need(boxes: dict[bytes, tuple[int, int]], tag: bytes, ctx: str) -> tuple[int, int]:
+    if tag not in boxes:
+        raise ValueError(f"{ctx} missing required {tag!r} box")
+    return boxes[tag]
+
+
 def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     """Parse an ISO BMFF byte string -> ((n, h, w, 3) uint8 frames,
     duration_ms). Fully general sample-table reconstruction: multi-run
@@ -721,12 +734,12 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     moov = _boxes_dict(data, *boxes[b"moov"])
     if b"mvhd" not in moov or b"trak" not in moov:
         raise ValueError("moov missing mvhd or trak")
-    trak = _boxes_dict(data, *moov[b"trak"])
-    mdia = _boxes_dict(data, *trak[b"mdia"])
-    hdlr_s, hdlr_e = mdia[b"hdlr"]
+    trak = _boxes_dict(data, *_need(moov, b"trak", "moov"))
+    mdia = _boxes_dict(data, *_need(trak, b"mdia", "trak"))
+    hdlr_s, hdlr_e = _need(mdia, b"hdlr", "mdia")
     if data[hdlr_s + 8 : hdlr_s + 12] != b"vide":
         raise ValueError("first track is not a video track")
-    mdhd_s, _ = mdia[b"mdhd"]
+    mdhd_s, _ = _need(mdia, b"mdhd", "mdia")
     version = data[mdhd_s]
     if version == 0:
         timescale, duration = struct.unpack_from(">II", data, mdhd_s + 12)
@@ -736,7 +749,8 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported mdhd version {version}")
     if timescale == 0:
         raise ValueError("mdhd timescale is zero")
-    stbl = _boxes_dict(data, *_boxes_dict(data, *mdia[b"minf"])[b"stbl"])
+    minf = _boxes_dict(data, *_need(mdia, b"minf", "mdia"))
+    stbl = _boxes_dict(data, *_need(minf, b"stbl", "minf"))
     for need in (b"stsd", b"stsc", b"stsz"):
         if need not in stbl:
             raise ValueError(f"stbl missing {need!r}")

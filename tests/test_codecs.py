@@ -385,3 +385,48 @@ def test_map_in_arrow_equals_map_in_pandas_mp4(spark):
     a = {tuple(r) for r in extract_real_media_features(media).collect()}
     b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
     assert a == b and len(a) == 20
+
+
+def test_codec_fuzz_corruption_raises_cleanly():
+    """Contract hardening: flipping any byte of a valid file must either
+    still decode (corruption hit pixel/sample payload or an ignored
+    region) or raise ValueError — never struct.error, IndexError,
+    KeyError, zlib.error, or a numpy reshape crash. Deterministic sweep
+    over seeded positions so failures reproduce."""
+    from app_insights_generator_spark.operators.codecs import (
+        decode_bmp,
+        decode_jpeg,
+        decode_mp4,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_jpeg,
+        encode_mp4,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(99)
+    samples = [
+        (decode_wav, encode_wav(rng.integers(-1000, 1000, 256).astype("<i2"))),
+        (decode_bmp, encode_bmp(rng.integers(0, 256, (6, 5, 3)).astype("u1"))),
+        (decode_png, encode_png(rng.integers(0, 256, (7, 4, 3)).astype("u1"), 3)),
+        (decode_jpeg, encode_jpeg(rng.integers(0, 256, (16, 16)).astype("u1"))),
+        (decode_mp4, encode_mp4(rng.integers(0, 256, (3, 4, 5, 3)).astype("u1"))),
+    ]
+    for decode, good in samples:
+        n = len(good)
+        positions = sorted(set(int(p) for p in rng.integers(0, n, 90)))
+        for pos in positions:
+            for delta in (1, 0x80):
+                bad = bytearray(good)
+                bad[pos] = (bad[pos] + delta) % 256
+                try:
+                    decode(bytes(bad))
+                except ValueError:
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    raise AssertionError(
+                        f"{decode.__name__} leaked {type(e).__name__} at "
+                        f"byte {pos} (+{delta:#x}): {e}"
+                    ) from e
