@@ -201,3 +201,29 @@ def test_duplicate_spans_single_window_pass(spark, sf_dir):
     assert plan.count("Generate posexplode") == 1, plan
     # exactly two data shuffles: by window hash, then by doc for coverage
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Runtime partition pruning: joining a partitioned fact on its
+    partition column against a filtered dim must inject a dynamicpruning
+    subquery (reusing the broadcast), so at 100 TB only the dim-selected
+    partitions are read — static PartitionFilters alone can't do this,
+    the dim's surviving keys are only known at runtime."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.sources import load_table
+
+    path = os.path.join(str(tmp_path), "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        ["status", "label"],
+    ).filter(F.col("label") == "finished")
+    j = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("status").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
