@@ -148,6 +148,38 @@ def bench_mp4(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_spans_skew(spark, scales: list[int]) -> list[dict]:
+    """duplicate_span_stats on a boilerplate-heavy corpus (EVERY doc
+    carries one shared 8-token passage, so one window hash holds every
+    doc): default count-over-window puts that hash in one task, the
+    skew_robust groupBy+join shape collapses it map-side."""
+    boiler = "all rights reserved terms of service apply here"
+    rows = []
+    for s in scales:
+        n = 20_000 * s
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler + " "),
+                F.concat_ws(
+                    " ",
+                    *[(F.col("id") * (i + 3) % 9973).cast("string") for i in range(12)],
+                ),
+            ).alias("text"),
+        ).persist()
+        docs.count()
+        out = {"scale": s, "docs": n}
+        for mode, label in ((False, "window_s"), (True, "skewrobust_s")):
+            t0 = time.time()
+            D.duplicate_span_stats(docs, k=8, skew_robust=mode).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            out[label] = round(time.time() - t0, 2)
+        docs.unpersist()
+        rows.append(out)
+    return rows
+
+
 def md_table(rows: list[dict]) -> str:
     cols = list(rows[0])
     out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
@@ -158,7 +190,7 @@ def md_table(rows: list[dict]) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
-    ap.add_argument("--only", default=None, help="comma list: dedup,pca,spans,mp4")
+    ap.add_argument("--only", default=None, help="comma list: dedup,pca,spans,spans_skew,mp4")
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
     spark = get_spark(app_name="scale-bench")
@@ -176,6 +208,9 @@ def main() -> None:
     if want("spans"):
         print("\n## duplicate-span stats wall-clock vs corpus\n")
         print(md_table(bench_dup_spans(spark, scales)))
+    if want("spans_skew"):
+        print("\n## duplicate-span skew: hot-hash window vs skew_robust join\n")
+        print(md_table(bench_spans_skew(spark, scales)))
     if want("mp4"):
         print("\n## MP4 container encode+decode wall-clock vs media count\n")
         print(md_table(bench_mp4(spark, scales)))
