@@ -89,6 +89,8 @@ _GATE_PRIORITY = [
     "lateral_top2_orders_per_customer",
     "observe_metrics_orders",
     "pysink_jsonl_roundtrip_nation",
+    "parameterized_sql_orders",
+    "array_hof_lineitem",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -110,8 +112,6 @@ _GATE_PRIORITY = [
     "xml_roundtrip_supplier",
     "zorder_sink_lineitem",
     "foreach_batch_sink_events",
-    "compact_small_files_events",
-    "malformed_csv_handling",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

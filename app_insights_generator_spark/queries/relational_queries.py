@@ -1225,3 +1225,99 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         WHERE c.c_custkey < 100
         """
     )
+
+
+@register(
+    "parameterized_sql_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def parameterized_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers): the injection-
+    safe interface a query service exposes — literals bind server-side as
+    typed values (:cutoff, :status), never string-spliced. The oracle
+    pins the same predicate with inline literals; integer-cents sum keeps
+    the money aggregate drift-proof."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM _param_orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1995-01-01", "status": "O"},
+    )
+
+
+@register(
+    "array_hof_lineitem",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(struct_pack(
+                    pc := CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                    dc := CAST(ROUND(l_discount * 100) AS BIGINT))
+                  ORDER BY l_linenumber,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                           CAST(ROUND(l_discount * 100) AS BIGINT)) AS arr
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    split AS (
+      SELECT l_orderkey,
+             list_transform(arr, s -> s.pc) AS prices_c,
+             list_transform(arr, s -> s.dc) AS discs_c
+      FROM per_order
+    )
+    SELECT l_orderkey,
+           CAST(len(list_filter(prices_c, p -> p > 100000)) AS INT)
+             AS n_expensive,
+           CAST(list_sum(list_transform(range(1, len(prices_c) + 1),
+                i -> prices_c[i] * (100 - discs_c[i]))) AS BIGINT)
+             AS disc_total_c4
+    FROM split
+    """,
+)
+def array_hof_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: collect each
+    order's line prices/discounts into ordered arrays (integer cents),
+    then filter(p -> p > $1000) and zip_with(price, disc, ...) +
+    aggregate for the discounted total — the per-element work runs inside
+    the SQL engine, no UDF. All integer arithmetic, so the zip/aggregate
+    is bit-exact against DuckDB's list_transform/list_sum twin. At scale
+    this is one groupBy; the arrays come from ONE sorted struct array per
+    order (sort key = (linenumber, price, discount)) because linenumber
+    ties would otherwise misalign the zip — deterministic AND
+    pair-preserving on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # ONE sorted struct array carrying the (price, discount) PAIR:
+    # l_linenumber is not unique in this data, so independently sorted
+    # price/discount arrays would misalign the zip on ties.
+    per = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "sort_array(collect_list(struct(l_linenumber, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc, "
+            "CAST(ROUND(l_discount * 100) AS BIGINT) AS dc)))"
+        ).alias("arr")
+    ).select(
+        "l_orderkey",
+        F.expr("transform(arr, s -> s.pc)").alias("prices_c"),
+        F.expr("transform(arr, s -> s.dc)").alias("discs_c"),
+    )
+    return per.select(
+        "l_orderkey",
+        F.expr("size(filter(prices_c, p -> p > 100000))").alias("n_expensive"),
+        F.expr(
+            "aggregate(zip_with(prices_c, discs_c, (p, d) -> p * (100 - d)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("disc_total_c4"),
+    )
