@@ -719,7 +719,10 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     duration_ms). Fully general sample-table reconstruction: multi-run
     stsc, per-sample stsz tables, stco or co64 chunk offsets, and
     foreign/`free` boxes are all handled; every sample extent is bounds-
-    checked against the mdat payload. Raises ValueError on non-BMFF
+    checked against the mdat payload. Frame timestamps derive uniformly
+    from the mdhd duration (delta-1 samples, what encode_mp4 writes) —
+    variable stts deltas would affect timing only, never offsets.
+    Raises ValueError on non-BMFF
     bytes, truncation, a non-'raw ' codec (compressed video is the one
     documented out-of-scope payload), depth != 24, or any sample that
     does not match width*height*3."""
@@ -739,7 +742,9 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     hdlr_s, hdlr_e = _need(mdia, b"hdlr", "mdia")
     if data[hdlr_s + 8 : hdlr_s + 12] != b"vide":
         raise ValueError("first track is not a video track")
-    mdhd_s, _ = _need(mdia, b"mdhd", "mdia")
+    mdhd_s, mdhd_e = _need(mdia, b"mdhd", "mdia")
+    if mdhd_e - mdhd_s < 20:
+        raise ValueError(f"mdhd box too short: {mdhd_e - mdhd_s} bytes")
     version = data[mdhd_s]
     if version == 0:
         timescale, duration = struct.unpack_from(">II", data, mdhd_s + 12)
@@ -762,6 +767,10 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"expected 1 stsd entry, found {entry_count}")
     entries = list(_walk_boxes(data, stsd_s + 8, stsd_e))
     fourcc, ent_s, ent_e = entries[0]
+    if ent_e - ent_s < 78:
+        raise ValueError(
+            f"VisualSampleEntry too short: {ent_e - ent_s} bytes, want >= 78"
+        )
     if fourcc != b"raw ":
         raise ValueError(
             f"unsupported video codec {fourcc!r}: only uncompressed 'raw ' "
