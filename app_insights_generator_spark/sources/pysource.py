@@ -36,8 +36,12 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("n_rows", 10_000))
         self.n_partitions = max(1, int(options.get("n_partitions", 8)))
+        if self.n_rows < 0:
+            raise ValueError(f"n_rows must be >= 0, got {self.n_rows}")
 
     def partitions(self):
+        if self.n_rows == 0:
+            return [_Slice(0, 0)]  # a valid empty split, never zero splits
         step = -(-self.n_rows // self.n_partitions)  # ceil
         return [
             _Slice(lo, min(lo + step, self.n_rows))

@@ -77,3 +77,11 @@ def test_jsonl_writer_two_phase_commit(spark, tmp_path):
     got = {(r.k, r.grp, r.v) for r in back.collect()}
     want = {(r.k, r.grp, r.v) for r in df.collect()}
     assert got == want
+
+
+def test_batch_read_edge_options(spark):
+    import pytest
+
+    assert _batch(spark, n_rows=0).count() == 0
+    with pytest.raises(Exception, match="n_rows"):
+        _batch(spark, n_rows=-5).collect()
