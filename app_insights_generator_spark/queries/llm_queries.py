@@ -1790,7 +1790,10 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     INVARIANTS that raise on violation: with 10 learned merges,
     n_words <= total n_tokens < n_chars + n_words (every word ends at
     >= 1 token; merges strictly reduce the symbol count somewhere, since
-    the best pair has count >= 1). pytest additionally checks exact merge
+    the best pair has count >= 1), AND the distributed token total must
+    EXACTLY equal a driver-side recomputation from the word-frequency
+    table — two independent tokenizer implementations cross-checking
+    each other on every gate run. pytest additionally checks exact merge
     tables and token counts on hand-built corpora."""
     from app_insights_generator_spark.operators.bpe import (
         tokenize_bpe,
@@ -1798,8 +1801,11 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
+    from app_insights_generator_spark.operators.bpe import _apply_merges
+
     docs = _docs(spark, sf_dir)
-    merges = train_bpe(word_frequencies(docs, "text"), n_merges=10)
+    wf = word_frequencies(docs, "text")
+    merges = train_bpe(wf, n_merges=10)
     tok = tokenize_bpe(docs, merges, "doc_id", "text")
     totals = tok.agg(
         F.sum("n_words").alias("w"),
@@ -1810,5 +1816,19 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"BPE invariant violated: words={totals['w']} tokens={totals['t']} "
             f"chars+words={totals['c'] + totals['w']} (merges={len(merges)})"
+        )
+    # Cross-implementation check: recompute the corpus token total on the
+    # DRIVER from the (bounded) word-frequency table with the pure-python
+    # tokenizer — two independent code paths (driver dict loop vs
+    # distributed mapInPandas) must agree EXACTLY or the query raises.
+    pairs = [(a, b) for a, b, _ in merges]
+    expected = sum(
+        int(r["freq"]) * len(_apply_merges(r["word"], pairs))
+        for r in wf.collect()
+    )
+    if totals["t"] != expected:
+        raise AssertionError(
+            f"BPE tokenization disagrees: distributed={totals['t']} "
+            f"driver-recompute={expected}"
         )
     return tok.select("doc_id", "n_words", "n_chars")
