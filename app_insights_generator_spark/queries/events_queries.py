@@ -863,3 +863,89 @@ def interval_overlap_sessions_errors(spark: SparkSession, sf_dir: str) -> DataFr
     ).select(
         "user_id", "day", "span_start", "span_end", "error_id", "err_start", "err_end"
     )
+
+
+@register(
+    "sessionize_dynamic_gap_events",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'error' THEN 300000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_id, ts_us, gap_us,
+             MAX(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_end
+      FROM base
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us, gap_us,
+             CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts_us, gap_us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_epoch,
+           CAST(MAX(ts_us + gap_us) // 1000000 AS BIGINT) AS session_end_epoch,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_dynamic_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP sessionization: each event extends its session by its
+    own timeout (errors close after 5 minutes, normal activity after 30)
+    — Spark's session_window(ts, gapExpr) semantics, expressed in batch
+    as merged intervals: an event opens a new session exactly when its
+    timestamp exceeds the running MAX of all preceding (ts + gap) for
+    the user (sessions are 1-D interval-union components, so the running
+    max is the live session's end). Same single-shuffle shape as the
+    fixed-gap sessionizer — two windows + one aggregate over one hash
+    partitioning; all-integer epoch arithmetic keeps the gate
+    drift-proof. pytest pins equality against the native dynamic
+    session_window API on the same gap expression."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        _us(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit(300_000_000))
+        .otherwise(F.lit(1_800_000_000))
+        .cast("long")
+        .alias("gap_us"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_max_end = F.max(F.col("ts_us") + F.col("gap_us")).over(prev)
+    flagged = base.withColumn(
+        "is_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("ts_us") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_idx", F.sum("is_new").over(run).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.expr("CAST(MIN(ts_us) DIV 1000000 AS BIGINT)").alias(
+            "session_start_epoch"
+        ),
+        F.expr("CAST(MAX(ts_us + gap_us) DIV 1000000 AS BIGINT)").alias(
+            "session_end_epoch"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

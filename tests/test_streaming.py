@@ -309,3 +309,37 @@ def test_stateful_state_recovers_across_restart(spark):
     assert second[1] == (3, 16.0), second   # restored 2/15.0 + one event
     assert second[3] == (1, 2.0), second
     assert 2 not in second                   # untouched user not re-emitted
+
+
+def test_dynamic_gap_sessionize_matches_native_session_window(spark, sf_dir):
+    """The manual merged-interval formulation must agree with Spark's
+    native session_window(ts, gapExpr) on session count and membership:
+    same per-user session count, same (start, n_events) multiset."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries import QUERIES
+    from app_insights_generator_spark.queries.events_queries import _events
+
+    manual = QUERIES["sessionize_dynamic_gap_events"](spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+    m = {
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in manual.collect()
+    }
+    n = {
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in native.collect()
+    }
+    assert m == n
