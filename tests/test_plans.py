@@ -227,3 +227,27 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     j = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("status").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bm25_zero_corpus_shuffle(spark, sf_dir):
+    """BM25: the corpus never shuffles — per-doc tf/dl are projections,
+    the 1-row stats aggregate broadcasts back (BroadcastNestedLoopJoin on
+    a single row, no CartesianProduct, zero hash-partition exchanges)."""
+    plan = _plan(spark, sf_dir, "bm25_documents")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_forward_fill_single_shuffle(spark, sf_dir):
+    """LOCF: exactly one shuffle (hash by user) feeding one window pass."""
+    plan = _plan(spark, sf_dir, "forward_fill_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lateral_decorrelates_to_ranked_join(spark, sf_dir):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate to a ranked
+    window + join — never a per-outer-row CartesianProduct replay."""
+    plan = _plan(spark, sf_dir, "lateral_top2_orders_per_customer")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan and "Join" in plan, plan
