@@ -443,11 +443,13 @@ def duplicate_span_stats(
     text_col: str = "text",
     k: int = 8,
     skew_robust: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document duplicated-substring statistics: slide a k-token
-    window over every document, hash each window (md5 of the joined
-    tokens — the same expression is available verbatim in ANSI SQL, so
-    the gate compares identical keys), call a window DUPLICATED when its
+    window over every document, hash each window (xxhash64 by default —
+    8-byte shuffle keys, no crypto cost; ``hash_fn="md5"`` for the gated
+    query, whose DuckDB oracle needs a hash both engines compute
+    identically), call a window DUPLICATED when its
     hash occurs >= 2 times anywhere in the corpus (cross- OR within-doc,
     the Lee-et-al. criterion), and report per doc:
 
@@ -470,12 +472,17 @@ def duplicate_span_stats(
     base = df.select(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_t")
     ).select("_id", F.size("_t").alias("n_tokens"), "_t")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64 or md5, got {hash_fn!r}")
+    # xxhash64 (default): 8-byte keys, no crypto cost — the production
+    # choice; md5 exists because it is the one hash both Spark and the
+    # DuckDB oracle can compute identically (the gated query pins it).
     wins = base.filter(F.col("n_tokens") >= k).select(
         "_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, n_tokens - {k}),"
-                f" i -> md5(array_join(slice(_t, i + 1, {k}), ' ')))"
+                f" i -> {hash_fn}(array_join(slice(_t, i + 1, {k}), ' ')))"
             )
         ).alias("pos", "h"),
     )

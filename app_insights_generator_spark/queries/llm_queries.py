@@ -1630,7 +1630,9 @@ def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is float-drift-proof."""
     from app_insights_generator_spark.operators.dedup import duplicate_span_stats
 
-    return duplicate_span_stats(_docs(spark, sf_dir), "doc_id", "text", k=8)
+    return duplicate_span_stats(
+        _docs(spark, sf_dir), "doc_id", "text", k=8, hash_fn="md5"
+    )
 
 
 @register(
