@@ -96,3 +96,51 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_depths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 6,
+) -> DataFrame:
+    """Unweighted single/multi-source BFS -> [node, depth] for every node
+    reachable within ``max_iter`` hops (depth = minimum hop count).
+
+    The third iterative-fixpoint shape alongside pagerank (mass
+    propagation) and connected_components (label convergence): FRONTIER
+    EXPANSION, where per-round work shrinks to the newly-discovered set
+    instead of staying proportional to the node count. Each round is one
+    distinct + one anti-join against the visited set — both shuffles are
+    keyed on node, and AQE sizes them to the (shrinking) frontier. Driver
+    state is a single boolean per round (`is the frontier empty`, the
+    same scalar-only discipline as connected_components' convergence
+    check); depths are small integers, so the result is engine-exact and
+    the oracle is the recurrence unrolled to ``max_iter`` level CTEs with
+    a final MIN(depth) per node (min over exactly-i-step reachability ==
+    visited-pruned BFS depth).
+
+    ``sources`` must be a single-column DataFrame named ``node``.
+    """
+    if max_iter < 0:
+        raise ValueError(f"bfs_depths: max_iter must be >= 0, got {max_iter}")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint()
+    dist = sources.select(
+        F.col("node"), F.lit(0).cast("int").alias("depth")
+    ).distinct().localCheckpoint()
+    frontier = dist
+    for i in range(1, max_iter + 1):
+        candidates = (
+            e.join(frontier, e["_src"] == frontier["node"])
+            .select(F.col("_dst").alias("node"), F.lit(i).cast("int").alias("depth"))
+            .distinct()
+        )
+        fresh = candidates.join(dist, "node", "left_anti").localCheckpoint()
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    return dist

@@ -91,6 +91,10 @@ _GATE_PRIORITY = [
     "pysink_jsonl_roundtrip_nation",
     "parameterized_sql_orders",
     "array_hof_lineitem",
+    # (f) round-5 late additions: deterministic corpus shard-shuffle,
+    #     BFS frontier expansion (third iterative-fixpoint shape)
+    "shard_shuffle_documents",
+    "bfs_depth_nation_trade",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -110,8 +114,6 @@ _GATE_PRIORITY = [
     "multimodal_audio_windows",
     "binaryfile_source_media",
     "xml_roundtrip_supplier",
-    "zorder_sink_lineitem",
-    "foreach_batch_sink_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

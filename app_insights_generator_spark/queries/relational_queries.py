@@ -1162,6 +1162,29 @@ def _pagerank_oracle(iterations: int = 5, damping: int = 85, scale: int = 1_000_
     )
 
 
+def _nation_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT customer-nation -> supplier-nation edges across order
+    lineitems (the TPC-H Q7 join shape) — the shared graph for
+    pagerank_nation_trade and bfs_depth_nation_trade. The derivation is
+    the scale-bearing part (a distinct over the full 6-table join); the
+    node set stays bounded at the nation count."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n.alias("cn"), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n.alias("sn"), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(F.col("cn.n_name") != F.col("sn.n_name"))
+        .select(F.col("cn.n_name").alias("src"), F.col("sn.n_name").alias("dst"))
+        .distinct()
+    )
+
+
 @register("pagerank_nation_trade", _pagerank_oracle())
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation trade graph (edges = DISTINCT customer
@@ -1176,22 +1199,49 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-table join — while the node set stays bounded."""
     from app_insights_generator_spark.operators.graph import pagerank
 
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    edges = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(n.alias("cn"), F.col("c_nationkey") == F.col("cn.n_nationkey"))
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(n.alias("sn"), F.col("s_nationkey") == F.col("sn.n_nationkey"))
-        .filter(F.col("cn.n_name") != F.col("sn.n_name"))
-        .select(F.col("cn.n_name").alias("src"), F.col("sn.n_name").alias("dst"))
-        .distinct()
-    )
+    edges = _nation_trade_edges(spark, sf_dir)
     return pagerank(edges, "src", "dst", iterations=5)
+
+
+def _bfs_oracle(max_iter: int = 6) -> str:
+    """Unrolled-level SQL twin of operators/graph.py bfs_depths: level CTE
+    l_i holds the nodes reachable in exactly i steps; MIN(depth) over the
+    union of levels equals visited-pruned BFS depth (small integers, so
+    the compare is engine-exact with no float class at all)."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "l0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS depth)",
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"l{i} AS (SELECT DISTINCT e.dst AS node, {i} AS depth"
+            f" FROM edges e JOIN l{i - 1} p ON p.node = e.src)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node, depth FROM l{i}" for i in range(max_iter + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(MIN(depth) AS INT) AS depth FROM ({union}) GROUP BY node"
+    )
+
+
+@register("bfs_depth_nation_trade", _bfs_oracle())
+def bfs_depth_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the nation trade graph (operators/graph.py
+    bfs_depths): hop distance from the lexicographically-smallest source
+    nation to every nation reachable within 6 hops. Completes the
+    iterative-fixpoint trio (pagerank = mass propagation, connected
+    components = label convergence, BFS = frontier expansion, where
+    per-round work shrinks to the newly-discovered set). Depths are small
+    integers — engine-exact — and the oracle is the recurrence unrolled
+    into level CTEs with a final MIN(depth)."""
+    from app_insights_generator_spark.operators.graph import bfs_depths
+
+    edges = _nation_trade_edges(spark, sf_dir)
+    sources = edges.agg(F.min("src").alias("node"))
+    return bfs_depths(edges, sources, "src", "dst", max_iter=6)
 
 
 @register(

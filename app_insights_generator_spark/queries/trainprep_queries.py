@@ -463,3 +463,35 @@ def decontaminate_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataF
         .otherwise(F.lit("keep"))
         .alias("decision"),
     )
+
+
+@register(
+    "shard_shuffle_documents",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+                AS INT) AS pos
+    FROM h
+    """,
+)
+def shard_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle-shard (operators/shard.py): every
+    document gets a (shard, pos) coordinate from a sha256 hash
+    permutation — shard = h % 8, pos = rank of h within the shard. The
+    gate's witness is the FULL assignment table: both engines must place
+    every document at the identical permuted coordinate, which pins the
+    hash, the modulo, and the rank tie-break in one check. One narrow
+    exchange on shard + per-shard sort is the whole cost at any scale;
+    write_sharded turns the same frame into shard=K parquet directories.
+    """
+    from app_insights_generator_spark.operators.shard import shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_shuffle(docs, "doc_id", 8)

@@ -38,3 +38,28 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
     assert got == _py_pagerank(edges, iterations=5)
     assert got["hub"] == max(got.values())
+
+
+def test_bfs_depths_hand_graph(spark):
+    from app_insights_generator_spark.operators.graph import bfs_depths
+
+    # a -> b -> c -> d chain, shortcut a -> c, disconnected x -> y,
+    # cycle back d -> a (must not loop), plus e reachable only at depth 3
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+        ("d", "a"), ("x", "y"), ("d", "e"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sources = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_bfs_depths_max_iter_caps_depth(spark):
+    from app_insights_generator_spark.operators.graph import bfs_depths
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sources = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.depth for r in bfs_depths(df, sources, max_iter=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops: excluded
