@@ -144,3 +144,75 @@ def bfs_depths(
         dist = dist.unionByName(fresh).localCheckpoint()
         frontier = fresh
     return dist
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts -> [node, n_triangles]
+    (nodes in no triangle are omitted).
+
+    Join-based (not iterative): the classic degree-ordered formulation —
+    treat the graph as undirected, then direct every edge from its
+    lower-(degree, name) endpoint to the higher one. The directed graph
+    is a DAG under that total order, each triangle {u,v,w} survives as
+    exactly one path u->v->w closed by u->w, and — the scale property —
+    every node's OUT-degree is O(sqrt(m)) (a node of degree d only keeps
+    out-edges to neighbors of degree >= d, and there are at most 2m/d of
+    those), so the wedge join's per-key fan-out is bounded regardless of
+    raw degree skew. A hub with 10^7 neighbors contributes wedges
+    proportional to sqrt(m), not 10^14: this is what makes the plan
+    survive power-law graphs at 100 TB where the naive a<b ordering
+    explodes on the hub keys.
+
+    Two shuffles dominate: the wedge join on the middle node and the
+    closing semi-equijoin on (u, w); both are plain hash joins Catalyst
+    can re-plan under AQE. The result is ordering-strategy-independent
+    (the triangle SET is a graph invariant), so the SQL oracle may use
+    the simple lexicographic formulation and must match bit-for-bit.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionByName(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    d = (
+        und.join(deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da")), "_a")
+        .join(deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db")), "_b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    directed = d.select(
+        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("u"),
+        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("v"),
+    ).localCheckpoint()
+    wedges = (
+        directed.alias("e1")
+        .join(directed.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+        )
+    )
+    tri = wedges.join(
+        directed.select(F.col("u").alias("tu"), F.col("v").alias("tw")),
+        (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")),
+    ).select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

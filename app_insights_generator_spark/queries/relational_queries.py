@@ -1245,6 +1245,39 @@ def bfs_depth_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_count_nation_trade",
+    f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_PR_EDGES_SQL}) WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """,
+)
+def triangle_count_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the trade graph
+    (operators/graph.py triangle_counts): the join-based graph-analytics
+    shape alongside the iterative trio. Spark directs edges by DEGREE
+    order, bounding wedge fan-out at O(sqrt(m)) per key on power-law
+    graphs; the triangle set is an ordering-independent graph invariant,
+    so the oracle uses the simple lexicographic a<b formulation and the
+    integer counts must match bit-for-bit."""
+    from app_insights_generator_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_nation_trade_edges(spark, sf_dir))
+
+
+@register(
     "lateral_top2_orders_per_customer",
     """
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

@@ -63,3 +63,38 @@ def test_bfs_depths_max_iter_caps_depth(spark):
     sources = spark.createDataFrame([("a",)], ["node"])
     got = {r.node: r.depth for r in bfs_depths(df, sources, max_iter=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops: excluded
+
+
+def test_triangle_counts_k4_plus_isolated_edge(spark):
+    from app_insights_generator_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in "abcd" for b in "abcd" if a < b] + [("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}  # K4; x,y omitted
+
+
+def test_triangle_counts_random_graph_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from app_insights_generator_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    und = {
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.25
+    }
+    # feed as a messy directed multigraph: random orientation + dups + loops
+    edges = [((b, a) if rng.random() < 0.5 else (a, b)) for a, b in und]
+    edges += edges[:20] + [("n0", "n0")]
+    expect: dict[str, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in und and (b, c) in und and (a, c) in und):
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expect

@@ -251,3 +251,22 @@ def test_lateral_decorrelates_to_ranked_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lateral_top2_orders_per_customer")
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan and "Join" in plan, plan
+
+
+def test_shard_shuffle_single_exchange(spark, sf_dir):
+    """The shard-shuffle permutation must cost exactly ONE exchange (hash
+    partition on shard for the per-shard rank window) — a second exchange
+    would mean the hash tag or the window re-partitions redundantly."""
+    plan = _plan(spark, sf_dir, "shard_shuffle_documents")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_triangle_wedge_joins_no_cartesian(spark, sf_dir):
+    """Triangle counting must stay equi-join shaped (wedge join + closing
+    join) — a CartesianProduct/BroadcastNestedLoop here is the all-pairs
+    explosion the degree ordering exists to prevent."""
+    plan = _plan(spark, sf_dir, "triangle_count_nation_trade")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
