@@ -1404,3 +1404,64 @@ def array_hof_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "0L, (acc, x) -> acc + x)"
         ).alias("disc_total_c4"),
     )
+
+
+@register(
+    "incremental_agg_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              / CAST(100 AS DOUBLE)) AS total_price,
+           (MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              / CAST(100 AS DOUBLE)) AS min_price,
+           (MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              / CAST(100 AS DOUBLE)) AS max_price,
+           ((CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100) / COUNT(*)) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): the
+    orders table is split into a 90% base and a 10% delta, each reduced
+    to a mergeable per-group STATE (count + integer-cents sum/min/max),
+    and the two states are merged WITHOUT touching base rows — the
+    refresh cost a 100 TB pipeline pays is O(delta + groups), not a
+    rescan. The oracle aggregates the whole table directly, so the gate
+    is the algebraic claim itself: merge(state(A), state(B)) ==
+    state(A ∪ B), bit-exact (cents integers; avg derived at read time
+    from exact sum and count, never stored)."""
+    from app_insights_generator_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+    from app_insights_generator_spark.queries._exact import cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    measures = {
+        "n_orders": ("count", None),
+        "total_cents": ("sum", cents("o_totalprice")),
+        "min_cents": ("min", cents("o_totalprice")),
+        "max_cents": ("max", cents("o_totalprice")),
+    }
+    base = agg_state(
+        orders.filter(F.expr("o_orderkey % 10 != 0")), keys, measures
+    )
+    delta = agg_state(
+        orders.filter(F.expr("o_orderkey % 10 = 0")), keys, measures
+    )
+    merged = merge_states([base, delta], keys, measures)
+    hundred = F.lit(100).cast("double")
+    return merged.select(
+        *keys,
+        F.col("n_orders"),
+        (F.col("total_cents") / hundred).alias("total_price"),
+        (F.col("min_cents") / hundred).alias("min_price"),
+        (F.col("max_cents") / hundred).alias("max_price"),
+        ((F.col("total_cents").cast("double") / 100) / F.col("n_orders")).alias(
+            "avg_price"
+        ),
+    )
