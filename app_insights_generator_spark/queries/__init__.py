@@ -97,6 +97,7 @@ _GATE_PRIORITY = [
     "bfs_depth_nation_trade",
     "triangle_count_nation_trade",
     "incremental_agg_orders",
+    "sessionize_dynamic_gap_events",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
@@ -113,7 +114,6 @@ _GATE_PRIORITY = [
     "multimodal_resize",
     "multimodal_real_codec_features",
     "multimodal_real_resize",
-    "multimodal_audio_windows",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_minhash_documents",
     "dedup_components_documents",
     "duplicate_spans_documents",   # round-5: substring-level dup spans
+    "shard_shuffle_documents",     # round-5: deterministic corpus shuffle
     "cosine_topk_embeddings",
     "similarity_join_lsh_production",  # bench-local: raw LSH join, see _EXTRA
     "text_stats_documents",

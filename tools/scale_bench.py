@@ -180,6 +180,159 @@ def bench_spans_skew(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_shard(spark, scales: list[int]) -> list[dict]:
+    """shard_shuffle wall-clock vs corpus size (claim: linear — one map
+    pass + one hash exchange + per-shard sort)."""
+    from app_insights_generator_spark.operators.shard import shard_shuffle
+
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"docs_x{s}")
+        if not os.path.exists(path):
+            replicate(spark, "documents", "doc_id", s, path)
+        docs = spark.read.parquet(path)
+        n = docs.count()
+        t0 = time.time()
+        shard_shuffle(docs, "doc_id", 32).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rows.append({"scale": s, "rows": n, "shard_shuffle_s": round(time.time() - t0, 2)})
+    return rows
+
+
+def _star_ring_edges(spark, n_spokes: int):
+    """Deterministic skew graph: hub 'm_hub' sits lexicographically in the
+    MIDDLE of the spoke names (half 'a…', half 'z…') — the naive a<b
+    ordering's worst case, since wedges centered at a node need both an
+    in-edge and an out-edge, so a mid-order hub gets (n/2)^2 of them.
+    Degree ordering directs every star edge INTO the max-degree hub: hub
+    out-degree 0, zero hub wedges. Spoke ring i—i+1 makes the triangle
+    set non-trivial (hub + each adjacent pair = n_spokes triangles)."""
+
+    def name(col):
+        return F.concat(
+            F.when(col % 2 == 0, F.lit("a")).otherwise(F.lit("z")),
+            F.format_string("%07d", col),
+        )
+
+    spokes = spark.range(n_spokes).select(name(F.col("id")).alias("spoke"), "id")
+    star = spokes.select(F.lit("m_hub").alias("src"), F.col("spoke").alias("dst"))
+    ring = spokes.select(
+        F.col("spoke").alias("src"),
+        name((F.col("id") + 1) % n_spokes).alias("dst"),
+    )
+    return star.unionByName(ring)
+
+
+def _naive_triangle_counts(edges):
+    """Lexicographic a<b orientation — correct but hub-skewed; the
+    comparison point for the degree-ordered operator."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wedges = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w"))
+    )
+    tri = wedges.join(
+        und.select(F.col("u").alias("tu"), F.col("v").alias("tw")),
+        (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")),
+    ).select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def bench_triangles(spark, scales: list[int]) -> list[dict]:
+    """Degree-ordered vs naive-lexicographic triangle counting on the
+    star+ring skew graph (claim: degree ordering stays linear in spokes;
+    naive grows with C(spokes, 2) hub wedges)."""
+    from app_insights_generator_spark.operators.graph import triangle_counts
+
+    rows = []
+    for s in scales:
+        n_spokes = 2000 * s
+        edges = _star_ring_edges(spark, n_spokes).localCheckpoint()
+        t0 = time.time()
+        n_deg = triangle_counts(edges).count()
+        t_deg = time.time() - t0
+        t0 = time.time()
+        n_naive = _naive_triangle_counts(edges).count()
+        t_naive = time.time() - t0
+        assert n_deg == n_naive, (n_deg, n_naive)
+        rows.append(
+            {
+                "spokes": n_spokes,
+                "hub_wedges_naive": n_spokes * (n_spokes - 1) // 2,
+                "degree_ordered_s": round(t_deg, 2),
+                "naive_lex_s": round(t_naive, 2),
+            }
+        )
+    return rows
+
+
+def bench_incremental(spark, scales: list[int]) -> list[dict]:
+    """Incremental aggregate refresh vs full recompute at growing base
+    size with a fixed-size delta (claim: merge cost is O(delta + groups),
+    flat in the base)."""
+    from app_insights_generator_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+    from app_insights_generator_spark.queries._exact import cents
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+
+    def measures():
+        return {
+            "n_orders": ("count", None),
+            "total_cents": ("sum", cents("o_totalprice")),
+            "min_cents": ("min", cents("o_totalprice")),
+            "max_cents": ("max", cents("o_totalprice")),
+        }
+
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"orders_x{s}")
+        replicate(spark, "orders", "o_orderkey", s, path)
+        base = spark.read.parquet(path)
+        n = base.count()
+        delta = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).limit(
+            10_000
+        )
+        state_path = os.path.join(SCRATCH, f"orders_state_x{s}")
+        agg_state(base, keys, measures()).write.mode("overwrite").parquet(state_path)
+        t0 = time.time()
+        agg_state(base.unionByName(delta), keys, measures()).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_full = time.time() - t0
+        t0 = time.time()
+        merge_states(
+            [spark.read.parquet(state_path), agg_state(delta, keys, measures())],
+            keys,
+            measures(),
+        ).write.format("noop").mode("overwrite").save()
+        t_incr = time.time() - t0
+        rows.append(
+            {
+                "base_rows": n,
+                "full_recompute_s": round(t_full, 2),
+                "state_merge_refresh_s": round(t_incr, 2),
+            }
+        )
+    return rows
+
+
 def md_table(rows: list[dict]) -> str:
     cols = list(rows[0])
     out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
@@ -190,7 +343,11 @@ def md_table(rows: list[dict]) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
-    ap.add_argument("--only", default=None, help="comma list: dedup,pca,spans,spans_skew,mp4")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,incremental",
+    )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
     spark = get_spark(app_name="scale-bench")
@@ -214,6 +371,15 @@ def main() -> None:
     if want("mp4"):
         print("\n## MP4 container encode+decode wall-clock vs media count\n")
         print(md_table(bench_mp4(spark, scales)))
+    if want("shard"):
+        print("\n## shard-shuffle wall-clock vs corpus\n")
+        print(md_table(bench_shard(spark, scales)))
+    if want("triangles"):
+        print("\n## triangle counting: degree-ordered vs naive on skew graph\n")
+        print(md_table(bench_triangles(spark, scales)))
+    if want("incremental"):
+        print("\n## incremental agg: state-merge refresh vs full recompute\n")
+        print(md_table(bench_incremental(spark, scales)))
 
 
 if __name__ == "__main__":
