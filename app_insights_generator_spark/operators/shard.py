@@ -41,6 +41,12 @@ def shard_shuffle(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
     48-bit hash (birthday-expected only beyond ~2^24 rows per shard) are
     broken by the key column itself, so the permutation stays total and
     deterministic.
+
+    NULL keys hash to NULL and collect in a single ``shard IS NULL``
+    group (positions still assigned, NULLS FIRST within it) — identical
+    behavior in the SQL oracle. Pinned by test; callers wanting NULL-free
+    shards filter or impute the key first, the same contract as any
+    groupBy key.
     """
     if n_shards < 1:
         raise ValueError(f"shard_shuffle: n_shards must be >= 1, got {n_shards}")

@@ -98,3 +98,12 @@ def test_triangle_counts_random_graph_matches_bruteforce(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_bfs_source_outside_graph_still_depth_zero(spark):
+    from app_insights_generator_spark.operators.graph import bfs_depths
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    sources = spark.createDataFrame([("zzz",)], ["node"])
+    got = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
+    assert got == {"zzz": 0}  # source always reported, no expansion

@@ -74,3 +74,17 @@ def test_rejects_bad_shard_count(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     with pytest.raises(ValueError, match="n_shards"):
         shard_shuffle(docs, "doc_id", 0)
+
+
+def test_null_keys_collect_in_null_shard(spark):
+    from app_insights_generator_spark.operators.shard import shard_shuffle
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "doc_id bigint"
+    )
+    rows = shard_shuffle(df, "doc_id", 4).collect()
+    null_rows = [r for r in rows if r.doc_id is None]
+    assert len(null_rows) == 2
+    assert all(r.shard is None for r in null_rows)
+    assert sorted(r.pos for r in null_rows) == [1, 2]
+    assert all(r.shard is not None for r in rows if r.doc_id is not None)
