@@ -125,9 +125,14 @@ def bfs_depths(
     """
     if max_iter < 0:
         raise ValueError(f"bfs_depths: max_iter must be >= 0, got {max_iter}")
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint()
+    # NULL endpoints are dropped up front: a NULL node would defeat the
+    # anti-join visited check (NULL = NULL is not TRUE), re-adding itself
+    # every round.
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+        .localCheckpoint()
+    )
     dist = sources.select(
         F.col("node"), F.lit(0).cast("int").alias("depth")
     ).distinct().localCheckpoint()

@@ -70,6 +70,15 @@ def write_sharded(
     the within-partition sort on ``pos`` writes rows in permuted order —
     a reader that scans shard directories sequentially sees the full
     hash-shuffled corpus without any further sort.
+
+    Deliberate trade-off: hashing shard ids into ``n_shards`` tasks leaves
+    some tasks with 0 and some with 2-3 shards (balls-in-bins), so write
+    parallelism is ~0.6x n_shards — accepted because it guarantees ONE
+    sorted file per shard directory, which is what keeps the reader's
+    concatenation order well-defined. At cluster scale pick n_shards a few
+    times the executor count and the imbalance averages out; splitting a
+    shard across tasks instead would shuffle file-name ordering into the
+    read path.
     """
     sharded = shard_shuffle(df, key_col, n_shards)
     (

@@ -107,3 +107,15 @@ def test_bfs_source_outside_graph_still_depth_zero(spark):
     sources = spark.createDataFrame([("zzz",)], ["node"])
     got = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
     assert got == {"zzz": 0}  # source always reported, no expansion
+
+
+def test_bfs_null_endpoints_dropped(spark):
+    from app_insights_generator_spark.operators.graph import bfs_depths
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "c"), ("b", "c")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # no NULL node, no re-adds
