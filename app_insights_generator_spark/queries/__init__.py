@@ -92,7 +92,8 @@ _GATE_PRIORITY = [
     "parameterized_sql_orders",
     "array_hof_lineitem",
     # (f) round-5 late additions: deterministic corpus shard-shuffle,
-    #     BFS frontier expansion (third iterative-fixpoint shape)
+    #     BFS frontier expansion, degree-ordered triangle counting,
+    #     incremental aggregate maintenance, dynamic-gap sessionization
     "shard_shuffle_documents",
     "bfs_depth_nation_trade",
     "triangle_count_nation_trade",

@@ -79,6 +79,9 @@ def main() -> int:
         "window": args.first,
         "sf_dir": args.sf,
         "n_queries": len(names),
+        # Which queries the sweep actually covered — without this the
+        # artifact is indistinguishable across window rotations.
+        "window_names": names,
         "flip_count": len(flips),
         "flips": flips,
         "stable_fail": stable_fail,
