@@ -221,3 +221,65 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 6,
+) -> DataFrame:
+    """Single/multi-source shortest paths with non-negative INTEGER edge
+    weights -> [node, cost]: minimum total weight over paths of at most
+    ``max_iter`` edges (Bellman-Ford relaxation; set max_iter >= the hop
+    diameter for exact shortest paths).
+
+    The relaxation twin of bfs_depths: instead of a shrinking frontier,
+    every round recomputes tentative costs in ONE shuffle —
+    cost_i(v) = min(cost_{i-1}(v), min over edges u->v of
+    (cost_{i-1}(u) + w)) — which is exactly unrollable into chained SQL
+    CTEs (MIN over <=i-edge path costs), and integer weights make every
+    round engine-exact. Rounds are fixed-count with no driver-side
+    convergence state at all (an extra round past convergence is a
+    no-op); lineage is truncated per round like the other fixpoints.
+
+    NULL endpoints/weights are dropped up front (a NULL node defeats
+    min-merge grouping the same way it defeats BFS's anti-join).
+    """
+    if max_iter < 0:
+        raise ValueError(f"sssp: max_iter must be >= 0, got {max_iter}")
+    e = (
+        edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).cast("long").alias("_w"),
+        )
+        .filter(
+            F.col("_src").isNotNull()
+            & F.col("_dst").isNotNull()
+            & F.col("_w").isNotNull()
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select(F.col("node"), F.lit(0).cast("long").alias("cost"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(dist, e["_src"] == dist["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("cost") + F.col("_w")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist

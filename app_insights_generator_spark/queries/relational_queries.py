@@ -1465,3 +1465,75 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+_WEIGHTED_EDGES_SQL = """
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         COUNT(DISTINCT s.s_suppkey) AS w
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE cn.n_name <> sn.n_name
+  GROUP BY cn.n_name, sn.n_name
+"""
+
+
+def _sssp_oracle(max_iter: int = 6) -> str:
+    """Unrolled Bellman-Ford twin of operators/graph.py sssp: round CTE
+    d_i min-merges d_{i-1} with its one-edge relaxations — the exact
+    recurrence the Spark loop runs, so integer costs match bit-for-bit."""
+    ctes = [
+        f"edges AS ({_WEIGHTED_EDGES_SQL})",
+        "d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS cost)",
+    ]
+    for i in range(1, max_iter + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.cost + e.w AS cost
+        FROM edges e JOIN d{i - 1} p ON p.node = e.src) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(cost AS BIGINT) AS cost FROM d{max_iter}"
+    )
+
+
+@register("sssp_nation_trade", _sssp_oracle())
+def sssp_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the nation trade graph
+    (operators/graph.py sssp): edge weight = distinct suppliers serving
+    the customer-nation -> supplier-nation lane, source = the
+    lexicographically-smallest nation, 6 relaxation rounds. The
+    relaxation fixpoint beside BFS's frontier expansion — one min-merge
+    shuffle per round, zero driver-side state — with INTEGER path costs,
+    oracled by unrolling the recurrence into chained min-merge CTEs.
+    Registered for the round-6 gate window (round-5 window already
+    swept)."""
+    from app_insights_generator_spark.operators.graph import sssp
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n.alias("cn"), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n.alias("sn"), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(F.col("cn.n_name") != F.col("sn.n_name"))
+        .groupBy(
+            F.col("cn.n_name").alias("src"), F.col("sn.n_name").alias("dst")
+        )
+        .agg(F.countDistinct("s_suppkey").alias("w"))
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    return sssp(edges, sources, "src", "dst", "w", max_iter=6)

@@ -119,3 +119,28 @@ def test_bfs_null_endpoints_dropped(spark):
     sources = spark.createDataFrame([("a",)], ["node"])
     got = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # no NULL node, no re-adds
+
+
+def test_sssp_hand_graph(spark):
+    from app_insights_generator_spark.operators.graph import sssp
+
+    edges = [
+        ("a", "b", 1), ("b", "c", 1), ("a", "c", 5),   # a->c best is 2
+        ("c", "d", 2), ("a", "d", 10), (None, "x", 1), ("x", None, 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    sources = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.cost for r in sssp(df, sources).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 4}
+
+
+def test_sssp_matches_bfs_on_unit_weights(spark):
+    from app_insights_generator_spark.operators.graph import bfs_depths, sssp
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    wdf = df.withColumn("w", F.lit(1))
+    sources = spark.createDataFrame([("a",)], ["node"])
+    by_bfs = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
+    by_sssp = {r.node: r.cost for r in sssp(wdf, sources).collect()}
+    assert by_bfs == by_sssp
