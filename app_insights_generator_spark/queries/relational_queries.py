@@ -1537,3 +1537,92 @@ def sssp_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = edges.agg(F.min("src").alias("node"))
     return sssp(edges, sources, "src", "dst", "w", max_iter=6)
+
+
+@register(
+    "schema_drift_orders",
+    """
+    WITH old_t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 4 != 0
+    ),
+    new_t AS (
+      SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey,
+             o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    om AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nl_ok,
+             COUNT(DISTINCT o_orderkey) AS nd_ok,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nl_ck,
+             COUNT(DISTINCT o_custkey) AS nd_ck,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nl_tp,
+             COUNT(DISTINCT o_totalprice) AS nd_tp,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nl_od,
+             COUNT(DISTINCT o_orderdate) AS nd_od
+      FROM old_t
+    ),
+    nm AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nl_ok,
+             COUNT(DISTINCT o_orderkey) AS nd_ok,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nl_ck,
+             COUNT(DISTINCT o_custkey) AS nd_ck,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nl_tp,
+             COUNT(DISTINCT o_totalprice) AS nd_tp,
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nl_op,
+             COUNT(DISTINCT o_orderpriority) AS nd_op
+      FROM new_t
+    )
+    SELECT col, status,
+           CAST(null_bp_old AS BIGINT) AS null_bp_old,
+           CAST(null_bp_new AS BIGINT) AS null_bp_new,
+           CAST(ndv_old AS BIGINT) AS ndv_old,
+           CAST(ndv_new AS BIGINT) AS ndv_new
+    FROM (
+      SELECT 'o_custkey' AS col, 'type_changed' AS status,
+             om.nl_ck * 10000 // om.n AS null_bp_old,
+             nm.nl_ck * 10000 // nm.n AS null_bp_new,
+             om.nd_ck AS ndv_old, nm.nd_ck AS ndv_new
+      FROM om, nm
+      UNION ALL
+      SELECT 'o_orderdate', 'removed',
+             om.nl_od * 10000 // om.n, NULL, om.nd_od, NULL FROM om, nm
+      UNION ALL
+      SELECT 'o_orderkey', 'kept',
+             om.nl_ok * 10000 // om.n, nm.nl_ok * 10000 // nm.n,
+             om.nd_ok, nm.nd_ok FROM om, nm
+      UNION ALL
+      SELECT 'o_orderpriority', 'added',
+             NULL, nm.nl_op * 10000 // nm.n, NULL, nm.nd_op FROM om, nm
+      UNION ALL
+      SELECT 'o_totalprice', 'kept',
+             om.nl_tp * 10000 // om.n, nm.nl_tp * 10000 // nm.n,
+             om.nd_tp, nm.nd_tp FROM om, nm
+    )
+    """,
+)
+def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema & profile drift report (operators/drift.py): v_old drops a
+    quarter of the rows and carries o_orderdate; v_new adds
+    o_orderpriority and retypes o_custkey to string — the report must
+    classify every column (kept / added / removed / type_changed) and
+    agree with the oracle's hand-assembled integer profile (null basis
+    points by floor division, exact distinct counts) cell for cell. One
+    aggregate pass per side; only two 1-row results reach the driver.
+    Registered for the round-6 gate window (round-5 window already
+    swept)."""
+    from app_insights_generator_spark.operators.drift import schema_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.expr("o_orderkey % 4 != 0")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    new = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return schema_drift(old, new)
