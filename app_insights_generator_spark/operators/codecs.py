@@ -730,18 +730,31 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     if not top or top[0][0] != b"ftyp":
         raise ValueError("not an ISO BMFF file: first box must be ftyp")
     boxes = {tag: (s, e) for tag, s, e in top}
-    if b"moov" not in boxes or b"mdat" not in boxes:
+    mdats = [(s, e) for tag, s, e in top if tag == b"mdat"]
+    if b"moov" not in boxes or not mdats:
         raise ValueError("MP4 missing moov or mdat box")
-    mdat_start, mdat_end = boxes[b"mdat"]
+    # First mdat wins: dict-style last-wins would silently retarget every
+    # chunk offset in a multi-mdat file to the wrong payload.
+    mdat_start, mdat_end = mdats[0]
 
-    moov = _boxes_dict(data, *boxes[b"moov"])
-    if b"mvhd" not in moov or b"trak" not in moov:
+    moov_children = list(_walk_boxes(data, *boxes[b"moov"]))
+    moov = {tag: (s, e) for tag, s, e in moov_children}
+    traks = [(s, e) for tag, s, e in moov_children if tag == b"trak"]
+    if b"mvhd" not in moov or not traks:
         raise ValueError("moov missing mvhd or trak")
-    trak = _boxes_dict(data, *_need(moov, b"trak", "moov"))
-    mdia = _boxes_dict(data, *_need(trak, b"mdia", "trak"))
-    hdlr_s, hdlr_e = _need(mdia, b"hdlr", "mdia")
-    if data[hdlr_s + 8 : hdlr_s + 12] != b"vide":
-        raise ValueError("first track is not a video track")
+    # Walk ALL trak boxes and select the first video ('vide' handler)
+    # track — a dict keyed by tag keeps only the last trak, so a
+    # video-then-audio file would wrongly inspect the audio track.
+    mdia = None
+    for trak_s, trak_e in traks:
+        trak = _boxes_dict(data, trak_s, trak_e)
+        cand = _boxes_dict(data, *_need(trak, b"mdia", "trak"))
+        hdlr_s, hdlr_e = _need(cand, b"hdlr", "mdia")
+        if hdlr_e - hdlr_s >= 12 and data[hdlr_s + 8 : hdlr_s + 12] == b"vide":
+            mdia = cand
+            break
+    if mdia is None:
+        raise ValueError("no video ('vide' handler) track found")
     mdhd_s, mdhd_e = _need(mdia, b"mdhd", "mdia")
     if mdhd_e - mdhd_s < 20:
         raise ValueError(f"mdhd box too short: {mdhd_e - mdhd_s} bytes")
@@ -749,6 +762,14 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     if version == 0:
         timescale, duration = struct.unpack_from(">II", data, mdhd_s + 12)
     elif version == 1:
+        # v1 body is 32 bytes (4 version/flags + 8+8 times + 4 timescale
+        # + 8 duration); bound the read by the BOX END, not the buffer —
+        # a v0 box with a corrupted version byte must raise, not read the
+        # next box's header as timescale/duration.
+        if mdhd_e - mdhd_s < 32:
+            raise ValueError(
+                f"mdhd v1 box too short: {mdhd_e - mdhd_s} bytes, want >= 32"
+            )
         timescale, duration = struct.unpack_from(">IQ", data, mdhd_s + 20)
     else:
         raise ValueError(f"unsupported mdhd version {version}")
@@ -762,6 +783,8 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
 
     # stsd -> require the uncompressed 'raw ' RGB24 sample entry
     stsd_s, stsd_e = stbl[b"stsd"]
+    if stsd_e - stsd_s < 8:
+        raise ValueError(f"stsd box too short: {stsd_e - stsd_s} bytes")
     (entry_count,) = struct.unpack_from(">I", data, stsd_s + 4)
     if entry_count != 1:
         raise ValueError(f"expected 1 stsd entry, found {entry_count}")

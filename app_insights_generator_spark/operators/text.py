@@ -172,6 +172,51 @@ def pii_count(col: Column, kind: str) -> Column:
     return F.regexp_count(col, F.lit(PII_PATTERNS[kind][0]))
 
 
+def repetition_gram_stats(
+    docs, id_col: str, text_col: str, n: int
+) -> "DataFrame":  # noqa: F821 — DataFrame imported lazily to keep Column-only module light
+    """Per-document n-gram repetition profile -> [id, n{n} (total n-gram
+    occurrences), top{n}_bp (share of the single most frequent n-gram),
+    dup{n}_bp (share of occurrences whose n-gram occurs more than once)]
+    — the Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.1)
+    in integer basis points so both engines floor identically. Documents
+    with fewer than ``n`` tokens are omitted (no n-grams exist).
+
+    Scale shape: one explode pass over the corpus, one partial-agg
+    groupBy keyed (doc, gram) — the shuffle carries distinct per-doc
+    grams, not raw occurrences (map-side combine) — then a second
+    groupBy keyed doc. No driver state, no skew hazard beyond a single
+    pathological document, which partitions by doc id anyway."""
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    grams = (
+        docs.select(F.col(id_col), words.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {n}), "
+                    f"i -> concat_ws(' ', slice(w, i + 1, {n})))"
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy(id_col, "g").count()
+    return per_gram.groupBy(id_col).agg(
+        F.sum("count").cast("long").alias(f"n{n}"),
+        F.expr("CAST(10000 * max(count) DIV sum(count) AS LONG)").alias(
+            f"top{n}_bp"
+        ),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN count > 1 THEN count ELSE 0 END) "
+            "DIV sum(count) AS LONG)"
+        ).alias(f"dup{n}_bp"),
+    )
+
+
 def redact_pii(col: Column) -> Column:
     """Replace every PII match with its class token, applying the classes
     in PII_PATTERNS order. Pure nested regexp_replace — no Python, no

@@ -1695,7 +1695,8 @@ _BM25_TERMS = ("spark", "table", "value")
 
 def _bm25_oracle(terms=_BM25_TERMS, scale=1_000_000) -> str:
     """DuckDB twin of the integer BM25 below — identical rational
-    arithmetic, floor division at the same single point."""
+    arithmetic, floor division at the same points (avgdl10, then the
+    per-term contribution)."""
     tf_cols = ",\n             ".join(
         f"len(list_filter(string_split(text, ' '), t -> t = '{t}')) AS tf_{t}"
         for t in terms
@@ -1704,9 +1705,9 @@ def _bm25_oracle(terms=_BM25_TERMS, scale=1_000_000) -> str:
         f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
     )
     contrib = " + ".join(
-        f"((2*s.n_docs - 2*s.df_{t} + 1) * (22 * d.tf_{t} * s.total_len) * {scale})"
+        f"((2*s.n_docs - 2*s.df_{t} + 1) * (22 * d.tf_{t} * s.avgdl10) * {scale})"
         f" // ((2*s.df_{t} + 1)"
-        f" * (10 * s.total_len * d.tf_{t} + 3 * s.total_len + 9 * d.dl * s.n_docs))"
+        f" * (10 * s.avgdl10 * d.tf_{t} + 3 * s.avgdl10 + 90 * d.dl))"
         for t in terms
     )
     return f"""
@@ -1715,7 +1716,8 @@ def _bm25_oracle(terms=_BM25_TERMS, scale=1_000_000) -> str:
              {tf_cols}
       FROM documents
     ),
-    s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len, {df_cols} FROM d)
+    s AS (SELECT COUNT(*) AS n_docs,
+                 (10 * SUM(dl)) // COUNT(*) AS avgdl10, {df_cols} FROM d)
     SELECT d.doc_id, CAST({contrib} AS BIGINT) AS bm25_ppm
     FROM d, s
     """
@@ -1727,18 +1729,23 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point (parts-per-million) with a RATIONAL IDF — the log is
     dropped in favor of its argument (N - df + .5)/(df + .5), scaled to
     integers ((2N-2df+1)/(2df+1)), and the k1=1.2/b=0.75 term-frequency
-    saturation is cleared of denominators:
+    saturation is cleared of denominators via an integer deci-token
+    average document length A = (10*T) DIV N (T = corpus tokens):
 
-      tf_part = 22*tf*T / (10*T*tf + 3*T + 9*dl*N)   (T = corpus tokens)
+      tf_part = 22*tf*A / (10*A*tf + 3*A + 90*dl)
 
     so the whole score is one integer floor-division per term — exact,
-    partition-order-independent, bit-identical in ANSI SQL. Search
-    scoring as a curation signal (rank documents against a benchmark
-    query before sampling). Scale shape: one scan computes per-doc tf/dl;
-    ONE 1-row stats aggregate (N, T, df per term) is broadcast back —
-    no shuffle of the corpus at all. Magnitudes: products stay < 2^63
-    for corpora to ~1e7 docs at this scale constant; production sizing
-    would move the same algebra to DECIMAL(38) unchanged."""
+    partition-order-independent, bit-identical in ANSI SQL. (A replaces
+    the corpus total T inside the products — the earlier T-based form
+    carried an extra factor of N and overflowed int64 around 1e4–1e5
+    docs; r05 ADVICE.) Search scoring as a curation signal (rank
+    documents against a benchmark query before sampling). Scale shape:
+    one scan computes per-doc tf/dl; ONE 1-row stats aggregate (N, A,
+    df per term) is broadcast back — no shuffle of the corpus at all.
+    Magnitudes: the dominant product (2N)*(22*tf*A)*scale stays < 2^63
+    for N up to ~4e6 docs at tf~5, avgdl~1e3, scale=1e6; past that,
+    drop scale to 1e4 (~4e8 docs) or move the same algebra to
+    DECIMAL(38)."""
     terms, scale = _BM25_TERMS, 1_000_000
     docs = _docs(spark, sf_dir)
     d = docs.select(
@@ -1753,16 +1760,16 @@ def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_len"),
+        F.expr("(10 * sum(dl)) DIV count(1)").alias("avgdl10"),
         *[
             F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
             for t in terms
         ],
     )
     contrib = " + ".join(
-        f"((2*n_docs - 2*df_{t} + 1) * (22 * tf_{t} * total_len) * {scale})"
+        f"((2*n_docs - 2*df_{t} + 1) * (22 * tf_{t} * avgdl10) * {scale})"
         f" DIV ((2*df_{t} + 1)"
-        f" * (10 * total_len * tf_{t} + 3 * total_len + 9 * dl * n_docs))"
+        f" * (10 * avgdl10 * tf_{t} + 3 * avgdl10 + 90 * dl))"
         for t in terms
     )
     return d.crossJoin(F.broadcast(stats)).select(
@@ -1834,3 +1841,136 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"driver-recompute={expected}"
         )
     return tok.select("doc_id", "n_words", "n_chars")
+
+
+# --- Gopher/MassiveText repetition filters (integer basis points) ------------
+
+
+def _rep_gram_cte(n: int) -> str:
+    """One n-gram repetition-profile CTE chain (g{n}/c{n}/m{n})."""
+    if n == 2:
+        rng, sl = "range(1, len(w))", "w[i:i+1]"
+    else:
+        rng, sl = f"range(1, len(w) - {n - 2})", f"w[i:i+{n - 1}]"
+    return f"""
+    g{n} AS (
+      SELECT doc_id,
+             unnest(list_transform({rng}, i -> array_to_string({sl}, ' '))) AS g
+      FROM t WHERE len(w) >= {n}
+    ),
+    c{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2),
+    m{n} AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n{n},
+             CAST(10000 * MAX(c) // CAST(SUM(c) AS BIGINT) AS BIGINT)
+               AS top{n}_bp,
+             CAST(10000 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                  // CAST(SUM(c) AS BIGINT) AS BIGINT) AS dup{n}_bp
+      FROM c{n} GROUP BY 1
+    )"""
+
+
+@register(
+    "gopher_repetition_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    {_rep_gram_cte(2)},
+    {_rep_gram_cte(3)}
+    SELECT doc_id,
+           COALESCE(n2, -1) AS n2,
+           COALESCE(top2_bp, -1) AS top2_bp,
+           COALESCE(dup2_bp, -1) AS dup2_bp,
+           COALESCE(n3, -1) AS n3,
+           COALESCE(top3_bp, -1) AS top3_bp,
+           COALESCE(dup3_bp, -1) AS dup3_bp
+    FROM m2 FULL OUTER JOIN m3 USING (doc_id)
+    """,
+)
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition-quality filters (Rae et al. 2021,
+    Table A1): per-document top-n-gram share and duplicate-n-gram share
+    for n=2,3, in integer basis points (10000 * count DIV total — both
+    engines floor identically, no float thresholds). The standard
+    pre-training curation rule "drop documents whose top 2-gram exceeds
+    X% or whose duplicated 3-grams exceed Y%" becomes a pure filter on
+    this profile.
+
+    Scale: per n, one explode + one (doc, gram) partial-agg groupBy +
+    one doc groupBy — shuffles carry distinct per-doc grams (map-side
+    combine), never raw text. The n=2 and n=3 profiles join on doc_id
+    (same key, AQE-coalesced). Metrics for documents too short for an
+    n-gram are encoded -1 on BOTH engines (never NULL: nullable-int
+    finals depend on the driver's fetch path — see schema_drift).
+
+    Reference parity: no counterpart (main.py has no text-quality
+    surface); §2.5 LLM-curation extension alongside lm_quality_bigram."""
+    docs = _docs(spark, sf_dir)
+    m2 = T.repetition_gram_stats(docs, "doc_id", "text", 2)
+    m3 = T.repetition_gram_stats(docs, "doc_id", "text", 3)
+    metric_cols = ["n2", "top2_bp", "dup2_bp", "n3", "top3_bp", "dup3_bp"]
+    return m2.join(m3, "doc_id", "full_outer").na.fill(-1, metric_cols)
+
+
+# --- Inverted index (posting lists, the search-engine build primitive) -------
+
+
+@register(
+    "inverted_index_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split_regex(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+                 x -> x != ''))) AS term
+      FROM documents
+    ),
+    p AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             list_sort(list(doc_id)) AS all_postings
+      FROM w GROUP BY term
+    )
+    SELECT term, df, all_postings[1:20] AS postings
+    FROM p WHERE df >= 10
+    """,
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> document frequency + the first 20
+    doc ids of the SORTED posting list (deterministic truncation — a
+    collect_list without the sort would be partition-order-dependent
+    and can never pass a hash gate). Terms below df 10 are dropped,
+    the long-tail cut every search index applies.
+
+    Scale: explode distinct per-doc terms (one shuffle keyed term);
+    sort_array makes the aggregation order-insensitive, so partial
+    aggregation stays enabled. Posting lists for 100 TB corpora shard
+    by term naturally; the df floor keeps hapax terms (the overwhelming
+    majority) out of the reduce side entirely... but note the truncation
+    here is display-side — a production index would keep full lists as
+    parquet array columns, which is exactly what the pre-truncation
+    aggregate emits.
+
+    Reference parity: no counterpart; §2.5 extension (BM25's index-side
+    twin — bm25_documents scores with corpus stats, this materializes
+    the term->doc map itself)."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(T.normalized_text(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 10)
+    )

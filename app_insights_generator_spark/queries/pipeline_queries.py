@@ -672,7 +672,7 @@ def zstd_sink_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "schema_evolution_mergeschema",
     """
     SELECT era, COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderyear IS NULL THEN 1 ELSE 0 END) AS n_missing_year
+           CAST(SUM(CASE WHEN o_orderyear IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_year
     FROM (
       SELECT 'v1' AS era, o_orderkey, NULL AS o_orderyear
       FROM orders WHERE o_orderkey % 2 = 0

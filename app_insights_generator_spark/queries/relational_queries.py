@@ -968,7 +968,7 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part c JOIN walk w ON w.p_partkey = c.p_partkey // 4
       WHERE c.p_partkey > 0
     )
-    SELECT depth, COUNT(*) AS n_parts, SUM(p_partkey) AS key_sum
+    SELECT depth, COUNT(*) AS n_parts, CAST(SUM(p_partkey) AS BIGINT) AS key_sum
     FROM walk GROUP BY depth
     """,
 )
@@ -1576,10 +1576,10 @@ def sssp_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM new_t
     )
     SELECT col, status,
-           CAST(null_bp_old AS BIGINT) AS null_bp_old,
-           CAST(null_bp_new AS BIGINT) AS null_bp_new,
-           CAST(ndv_old AS BIGINT) AS ndv_old,
-           CAST(ndv_new AS BIGINT) AS ndv_new
+           CAST(COALESCE(null_bp_old, -1) AS BIGINT) AS null_bp_old,
+           CAST(COALESCE(null_bp_new, -1) AS BIGINT) AS null_bp_new,
+           CAST(COALESCE(ndv_old, -1) AS BIGINT) AS ndv_old,
+           CAST(COALESCE(ndv_new, -1) AS BIGINT) AS ndv_new
     FROM (
       SELECT 'o_custkey' AS col, 'type_changed' AS status,
              om.nl_ck * 10000 // om.n AS null_bp_old,
@@ -1611,8 +1611,13 @@ def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree with the oracle's hand-assembled integer profile (null basis
     points by floor division, exact distinct counts) cell for cell. One
     aggregate pass per side; only two 1-row results reach the driver.
-    Registered for the round-6 gate window (round-5 window already
-    swept)."""
+
+    Gate note: the operator reports NULL metrics on the side where a
+    column does not exist; the gated twin encodes absent-as -1 on BOTH
+    engines instead. Nullable int64 is probably safe (the driver's
+    fetch keeps masked ints integral — r05-green scd2/asof prove it)
+    but a pandas-family fetch coerces it to float64, so the sentinel
+    removes any dependence on that fetch-path detail."""
     from app_insights_generator_spark.operators.drift import schema_drift
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1625,4 +1630,6 @@ def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderpriority",
     )
-    return schema_drift(old, new)
+    return schema_drift(old, new).na.fill(
+        -1, ["null_bp_old", "null_bp_new", "ndv_old", "ndv_new"]
+    )

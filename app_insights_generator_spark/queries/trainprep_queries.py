@@ -112,9 +112,9 @@ def decontaminate_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame
                       len(string_split(trim(text), ' ')) AS n_tokens
                FROM documents),
     b AS (SELECT source, doc_id, n_tokens,
-                 (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                      ROWS UNBOUNDED PRECEDING)
-                  - n_tokens) // {_PACK_BUDGET} AS bin_id
+                 CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                  - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
           FROM t)
     SELECT source, bin_id,
            COUNT(*) AS n_docs,
@@ -359,17 +359,28 @@ def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "train_val_test_split_documents",
     """
-    WITH b AS (
+    WITH h AS (
       SELECT doc_id,
-             ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT
-               % 100 AS bucket
+             substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
       FROM documents
+    ),
+    b AS (
+      -- explicit base-16 digit expansion (strpos over the hex alphabet):
+      -- both engines document these string functions, unlike the
+      -- DuckDB-only '0x'||…::INT literal cast this replaces.
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100
+               AS bucket
+      FROM h
     )
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(doc_id) AS id_sum
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM b GROUP BY 1
     """,
 )
@@ -495,3 +506,141 @@ def shard_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return shard_shuffle(docs, "doc_id", 8)
+
+
+# --- Stratified sampling & mixture weights (dataset-mixing primitives) -------
+
+#: Per-language target keep rates in basis points. A broadcast dim table on
+#: the Spark side; the oracle inlines the same map as a CASE.
+_STRATA_RATES_BP = {"en": 8000, "de": 5000, "fr": 5000, "es": 2500, "zh": 1000}
+
+
+def _sha_bucket_sql(expr: str, mod: int) -> str:
+    """DuckDB: first 4 hex chars of sha256(expr) as an int in [0, mod) via
+    explicit base-16 digit expansion (portable, no hex-literal casts)."""
+    h = f"substring(sha256(CAST({expr} AS VARCHAR)), 1, 4)"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % {mod})"
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+    WITH tagged AS (
+      SELECT lang, doc_id,
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES_BP.items())}
+                  ELSE 0 END AS rate_bp,
+             {_sha_bucket_sql('doc_id', 10000)} AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_bp THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM tagged GROUP BY lang
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling at per-stratum rates — the
+    dataset-mixing primitive (sample high-quality sources at 80%, noisy
+    ones at 10%): acceptance = content-independent sha-bucket of doc_id
+    < the stratum's rate. Like train_val_test_split, assignment depends
+    only on the key — never row order, partitioning, or a seed — so a
+    re-run on a grown corpus keeps every prior decision (and the kept
+    set is the union across versions, no resample churn).
+
+    The per-stratum rate table arrives as a BROADCAST dim join (the
+    production shape: rates live in a config table, not a CASE); the
+    gate witnesses per-stratum kept counts + kept-id sums.
+
+    Scale: pure map-side tagging + one aggregate — no corpus shuffle at
+    all (the broadcast eliminates the join exchange).
+
+    Reference parity: no counterpart (main.py:125-421 has no sampling
+    surface); §2.5 curation extension."""
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in _STRATA_RATES_BP.items()], "lang string, rate_bp int"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    tagged = docs.join(F.broadcast(rates), "lang", "left").select(
+        "lang",
+        "doc_id",
+        F.coalesce(F.col("rate_bp"), F.lit(0)).alias("rate_bp"),
+        bucket.alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("rate_bp")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long").alias(
+            "kept_id_sum"
+        ),
+    )
+
+
+@register(
+    "mixture_weights_documents",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x != ''))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM s)
+    SELECT s.source, s.src_tokens,
+           CAST(10000 * s.src_tokens // tot.total_tokens AS BIGINT)
+             AS share_bp,
+           CAST((1000000 * tot.total_tokens)
+                // (tot.n_sources * s.src_tokens) AS BIGINT)
+             AS multiplier_ppm
+    FROM s, tot
+    """,
+)
+def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights: per-source token share (basis points)
+    and the sampling multiplier (ppm) that would rebalance the corpus to
+    a UNIFORM source mixture — multiplier_ppm = target_share /
+    actual_share = total_tokens / (n_sources * src_tokens), the number
+    every data-mixing recipe (epochs-per-source) starts from. Integer
+    floor arithmetic at two points, identical in both engines.
+
+    Scale: one token-count aggregate keyed source (map-side combine on
+    ~dozens of groups), then a broadcast of the 1-row corpus total onto
+    the per-source table — no second pass over text. int64 headroom:
+    1e6 * total_tokens needs total < 9.2e12 tokens; a 100 TB corpus
+    (~2e13 tokens) would lift the ppm scale to DECIMAL or drop it to
+    basis points (9.2e14).
+
+    Reference parity: no counterpart; §2.5 curation extension."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    s = docs.groupBy("source").agg(F.sum(toks.cast("long")).alias("src_tokens"))
+    tot = s.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.expr("CAST(10000 * src_tokens DIV total_tokens AS LONG)").alias(
+            "share_bp"
+        ),
+        F.expr(
+            "CAST((1000000 * total_tokens) DIV (n_sources * src_tokens) AS LONG)"
+        ).alias("multiplier_ppm"),
+    )

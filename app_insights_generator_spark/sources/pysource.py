@@ -156,6 +156,10 @@ class JsonLinesWriter(DataSourceWriter):
             for f in _os.listdir(self.path):
                 if f.endswith(".jsonl") or f == "_SUCCESS":
                     _os.remove(_os.path.join(self.path, f))
+        # Per-job prefix: committed part files must be unique ACROSS jobs,
+        # or mode('append') would rename onto the previous job's
+        # part-00000… and silently clobber it (r05 ADVICE).
+        self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
         tmp = _os.path.join(self.path, f"_tmp-{_uuid.uuid4().hex}.jsonl")
@@ -170,10 +174,16 @@ class JsonLinesWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         total = 0
         for i, m in enumerate(m for m in messages if m is not None):
-            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = _os.path.join(self.path, f"part-{self.job_id}-{i:05d}.jsonl")
             _os.replace(m.tmp_path, final)
             total += m.n_rows
-        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+        # Append mode merges the prior manifest count (overwrite deleted it
+        # in __init__), so _SUCCESS always states the directory's total.
+        success = _os.path.join(self.path, "_SUCCESS")
+        if _os.path.exists(success):
+            with open(success) as f:
+                total += _json.load(f).get("n_rows", 0)
+        with open(success, "w") as f:
             _json.dump({"n_rows": total}, f)
 
     def abort(self, messages) -> None:

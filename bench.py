@@ -62,6 +62,8 @@ HEADLINE = [
     "similarity_join_lsh_production",  # bench-local: raw LSH join, see _EXTRA
     "text_stats_documents",
     "curation_pipeline_documents",
+    "multimodal_mp4_codec_features",  # round-6: real MP4 decode throughput
+
     "bucketed_join_orders_lineitem",
     "udtf_chunk_documents",
 ]

@@ -387,6 +387,61 @@ def test_map_in_arrow_equals_map_in_pandas_mp4(spark):
     assert a == b and len(a) == 20
 
 
+def test_mp4_mdhd_v1_version_flip_raises():
+    """A v0 mdhd (24-byte body) whose version byte is corrupted to 1 must
+    RAISE — the v1 layout needs a 32-byte body, and reading past the box
+    end would return the next box's header bytes as timescale/duration
+    (a silently wrong duration_ms, violating the malformed-bytes-raise
+    contract)."""
+    import struct
+
+    from app_insights_generator_spark.operators.codecs import decode_mp4, encode_mp4
+
+    good = encode_mp4(np.zeros((2, 4, 4, 3), dtype="u1"), fps=10)
+    bad = bytearray(good)
+    at = bad.index(b"mdhd")
+    assert bad[at + 4] == 0  # encoder writes v0
+    bad[at + 4] = 1
+    with pytest.raises(ValueError, match="mdhd v1"):
+        decode_mp4(bytes(bad))
+
+
+def test_mp4_multi_track_selects_video():
+    """An audio trak listed BEFORE the video trak must be skipped, not
+    inspected as 'the' track (a tag-keyed dict kept only the last trak,
+    so ordering silently controlled which track was parsed)."""
+    import struct
+
+    from app_insights_generator_spark.operators.codecs import (
+        _box,
+        _full,
+        decode_mp4,
+        encode_mp4,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(3, 4, 5, 3)).astype("u1")
+    base = encode_mp4(frames, fps=10)
+
+    mdhd_a = _full(
+        b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0) + struct.pack(">HH", 0, 0)
+    )
+    hdlr_a = _full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun" + b"\0" * 12 + b"Sound\0"
+    )
+    trak_a = _box(b"trak", _box(b"mdia", mdhd_a + hdlr_a))
+
+    moov_start = base.index(b"moov") - 4
+    moov = bytearray(base[moov_start:])
+    ins = moov.index(b"trak") - 4  # audio trak FIRST, before the video trak
+    moov[ins:ins] = trak_a
+    (size,) = struct.unpack_from(">I", moov, 0)
+    struct.pack_into(">I", moov, 0, size + len(trak_a))
+
+    out, dur_ms = decode_mp4(base[:moov_start] + bytes(moov))
+    assert (out == frames).all() and dur_ms == 300
+
+
 def test_codec_fuzz_corruption_raises_cleanly():
     """Contract hardening: flipping any byte of a valid file must either
     still decode (corruption hit pixel/sample payload or an ignored

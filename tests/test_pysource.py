@@ -79,6 +79,35 @@ def test_jsonl_writer_two_phase_commit(spark, tmp_path):
     assert got == want
 
 
+def test_jsonl_writer_append_preserves_prior_job(spark, tmp_path):
+    """mode('append') must ADD to the directory: part names are unique per
+    job (no rename-clobber of the previous job's part-00000…) and the
+    _SUCCESS manifest merges to the directory total (r05 ADVICE: both
+    were silently wrong before — append overwrote files and undercounted
+    the manifest)."""
+    import json
+    import os
+
+    from app_insights_generator_spark.sources.pysource import register_jsonl_dir
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "sink")
+    spark.range(0, 100).selectExpr("id AS k").repartition(2).write.format(
+        "jsonl_dir"
+    ).mode("overwrite").save(out)
+    spark.range(100, 250).selectExpr("id AS k").repartition(2).write.format(
+        "jsonl_dir"
+    ).mode("append").save(out)
+
+    parts = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(parts) == 4, parts
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert json.load(f)["n_rows"] == 250
+    back = spark.read.json(out)
+    assert back.count() == 250
+    assert {r.k for r in back.collect()} == set(range(250))
+
+
 def test_batch_read_edge_options(spark):
     import pytest
 

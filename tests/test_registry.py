@@ -23,3 +23,57 @@ def test_no_rows_only_queries():
 
 def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def _duckdb_with_views():
+    import os
+
+    import duckdb
+
+    from app_insights_generator_spark.sources.readers import TPCH_TABLES
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        path = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+# DuckDB types the driver's pandas fetch coerces to float64: an integer sum
+# 7500 renders "7500.0" and hash-mismatches Spark's "7500" with rows AND
+# schema still matching. This single defect class produced SIX driver reds
+# across r03–r05 (key_sum / n_missing_year / bin_id / id_sum / fill_ratio
+# co-symptom), invisible to fetchall()-based local checks. DESCRIBE is a
+# bind-only operation, so this covers all oracles in ~seconds.
+_DRIVER_UNSAFE = {"HUGEINT", "UHUGEINT"}
+
+
+def test_no_oracle_emits_driver_unsafe_types():
+    con = _duckdb_with_views()
+    bad = {}
+    for name, sql in ORACLES.items():
+        try:
+            cols = con.execute("DESCRIBE " + sql).fetchall()
+        except Exception as e:  # noqa: BLE001
+            bad[name] = f"DESCRIBE failed: {e}"[:200]
+            continue
+        unsafe = [(c, ty) for c, ty, *_ in cols if ty in _DRIVER_UNSAFE]
+        if unsafe:
+            bad[name] = unsafe
+    assert not bad, (
+        "oracle final columns the driver's pandas fetch renders as float — "
+        f"CAST(... AS BIGINT): {bad}"
+    )
+
+
+def test_unsafe_type_detector_catches_uncast_sum():
+    """Self-test: an injected bare integer SUM must be flagged (DuckDB types
+    it HUGEINT) — guards against a silent DuckDB behavior change making the
+    registry test vacuous."""
+    con = _duckdb_with_views()
+    cols = con.execute(
+        "DESCRIBE SELECT SUM(r_regionkey) AS s FROM region"
+    ).fetchall()
+    assert any(ty in _DRIVER_UNSAFE for _, ty, *_ in cols)

@@ -44,6 +44,42 @@ def _canon(v) -> str:
     return str(v)
 
 
+#: DuckDB output types the driver's numpy-family fetch silently coerces to
+#: float64 — an integer 7500 then renders "7500.0" and hash-mismatches
+#: Spark's "7500" with rows+schema still matching (the exact r03–r05 red
+#: signature). A HUGEINT final column is therefore an oracle BUG here.
+#: (Calibration: nullable BIGINT columns are SAFE — fetchnumpy returns a
+#: masked int64 array, and r05 driver-green queries like scd2/asof have
+#: such columns — while precisely the four HUGEINT queries were red. A
+#: plain pandas .df() replica is therefore TOO strict: it coerces
+#: nullable int64 to float64 and false-flags driver-green queries.)
+_DRIVER_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def _numpy_rows(rel, dtypes: dict[str, str]) -> tuple[list[str], list[tuple]]:
+    """Fetch a DuckDB relation the way the driver's stricter path does
+    (fetchnumpy): HUGEINT→float64 survives so it FAILS the hash compare,
+    masked NULLs→None, and DATE columns are normalized back from
+    datetime64 to date so only the real coercions differ."""
+    import numpy as np
+
+    arrs = rel.fetchnumpy()
+    cols = list(arrs)
+    pycols = []
+    for c in cols:
+        a = arrs[c]
+        vals = a.tolist()  # MaskedArray.tolist() yields None for masked
+        if dtypes.get(c) == "DATE":
+            vals = [v.date() if hasattr(v, "date") else v for v in vals]
+        vals = [
+            v.tolist() if isinstance(v, np.ndarray) else v for v in vals
+        ]  # list-typed cells stay object ndarrays inside tolist()
+        vals = [None if isinstance(v, float) and math.isnan(v) else v for v in vals]
+        pycols.append(vals)
+    rows = [tuple(r) for r in zip(*pycols)] if pycols else []
+    return cols, rows
+
+
 def table_hash(columns: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
@@ -124,6 +160,21 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # Static type guard: DESCRIBE the oracle and reject final columns the
+        # driver's pandas fetch would coerce (six r03–r05 reds, one class).
+        try:
+            dtypes = {
+                row[0]: row[1]
+                for row in con.execute("DESCRIBE " + oracles[name]).fetchall()
+            }
+        except Exception:  # noqa: BLE001 — DESCRIBE quirks never block the gate
+            dtypes = {}
+        unsafe = [c for c, ty in dtypes.items() if ty in _DRIVER_UNSAFE_TYPES]
+        if unsafe:
+            problems.append(
+                f"oracle {_DRIVER_UNSAFE_TYPES} final column(s) {unsafe}: the "
+                "driver's pandas fetch renders these float — CAST(... AS BIGINT)"
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
@@ -140,6 +191,23 @@ def main() -> int:
                     problems.append(f"spark-only sample: {only_s}")
                 if only_d:
                     problems.append(f"duckdb-only sample: {only_d}")
+        if not problems:
+            # fetchnumpy twin of the driver's stricter fetch: r03–r05 had
+            # six reds invisible to fetchall() (HUGEINT→float64 happens
+            # only on the numpy-family path; masked NULL ints stay ints).
+            try:
+                pcols, prows = _numpy_rows(con.execute(oracles[name]), dtypes)
+                ph = table_hash(pcols, prows)
+                if ph != table_hash(scols, srows):
+                    pset = {tuple(_canon(v) for v in r) for r in prows}
+                    sset = {tuple(_canon(v) for v in r) for r in srows}
+                    problems.append(
+                        f"numpy-path value-hash spark={table_hash(scols, srows)} "
+                        f"duckdb.fetchnumpy()={ph} | numpy-only sample: "
+                        f"{list(pset - sset)[:3]}"
+                    )
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"numpy-path fetch error: {e}"[:200])
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
             results[name] = {"status": "FAIL", "error": " | ".join(problems)[:300]}

@@ -280,6 +280,120 @@ def bench_triangles(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def _layered_edges(spark, depth: int, width: int):
+    """Deterministic layered DAG with KNOWN hop diameter: ``depth``
+    layers of ``width`` nodes, each node wired to two nodes of the next
+    layer (straight + rotate-by-one) with integer weights in 1..9. The
+    shortest path from layer 0 to the last layer uses exactly depth-1
+    edges, so Bellman-Ford must relax for depth-1 rounds — the graph
+    whose round count the max_iter guidance is measured against."""
+    base = (
+        spark.range(depth - 1)
+        .selectExpr("id AS layer")
+        .crossJoin(spark.range(width).selectExpr("id AS j"))
+    )
+    e1 = base.selectExpr(
+        f"layer * {width} + j AS src",
+        f"(layer + 1) * {width} + j AS dst",
+        "(layer * 31 + j * 7) % 9 + 1 AS w",
+    )
+    e2 = base.selectExpr(
+        f"layer * {width} + j AS src",
+        f"(layer + 1) * {width} + (j + 1) % {width} AS dst",
+        "(layer * 13 + j * 5) % 9 + 1 AS w",
+    )
+    return e1.unionByName(e2)
+
+
+def bench_sssp(spark, scales: list[int]) -> list[dict]:
+    """SSSP relaxation rounds vs hop diameter (claim to MEASURE, not
+    assert: cost tables converge after exactly diameter rounds, one
+    further round is a no-op, and per-round wall time is flat — so a
+    production max_iter = known diameter bound is exact, and an
+    overshoot costs one cheap idle round, never a rescan). Per-round
+    changed-row counts are bench-only instrumentation; the operator
+    itself keeps zero driver-side convergence state."""
+    rows = []
+    for s in scales:
+        depth, width = 4 * s, 500
+        e = _layered_edges(spark, depth, width).localCheckpoint()
+        sources = spark.range(width).selectExpr("id AS node")
+        dist = (
+            sources.selectExpr("node", "CAST(0 AS LONG) AS cost")
+            .distinct()
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        rounds_to_converge, round_times = None, []
+        for i in range(1, depth + 2):
+            r0 = time.time()
+            relaxed = e.join(dist, e["src"] == dist["node"]).select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            new_dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_dist.alias("n")
+                .join(dist.alias("o"), "node", "left_outer")
+                .filter(
+                    F.col("o.cost").isNull()
+                    | (F.col("n.cost") != F.col("o.cost"))
+                )
+                .count()
+            )
+            dist = new_dist
+            round_times.append(time.time() - r0)
+            if changed == 0 and rounds_to_converge is None:
+                rounds_to_converge = i - 1  # last round that did work
+                break
+        total = time.time() - t0
+        assert rounds_to_converge == depth - 1, (rounds_to_converge, depth)
+        rows.append(
+            {
+                "hop_diameter": depth - 1,
+                "nodes": depth * width,
+                "rounds_to_converge": rounds_to_converge,
+                "noop_round_s": round(round_times[-1], 2),
+                "mean_round_s": round(sum(round_times) / len(round_times), 2),
+                "total_s": round(total, 2),
+            }
+        )
+    return rows
+
+
+def bench_bfs(spark, scales: list[int]) -> list[dict]:
+    """BFS frontier expansion on the star+ring skew graph (claim: the
+    hub explodes the round-1 frontier to every spoke at once, and the
+    shrinking-frontier design finishes in 2 rounds regardless of spoke
+    count — per-round cost tracks the FRONTIER, not the node count)."""
+    from app_insights_generator_spark.operators.graph import bfs_depths
+
+    rows = []
+    for s in scales:
+        n_spokes = 2000 * s
+        edges = _star_ring_edges(spark, n_spokes).localCheckpoint()
+        sources = spark.createDataFrame([("m_hub",)], "node string")
+        t0 = time.time()
+        depths = bfs_depths(edges, sources, max_iter=4)
+        n_reached = depths.count()
+        max_depth = depths.agg(F.max("depth")).first()[0]
+        rows.append(
+            {
+                "spokes": n_spokes,
+                "reached": n_reached,
+                "max_depth": max_depth,
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+        assert n_reached == n_spokes + 1, (n_reached, n_spokes)
+    return rows
+
+
 def bench_incremental(spark, scales: list[int]) -> list[dict]:
     """Incremental aggregate refresh vs full recompute at growing base
     size with a fixed-size delta (claim: merge cost is O(delta + groups),
@@ -346,7 +460,8 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default=None,
-        help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,incremental",
+        help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,"
+        "incremental,sssp,bfs",
     )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
@@ -380,6 +495,12 @@ def main() -> None:
     if want("incremental"):
         print("\n## incremental agg: state-merge refresh vs full recompute\n")
         print(md_table(bench_incremental(spark, scales)))
+    if want("sssp"):
+        print("\n## SSSP relaxation rounds vs hop diameter\n")
+        print(md_table(bench_sssp(spark, scales)))
+    if want("bfs"):
+        print("\n## BFS frontier expansion on the skew (star+ring) graph\n")
+        print(md_table(bench_bfs(spark, scales)))
 
 
 if __name__ == "__main__":
