@@ -217,6 +217,49 @@ def repetition_gram_stats(
     )
 
 
+def disc_percentiles_from_counts(
+    counts,
+    part_col: str,
+    val_col: str,
+    cnt_col: str,
+    qs: dict[str, tuple[int, int]] = {"p10": (1, 10), "p50": (1, 2), "p90": (9, 10)},
+):
+    """PERCENTILE_DISC from a PRE-AGGREGATED (partition, value, count)
+    table -> [partition, n_rows, <q>_<val> ...] — the 100 TB path for
+    length_percentiles_by_source: a corpus has billions of rows but only
+    ~thousands of distinct token lengths per source, so aggregate first
+    (map-side combine, one small shuffle) and rank-select over the tiny
+    histogram instead of sorting raw rows inside the window. Exactly the
+    q-th discrete percentile: smallest value whose cumulative count
+    reaches ceil(q*n), identical to the row-level window form (pinned by
+    an equivalence test).
+
+    ``qs`` maps output-column prefix -> (numerator, denominator)."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(part_col)
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = counts.select(
+        part_col,
+        val_col,
+        F.sum(cnt_col).over(w_cum).alias("cum"),
+        F.sum(cnt_col).over(Window.partitionBy(part_col)).alias("n"),
+    )
+
+    def pick(num: int, den: int) -> Column:
+        idx = F.expr(f"({num} * n + {den} - 1) DIV {den}")
+        return F.min(F.when(F.col("cum") >= idx, F.col(val_col))).cast("long")
+
+    aggs = [F.max("n").cast("long").alias("n_rows")]
+    aggs += [
+        pick(num, den).alias(f"{name}_{val_col}") for name, (num, den) in qs.items()
+    ]
+    return c.groupBy(part_col).agg(*aggs)
+
+
 def redact_pii(col: Column) -> Column:
     """Replace every PII match with its class token, applying the classes
     in PII_PATTERNS order. Pure nested regexp_replace — no Python, no

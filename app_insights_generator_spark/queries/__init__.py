@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "inverted_index_documents",
     "stratified_sample_documents",
     "mixture_weights_documents",
+    "length_percentiles_by_source",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -118,7 +119,6 @@ _GATE_PRIORITY = [
     "dedup_canonical_by_quality",
     "pca_eigenspectrum_embeddings",
     "lm_quality_bigram_documents",
-    "pii_redact_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

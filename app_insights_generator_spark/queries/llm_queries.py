@@ -1974,3 +1974,80 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 10)
     )
+
+
+# --- Exact per-source length percentiles (PERCENTILE_DISC semantics) ---------
+
+
+@register(
+    "length_percentiles_by_source",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM t
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 9) // 10 THEN n_tokens END)
+                AS BIGINT) AS p10_tokens,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END)
+                AS BIGINT) AS p50_tokens,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END)
+                AS BIGINT) AS p90_tokens
+    FROM r GROUP BY source
+    """,
+)
+def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length percentiles (p10/p50/p90) with
+    PERCENTILE_DISC semantics — the statistic length-based curation
+    cutoffs are derived from. Discrete percentiles return an ACTUAL
+    corpus value (ceil(q*n)-th in sorted order, ties broken by doc_id),
+    so the result is integer and engine-exact — approx_percentile
+    sketches or interpolating PERCENTILE_CONT could never pass a hash
+    gate, and the window formulation is the exact-disc form both
+    engines share.
+
+    Scale: windows partition by source, so each source sorts
+    independently (no global ORDER BY). For 100 TB per-source sorts,
+    the same rank-select runs on a pre-aggregated (source, n_tokens,
+    count) table — thousands of distinct lengths instead of billions
+    of rows; the report shape is identical.
+
+    Reference parity: no counterpart; §2.5 curation extension
+    (completes the quality-score family: repetition, lm-quality,
+    length profile)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    pick = lambda idx: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(idx), F.col("n_tokens"))
+    ).cast("long")
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick("(n + 9) DIV 10").alias("p10_tokens"),
+        pick("(n + 1) DIV 2").alias("p50_tokens"),
+        pick("(9 * n + 9) DIV 10").alias("p90_tokens"),
+    )

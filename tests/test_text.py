@@ -100,3 +100,100 @@ def test_pii_counts_and_redaction(spark):
     assert out[2].red == "host [IP] gateway [IP]"
     assert out[3].red == "mixed: [EMAIL] [PHONE] [IP]"
     assert out[5].red == "not-an-ip 1234.5.6.7890 not-a-phone 12-34-5678"
+
+
+def test_repetition_gram_stats_hand_corpus(spark):
+    """Gopher repetition metrics on hand-computable documents: an all-
+    repeated doc pins both shares at 100%, an all-distinct doc pins the
+    top share at 1/total and the dup share at 0, and a doc too short for
+    an n-gram is omitted."""
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 2-grams: 'a a' x3 -> top=dup=10000
+            (2, "a b c d"),          # 3 distinct 2-grams -> top=3333, dup=0
+            (3, "a b a b a"),        # 'a b' x2, 'b a' x2 -> top=5000, dup=10000
+            (4, "solo"),             # 1 token: no 2-grams, omitted
+        ],
+        ["doc_id", "text"],
+    )
+    from app_insights_generator_spark.operators.text import repetition_gram_stats
+
+    out = {
+        r.doc_id: (r.n2, r.top2_bp, r.dup2_bp)
+        for r in repetition_gram_stats(df, "doc_id", "text", 2).collect()
+    }
+    assert out == {1: (3, 10000, 10000), 2: (3, 3333, 0), 3: (4, 5000, 10000)}
+
+    out3 = {
+        r.doc_id: (r.n3, r.top3_bp, r.dup3_bp)
+        for r in repetition_gram_stats(df, "doc_id", "text", 3).collect()
+    }
+    # doc1: 'a a a' x2 -> 10000/10000; doc2: 2 distinct -> 5000/0;
+    # doc3: 'a b a' x2? 3-grams: aba, bab, aba -> top 6666, dup 6666
+    assert out3 == {1: (2, 10000, 10000), 2: (2, 5000, 0), 3: (3, 6666, 6666)}
+
+
+def test_split_assignments_pinned(spark, sf_dir):
+    """Pin the deterministic sha-bucket assignments at sf0.001 so any
+    refactor of the bucket expression that CHANGES assignment (vs merely
+    re-expressing it) fails here before it reaches the gate. The
+    train/val/test split and the stratified sample share the bucket
+    primitive; both engines re-derive it independently in the oracle."""
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        stratified_sample_documents,
+        train_val_test_split_documents,
+    )
+
+    split = {
+        r.split: r.n_docs
+        for r in train_val_test_split_documents(spark, sf_dir).collect()
+    }
+    # Exact pinned assignment at sf0.001 (500 docs): any change here means
+    # the split CHANGED, i.e. existing dataset versions would leak.
+    assert split == {"train": 407, "val": 33, "test": 60}
+
+    strat = {
+        r.lang: (r.n_total, r.n_kept)
+        for r in stratified_sample_documents(spark, sf_dir).collect()
+    }
+    assert sum(v[0] for v in strat.values()) == 500
+    for lang, (n_total, n_kept) in strat.items():
+        assert 0 <= n_kept <= n_total
+    # Acceptance is by doc hash at per-lang rates: en keeps ~80%, zh ~10%.
+    assert strat["en"][1] >= strat["en"][0] // 2
+    assert strat["zh"][1] <= strat["zh"][0] // 3
+
+
+def test_disc_percentiles_preagg_equals_row_level(spark, sf_dir):
+    """The pre-aggregated histogram path (the 100 TB form) must return
+    byte-identical percentiles to the row-level window form the gate
+    checks — same ceil(q*n) rank selection, different physical shape."""
+    from app_insights_generator_spark.operators.text import (
+        disc_percentiles_from_counts,
+    )
+    from app_insights_generator_spark.queries.llm_queries import (
+        length_percentiles_by_source,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    row_level = {
+        r.source: (r.n_docs, r.p10_tokens, r.p50_tokens, r.p90_tokens)
+        for r in length_percentiles_by_source(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    counts = (
+        docs.select("source", toks.alias("n_tokens"))
+        .groupBy("source", "n_tokens")
+        .count()
+    )
+    preagg = {
+        r.source: (r.n_rows, r.p10_n_tokens, r.p50_n_tokens, r.p90_n_tokens)
+        for r in disc_percentiles_from_counts(
+            counts, "source", "n_tokens", "count"
+        ).collect()
+    }
+    assert preagg == row_level
