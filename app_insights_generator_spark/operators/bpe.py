@@ -62,7 +62,19 @@ def train_bpe(
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges -> [(left, right, pair_count), ...]
     in rank order. Pulls the distinct-word table to the driver (bounded,
-    checked) and runs the classic merge loop there."""
+    checked) and trains INCREMENTALLY: a pair->count table, a
+    pair->containing-words index, and a lazy-invalidation max-heap, so
+    each merge touches only the words containing the chosen pair instead
+    of rescanning the vocabulary — the production trainer shape
+    (HuggingFace/SentencePiece), O(affected updates * log pairs) per
+    merge instead of the naive O(vocab) rescan, which made 30k-merge
+    vocabularies impractical (r05 verdict note). Output is bit-identical
+    to the naive loop: max count, ties broken lexicographically on the
+    pair (the heap key (-count, pair) induces exactly that order;
+    stale entries are re-validated against the live count at pop time).
+    """
+    import heapq
+
     n_words = word_freq.count()
     if n_words > max_word_table:
         raise ValueError(
@@ -71,22 +83,51 @@ def train_bpe(
         )
     vocab: dict[tuple, int] = {}
     for r in word_freq.collect():
-        vocab[tuple(r["word"]) + (END,)] = vocab.get(tuple(r["word"]) + (END,), 0) + int(r["freq"])
+        key = tuple(r["word"]) + (END,)
+        vocab[key] = vocab.get(key, 0) + int(r["freq"])
+
+    words: list[list] = [[syms, f] for syms, f in vocab.items()]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, f in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + f
-        if not counts:
-            break
-        # max count, ties broken lexicographically -> deterministic
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        (a, b), c = best
-        merges.append((a, b, c))
-        vocab = {
-            _merge_word(syms, (a, b)): f for syms, f in vocab.items()
-        }
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur <= 0:
+            continue
+        if -negc != cur:
+            # Stale priority: re-enter at the live count so a decreased
+            # pair is never lost, then re-select.
+            heapq.heappush(heap, (-cur, best))
+            continue
+        merges.append((best[0], best[1], cur))
+        touched: set[tuple[str, str]] = set()
+        for wi in pair_words.pop(best, ()):
+            syms, f = words[wi]
+            old_pairs = list(zip(syms, syms[1:]))
+            if best not in old_pairs:
+                continue  # stale index entry (word already rewritten)
+            for p in old_pairs:
+                pair_counts[p] -= f
+                touched.add(p)
+            new_syms = _merge_word(syms, best)
+            words[wi][0] = new_syms
+            for p in zip(new_syms, new_syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wi)
+                touched.add(p)
+        pair_counts.pop(best, None)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

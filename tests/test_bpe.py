@@ -54,3 +54,47 @@ def test_train_bpe_exhausts_gracefully(spark):
     df = spark.createDataFrame([(1, "a a")], ["doc_id", "text"])
     merges = train_bpe(word_frequencies(df, "text"), n_merges=5)
     assert [(a, b) for a, b, _ in merges] == [("a", END)]
+
+
+def test_incremental_trainer_matches_naive_reference(spark):
+    """The heap/pair-index trainer (round 6) must produce the EXACT merge
+    table of the textbook rescan loop — same max-count selection, same
+    lexicographic tie-break — on a corpus large enough to exercise stale
+    heap entries, overlapping repeats, and pair exhaustion."""
+    import random
+
+    from app_insights_generator_spark.operators.bpe import _merge_word
+
+    rng = random.Random(42)
+    alphabet = "abcde"
+    docs = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(3, 30))
+            ),
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    wf = word_frequencies(df, "text")
+
+    # Naive reference: full pair recount + full vocab rewrite per merge.
+    vocab = {}
+    for r in wf.collect():
+        key = tuple(r["word"]) + (END,)
+        vocab[key] = vocab.get(key, 0) + int(r["freq"])
+    expected = []
+    for _ in range(60):
+        counts = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, c))
+        vocab = {_merge_word(syms, (a, b)): f for syms, f in vocab.items()}
+
+    assert train_bpe(wf, n_merges=60) == expected
