@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,3 +408,95 @@ def pca_fit(embs: DataFrame, vec_col: str = "embedding") -> tuple:
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1]
     return w[order], v[:, order].T, mean, n
+
+
+# --- Distributed fixed-point k-means (Lloyd's, engine-exact) -----------------
+
+
+def kmeans_fixed_point(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means in INTEGER fixed-point ->
+    (assignments [vid, cid, dist], centroids [cid, d, v]).
+
+    The fully-distributed twin of the sampled driver-side fit IVF uses
+    (_kmeans_centroids): vectors are quantized to micro-units
+    (floor(x*scale) + offset, the offset keeping every coordinate
+    positive so Spark's truncating DIV and DuckDB's flooring // agree on
+    the centroid means), exploded to long (vid, dim, value) form, and
+    each Lloyd iteration is pure relational algebra — assignment joins
+    the corpus against the tiny centroid table (BROADCAST: k*dim rows),
+    takes argmin by (distance, cid) via one row_number window, and the
+    update is a (cid, dim) groupBy computing floor-divided means. No
+    driver-side state AT ALL (not even the centroids — they stay a
+    DataFrame), every step engine-exact, so the whole recursion unrolls
+    into chained SQL CTEs for the oracle, like pagerank/sssp.
+
+    Init: the k lowest-id vectors (deterministic, seedless). Empty
+    clusters drop out of the centroid table (both engines identically).
+
+    Scale: per iteration one broadcast join producing n*k*dim partial
+    products -> (vid,cid) partial-agg groupBy -> n*k rows -> window by
+    vid -> (cid,d) groupBy. The n*k*dim explosion is the classic
+    distributed-Lloyd cost; the GEMM-per-batch Pandas-UDF assignment
+    (ivf_assign_udf) is the throughput variant when exactness across
+    engines is not required. int64 headroom: per-pair distance <=
+    dim*(scale)^2 ~ 6.4e13 at dim 64 — safe; SUM over a 1e9-row corpus
+    of those is the one quantity that would need DECIMAL at extreme
+    scale (the gate keeps inertia per-cluster at ~1e17).
+    """
+    e = embs.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform(cast({vec_col} AS array<double>), "
+                f"x -> CAST(floor(x * {scale}) AS LONG) + {offset})"
+            )
+        ).alias("d", "v"),
+    ).localCheckpoint()
+
+    init = (
+        e.select("vid")
+        .distinct()
+        .orderBy("vid")
+        .limit(k)
+        .select(
+            "vid",
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
+        )
+    )
+    cent = e.join(init, "vid").select("cid", "d", "v").localCheckpoint()
+
+    assign = None
+    for _ in range(n_iter):
+        dist = (
+            e.join(
+                F.broadcast(
+                    cent.select(
+                        F.col("cid"), F.col("d"), F.col("v").alias("cv")
+                    )
+                ),
+                "d",
+            )
+            .groupBy("vid", "cid")
+            .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("dist"))
+        )
+        w = Window.partitionBy("vid").orderBy("dist", "cid")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "cid", "dist")
+        )
+        cent = (
+            e.join(assign.select("vid", "cid"), "vid")
+            .groupBy("cid", "d")
+            .agg(F.expr("CAST(sum(v) DIV count(1) AS LONG)").alias("v"))
+            .localCheckpoint()
+        )
+    return assign, cent

@@ -69,6 +69,7 @@ _GATE_PRIORITY = [
     "stratified_sample_documents",
     "mixture_weights_documents",
     "length_percentiles_by_source",
+    "kmeans_clusters_embeddings",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -118,7 +119,6 @@ _GATE_PRIORITY = [
     "stateful_type_stats_batch_twin_events",
     "dedup_canonical_by_quality",
     "pca_eigenspectrum_embeddings",
-    "lm_quality_bigram_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -2051,3 +2051,90 @@ def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(n + 1) DIV 2").alias("p50_tokens"),
         pick("(9 * n + 9) DIV 10").alias("p90_tokens"),
     )
+
+
+# --- Distributed fixed-point k-means over embeddings -------------------------
+
+_KM_SCALE, _KM_OFF, _KM_K = 1_000_000, 1_000_000, 4
+
+
+def _km_iter_cte(i: int) -> str:
+    """One unrolled Lloyd iteration: distances vs c{i-1} -> argmin
+    assignment a{i} -> floor-mean centroid table c{i}."""
+    return f"""
+    d{i} AS (
+      SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+      FROM e JOIN c{i - 1} c USING (d) GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vid, cid, dist FROM (
+        SELECT vid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cid, e.d, CAST(SUM(e.v) AS BIGINT) // COUNT(*) AS v
+      FROM e JOIN a{i} a USING (vid) GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "kmeans_clusters_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    init AS (
+      SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid
+      FROM (SELECT DISTINCT vid FROM e ORDER BY vid LIMIT {_KM_K})
+    ),
+    c0 AS (SELECT i.cid, e.d, e.v FROM e JOIN init i USING (vid)),
+    {_km_iter_cte(1)},
+    {_km_iter_cte(2)}
+    SELECT m.cid, m.n_members, m.inertia, c.centroid_sum, c.centroid_sumsq
+    FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(dist) AS BIGINT) AS inertia
+          FROM a2 GROUP BY cid) m
+    JOIN (SELECT cid, CAST(SUM(v) AS BIGINT) AS centroid_sum,
+                 CAST(SUM(v * v) AS BIGINT) AS centroid_sumsq
+          FROM c2 GROUP BY cid) c USING (cid)
+    """,
+)
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 iterations) over the embedding
+    corpus in integer fixed-point (operators/similarity.py
+    kmeans_fixed_point) — embedding clustering is the curation workhorse
+    behind semantic dedup buckets, topic balancing, and IVF coarse
+    quantizers, and this is its ENGINE-EXACT form: quantized
+    micro-units, argmin by (distance, cid), floor-divided centroid
+    means, no RNG and no driver state anywhere (centroids stay a
+    broadcast-joined DataFrame). The oracle unrolls both iterations into
+    chained CTEs — the same discipline that made pagerank/BFS/SSSP
+    hash-checkable. Gate witness per cluster: member count, integer
+    inertia, centroid checksum (sum + sum-of-squares of quantized
+    coordinates).
+
+    Scale: per iteration one broadcast join (centroid table is k*dim
+    rows) + two keyed aggregations; the sampled-fit + GEMM-assignment
+    path (ann_topk_ivf) is the throughput variant — this one is for
+    when the fit itself must be distributed and reproducible."""
+    from app_insights_generator_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    assign, cent = kmeans_fixed_point(
+        _embs(spark, sf_dir), "vec_id", "embedding",
+        k=_KM_K, n_iter=2, scale=_KM_SCALE, offset=_KM_OFF,
+    )
+    m = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    c = cent.groupBy("cid").agg(
+        F.sum("v").cast("long").alias("centroid_sum"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("centroid_sumsq"),
+    )
+    return m.join(c, "cid")

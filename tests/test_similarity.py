@@ -141,3 +141,38 @@ def test_pca_projection_variance_matches_eigenvalues(spark, sf_dir):
             eigvals[i],
         )
     assert abs(stats["c01"]) < 1e-6
+
+
+def test_kmeans_fixed_point_separates_obvious_clusters(spark):
+    """Two tight, well-separated groups in 2-D must land in two clusters
+    with exactly the obvious membership, and centroids must be the
+    quantized floor-means of their members (offset space)."""
+    from app_insights_generator_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    pts = [
+        (0, [0.00, 0.01]),
+        (1, [0.01, 0.00]),
+        (2, [0.02, 0.02]),
+        (10, [0.40, 0.41]),
+        (11, [0.41, 0.40]),
+        (12, [0.42, 0.42]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    assign, cent = kmeans_fixed_point(
+        df, "vec_id", "embedding", k=2, n_iter=2
+    )
+    got = {r.vid: r.cid for r in assign.collect()}
+    # init = two lowest ids (0 and 1), both in the left group; after the
+    # first update the right group's points all sit in whichever cluster
+    # won them, and iteration 2 keeps the split stable by separation.
+    left = {got[0], got[1], got[2]}
+    right = {got[10], got[11], got[12]}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+    c = {(r.cid, r.d): r.v for r in cent.collect()}
+    right_cid = got[10]
+    # right-group centroid dim 0: floor-mean of quantized 0.40/0.41/0.42
+    want = (400000 + 410000 + 420000) // 3 + 1_000_000
+    assert c[(right_cid, 0)] == want
