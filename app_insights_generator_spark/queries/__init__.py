@@ -70,6 +70,7 @@ _GATE_PRIORITY = [
     "mixture_weights_documents",
     "length_percentiles_by_source",
     "kmeans_clusters_embeddings",
+    "ann_recall_ivf_embeddings",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -118,7 +119,6 @@ _GATE_PRIORITY = [
     "ewma_user_values",
     "stateful_type_stats_batch_twin_events",
     "dedup_canonical_by_quality",
-    "pca_eigenspectrum_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
