@@ -563,3 +563,69 @@ def duplicate_span_stats(
             .alias("dup_frac_bp"),
         )
     )
+
+
+def jaccard_join_prefix_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join >= threshold via prefix
+    filtering (the AllPairs/PPJoin family, Bayardo et al. 2007) — the
+    third candidate-generation strategy beside banded MinHash
+    (probabilistic) and SimHash (bit-distance), and the only one that is
+    exact: prefix filtering has ZERO false negatives, so output ==
+    brute-force all-pairs truth, with no sketch parameters to tune.
+
+    Method: shingles are globally ordered rarest-first (count asc, then
+    shingle — deterministic); each document keeps only its PREFIX, the
+    first |S| - ceil(t*|S|) + 1 shingles in that order. If J(A,B) >= t
+    then |A∩B| >= ceil(t*|A|), and A's prefix omits only ceil(t*|A|)-1
+    elements, so at least one common shingle falls in A's prefix — a
+    prefix-vs-FULL token join therefore finds every qualifying pair
+    (the asymmetric AllPairs scheme; the prefix-vs-prefix shortcut
+    needs the longer (t/(1+t))-prefixes to stay lossless). Candidates
+    are verified with the exact Jaccard, removing false positives.
+
+    Scale: the join is keyed on shingles, and prefixes contain only
+    each document's RAREST shingles — the canonical order exists
+    precisely to keep hot tokens out of the probing side, so the join
+    fanout per key stays small even on Zipfian vocabularies. One
+    groupBy for frequencies, one sort inside collect per doc, one
+    equi-join, one verify join. At 100 TB, add PPJoin's positional
+    filter to tighten candidates further; the contract (exactness)
+    stays.
+    """
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    ex = _explode_shingle_sets(sh).filter(F.col("_sh").isNotNull())
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_c"))
+    ranked = ex.join(freq, "_sh")
+    ordered = ranked.groupBy("_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_c").alias("c"), F.col("_sh").alias("s")))
+        ).alias("toks")
+    )
+    pref = ordered.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"slice(toks, 1, size(toks) "
+                f"- CAST(ceil({threshold} * size(toks)) AS INT) + 1)"
+            )
+        ).alias("p"),
+    ).select(F.col("_id").alias("id_p"), F.col("p.s").alias("_sh"))
+    cand = (
+        pref.join(ex.select(F.col("_id").alias("id_f"), "_sh"), "_sh")
+        .filter(F.col("id_p") != F.col("id_f"))
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = _jaccard_from_sets(sh, cand, threshold)
+    pinned = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pinned

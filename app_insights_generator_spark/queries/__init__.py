@@ -46,13 +46,14 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 # CORRECTNESS_r02/r03/r04's rows are exactly positions 0-49 of this
 # dict). Round-6 rotation: (a) the four r05 reds stay at the head — all
 # four were ONE defect class (uncast DuckDB HUGEINT final columns, red
-# only through the driver's pandas fetch), now cast to BIGINT and
+# only through the driver's numpy-family fetch), now cast to BIGINT and
 # guarded registry-wide by tests/test_registry.py + check_oracle's
-# pandas-path compare; (b) the two never-driver-sampled r05 additions
-# (sssp, schema-drift) follow; then everything round 6 touched (bm25
-# avgdl10 overflow fix, jsonl append sink, mp4 multi-track/mdhd-v1
-# bounds). The back stays padded with r-green rows (re-confirmation is
-# free signal).
+# fetchnumpy-replica compare; (b) the two never-driver-sampled r05
+# additions (sssp, schema-drift) follow; (b2) the nine round-6 query
+# additions; then everything round 6 touched (bm25 avgdl10 overflow
+# fix, incremental BPE trainer, jsonl append sink, mp4 multi-track/
+# mdhd-v1 bounds). The back stays padded with r-green rows
+# (re-confirmation is free signal).
 _GATE_PRIORITY = [
     # (a) r05 reds — oracle HUGEINT casts landed, must sample green
     "schema_evolution_mergeschema",
@@ -71,6 +72,7 @@ _GATE_PRIORITY = [
     "length_percentiles_by_source",
     "kmeans_clusters_embeddings",
     "ann_recall_ivf_embeddings",
+    "jaccard_join_prefix_documents",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -118,7 +120,6 @@ _GATE_PRIORITY = [
     "scd2_user_event_history",
     "ewma_user_values",
     "stateful_type_stats_batch_twin_events",
-    "dedup_canonical_by_quality",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -2270,3 +2270,27 @@ def ann_recall_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sim").alias("min_sim"),
         F.max("sim").alias("max_sim"),
     )
+
+
+@register(
+    "jaccard_join_prefix_documents",
+    f"""
+    WITH {_JACCARD_ALL_PAIRS_CTES}
+    SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def jaccard_join_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 self-join via prefix filtering
+    (operators/dedup.py jaccard_join_prefix_filter) — zero false
+    negatives by the prefix lemma, so unlike the MinHash path the oracle
+    equality needs NO recall argument at all: output == the O(n^2)
+    all-pairs truth set by construction, at prefix-join cost. The
+    deterministic third dedup candidate strategy (MinHash = probabilistic
+    bands, SimHash = bit distance, prefix filter = exact)."""
+    pairs = D.jaccard_join_prefix_filter(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard")
+    )

@@ -282,3 +282,46 @@ def test_duplicate_span_stats_skew_robust_identical(spark):
     # join may still broadcast — that one AQE sizes at runtime
     assert "SortMergeJoin [h#" in plan, plan
     assert "BroadcastHashJoin [h#" not in plan, plan
+
+
+def test_prefix_filter_join_is_lossless(spark, corpus):
+    """The prefix-filter join must equal the brute-force truth set EXACTLY
+    (zero false negatives by the prefix lemma, zero false positives by
+    verification) — the property that distinguishes it from the MinHash
+    path, whose equality needs a banding-recall argument."""
+    truth = _true_pairs(spark, corpus, 0.5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_join_prefix_filter(
+            corpus, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_prefix_filter_boundary_thresholds(spark):
+    """Hand corpus around the threshold: identical docs (j=1.0), a pair
+    at exactly j=0.5, and a disjoint pair; verify at t=0.5 and t=0.9."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # shingles abc bcd cde def
+            (2, "a b c d e f"),     # identical -> j=1.0 with 1
+            (3, "a b c d x y"),     # shingles abc bcd cdx dxy: inter {abc,bcd}=2, union 6 -> j=1/3
+            (4, "p q r s t u"),     # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    at_05 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_join_prefix_filter(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert at_05 == {(1, 2, 1.0)}
+    at_033 = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_join_prefix_filter(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.33
+        ).collect()
+    }
+    assert at_033 == {(1, 2), (1, 3), (2, 3)}
