@@ -192,3 +192,35 @@ def run_to_memory(
     finally:
         q.stop()
     return sdf.sparkSession.table(name)
+
+
+def clicks_before_errors_stream_outer(
+    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every error emits, with
+    NULL click columns when no same-user click preceded it within 5
+    minutes. The outer side is the operationally interesting one —
+    "errors with no preceding interaction" is the alerting signal — and
+    it exercises the part of the join state machine the inner join
+    never touches: an unmatched error row is held in state and emitted
+    with NULLs only when the watermark passes its join window (so
+    results trail the watermark; with availableNow over a finite source,
+    errors near the end of the data may stay buffered and unemitted —
+    the correct streaming semantics, asserted in tests rather than
+    papered over)."""
+    err = errors.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    ).withWatermark("ts", watermark)
+    clk = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    return err.join(clk, cond, "left_outer").select(
+        "event_id", "user_id", "ts", "c_event_id"
+    )

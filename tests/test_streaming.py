@@ -343,3 +343,53 @@ def test_dynamic_gap_sessionize_matches_native_session_window(spark, sf_dir):
         for r in native.collect()
     }
     assert m == n
+
+
+def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir, events_stream):
+    """LEFT OUTER watermarked join: matched rows equal the batch inner
+    join; NULL-click rows are exactly errors with no qualifying click
+    AND an expired join window (outer emission trails the watermark —
+    errors near the end of the finite source may stay buffered, which
+    is correct streaming semantics, so we assert containment + no false
+    NULLs rather than full equality with the batch left join)."""
+    from app_insights_generator_spark.streaming.windows import (
+        clicks_before_errors_stream_outer,
+    )
+
+    got = run_to_memory(
+        clicks_before_errors_stream_outer(
+            events_stream, read_events_stream(spark, sf_dir)
+        ),
+        "t_ssjoin_outer",
+        output_mode="append",
+    )
+    rows = got.collect()
+    matched = {(r.event_id, r.user_id, r.c_event_id) for r in rows if r.c_event_id is not None}
+    nulls = {r.event_id for r in rows if r.c_event_id is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    batch_inner = {
+        (r.event_id, r.user_id, r.c_event_id)
+        for r in err.join(clk, cond, "inner")
+        .select("event_id", "user_id", "c_event_id")
+        .collect()
+    }
+    # 1) matched outer rows == batch inner join exactly
+    assert matched == batch_inner
+    # 2) no false NULLs: every NULL-emitted error truly has zero clicks
+    matched_err_ids = {e for e, _, _ in batch_inner}
+    assert not (nulls & matched_err_ids)
+    # 3) the outer path emitted real unmatched errors (watermark advanced
+    #    far enough over the sf0.001 data for at least some state to expire)
+    assert len(nulls) > 0
