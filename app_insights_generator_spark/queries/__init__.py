@@ -73,6 +73,7 @@ _GATE_PRIORITY = [
     "kmeans_clusters_embeddings",
     "ann_recall_ivf_embeddings",
     "jaccard_join_prefix_documents",
+    "sql_udf_revenue_lineitem",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -119,7 +120,6 @@ _GATE_PRIORITY = [
     "retention_cohorts_events",
     "scd2_user_event_history",
     "ewma_user_values",
-    "stateful_type_stats_batch_twin_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -1633,3 +1633,47 @@ def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift(old, new).na.fill(
         -1, ["null_bp_old", "null_bp_new", "ndv_old", "ndv_new"]
     )
+
+
+@register(
+    "sql_udf_revenue_lineitem",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM({_x.sql_disc_price()}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_revenue_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION ... RETURN
+    <expr>``, SPARK-46246): the discounted-price money expression is
+    defined ONCE as a catalog-level SQL UDF and reused by name — the
+    governance surface for shared business logic (one definition, every
+    query inherits the exact-decimal semantics instead of re-pasting the
+    cast chain). Unlike Python UDFs this stays pure Catalyst expression
+    code: substituted at resolution time, fully codegen'd, zero
+    serialization boundary — the plan is identical to writing the
+    expression inline, which is exactly what the oracle does (DuckDB's
+    counterpart concept is CREATE MACRO; the oracle inlines since it
+    must stay a single SELECT).
+
+    Money math follows queries/_exact.py: DECIMAL sums (order-
+    independent), one final ROUND->double."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price_exact(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(20,4) "
+        "RETURN CAST(p AS DECIMAL(14,2)) * "
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(d AS DECIMAL(4,2)))"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(ROUND(SUM(disc_price_exact(l_extendedprice, l_discount)), 2)
+                    AS DOUBLE) AS revenue
+        FROM _sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
