@@ -125,6 +125,42 @@ def bench_dup_spans(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_prefix_join(spark, scales: list[int]) -> list[dict]:
+    """Prefix-filter Jaccard join wall-clock + candidate counts vs corpus
+    (claim: positional filtering keeps the verify-join input ~equal to
+    the true pair set as the corpus grows, so total cost tracks the
+    shingle join, not candidate verification). Replicated corpora
+    multiply the true pairs linearly (each replica duplicates the base
+    near-dup structure and adds cross-replica exact dups)."""
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"docs_x{s}")
+        if not os.path.exists(path):
+            replicate(spark, "documents", "doc_id", s, path)
+        docs = spark.read.parquet(path)
+        n = docs.count()
+        t0 = time.time()
+        n_pairs = D.jaccard_join_prefix_filter(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).count()
+        t_pos = time.time() - t0
+        t0 = time.time()
+        n_pairs_plain = D.jaccard_join_prefix_filter(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5, positional=False
+        ).count()
+        t_plain = time.time() - t0
+        assert n_pairs == n_pairs_plain, (n_pairs, n_pairs_plain)
+        rows.append(
+            {
+                "docs": n,
+                "true_pairs": n_pairs,
+                "positional_s": round(t_pos, 2),
+                "prefix_only_s": round(t_plain, 2),
+            }
+        )
+    return rows
+
+
 def bench_mp4(spark, scales: list[int]) -> list[dict]:
     """MP4 synthesize+decode throughput vs media count: both ends are
     Arrow-batched mapInPandas, so wall-clock should be linear in total
@@ -461,7 +497,7 @@ def main() -> None:
         "--only",
         default=None,
         help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,"
-        "incremental,sssp,bfs",
+        "incremental,sssp,bfs,prefix_join",
     )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
@@ -501,6 +537,9 @@ def main() -> None:
     if want("bfs"):
         print("\n## BFS frontier expansion on the skew (star+ring) graph\n")
         print(md_table(bench_bfs(spark, scales)))
+    if want("prefix_join"):
+        print("\n## prefix-filter Jaccard join: positional vs prefix-only\n")
+        print(md_table(bench_prefix_join(spark, scales)))
 
 
 if __name__ == "__main__":
