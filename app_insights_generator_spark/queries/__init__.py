@@ -74,6 +74,8 @@ _GATE_PRIORITY = [
     "ann_recall_ivf_embeddings",
     "jaccard_join_prefix_documents",
     "sql_udf_revenue_lineitem",
+    "cdc_apply_customer_balances",
+    "robust_stats_orders_price",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -118,8 +120,6 @@ _GATE_PRIORITY = [
     "sessionize_events_batch",
     "funnel_conversion_events",
     "retention_cohorts_events",
-    "scd2_user_event_history",
-    "ewma_user_values",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

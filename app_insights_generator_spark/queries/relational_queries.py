@@ -1677,3 +1677,200 @@ def sql_udf_revenue_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "cdc_apply_customer_balances",
+    f"""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 < 7 THEN 'U' ELSE 'D' END AS op,
+             {_x.sql_cents('o_totalprice')} AS new_balance_cents
+      FROM orders
+    ),
+    last AS (
+      SELECT key, op, new_balance_cents FROM (
+        SELECT key, op, new_balance_cents,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM log) WHERE rn = 1
+    ),
+    base AS (
+      SELECT c_custkey AS key, {_x.sql_cents('c_acctbal')} AS balance_cents
+      FROM customer
+    )
+    SELECT b.key,
+           CASE WHEN l.op = 'U' THEN l.new_balance_cents
+                ELSE b.balance_cents END AS balance_cents,
+           CASE WHEN l.op IS NULL THEN 'base'
+                WHEN l.op = 'U' THEN 'updated' END AS src
+    FROM base b LEFT JOIN last l USING (key)
+    WHERE l.op IS NULL OR l.op <> 'D'
+    UNION ALL
+    SELECT l.key, l.new_balance_cents, 'inserted'
+    FROM last l LEFT JOIN base b USING (key)
+    WHERE b.key IS NULL AND l.op = 'U'
+    """,
+)
+def cdc_apply_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: compact an ordered upsert/delete
+    changelog down to one final operation per key (max-sequence wins),
+    then apply it over the baseline snapshot — surviving rows are
+    baseline keys not deleted (updated in place when the last op is an
+    upsert) plus net-new inserted keys. This is what Delta/Hudi MERGE
+    does under the hood, expressed as two exchanges in plain Spark: one
+    window to compact the log (the "deduplicate by key, latest wins"
+    step every CDC pipeline runs first) and one outer join to apply.
+    The changelog is synthesized deterministically from orders
+    (o_orderkey is the sequence; %10<7 -> upsert with the order's price
+    as the new balance, else delete), so both engines derive the
+    identical log. Balances ride as integer cents throughout.
+
+    Scale: log compaction shuffles the CHANGELOG (usually << snapshot)
+    keyed by key; the apply join shuffles once on the same key, so at
+    100 TB the snapshot partitioning is reused (bucket both on key and
+    neither re-shuffles). Complements merge_upsert (SCD1 single-batch)
+    and scd2 (history-keeping): this is the ordered-multi-op-per-key
+    form."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    log = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 < 7, "U").otherwise("D").alias("op"),
+        _x.cents("o_totalprice").alias("new_balance_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "new_balance_cents")
+    )
+    base = customer.select(
+        F.col("c_custkey").alias("key"),
+        _x.cents("c_acctbal").alias("balance_cents"),
+    )
+    joined = base.join(last, "key", "left")
+    survivors = joined.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "key",
+        F.when(F.col("op") == "U", F.col("new_balance_cents"))
+        .otherwise(F.col("balance_cents"))
+        .alias("balance_cents"),
+        F.when(F.col("op").isNull(), "base")
+        .when(F.col("op") == "U", "updated")
+        .alias("src"),
+    )
+    inserts = (
+        last.join(base, "key", "left_anti")
+        .filter(F.col("op") == "U")
+        .select(
+            "key",
+            F.col("new_balance_cents").alias("balance_cents"),
+            F.lit("inserted").alias("src"),
+        )
+    )
+    return survivors.unionByName(inserts)
+
+
+@register(
+    "robust_stats_orders_price",
+    f"""
+    WITH t AS (
+      SELECT o_orderpriority AS grp, o_orderkey AS uid,
+             {_x.sql_cents('o_totalprice')} AS cents
+      FROM orders
+    ),
+    r1 AS (
+      SELECT grp, uid, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, uid) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM t
+    ),
+    med AS (
+      SELECT grp, MAX(n) AS n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents
+      FROM r1 GROUP BY grp
+    ),
+    dev AS (
+      SELECT t.grp, t.uid, abs(t.cents - m.median_cents) AS d
+      FROM t JOIN med m ON t.grp = m.grp
+    ),
+    r2 AS (
+      SELECT grp, d,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d, uid) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM dev
+    )
+    SELECT m.grp,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(m.median_cents AS BIGINT) AS median_cents,
+           CAST(MAX(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.d END) AS BIGINT)
+             AS mad_cents
+    FROM med m JOIN r2 ON r2.grp = m.grp
+    GROUP BY m.grp, m.n, m.median_cents
+    """,
+)
+def robust_stats_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact discrete MEDIAN and MAD (median
+    absolute deviation) of order price in integer cents — the
+    outlier-resistant center/spread pair that mean/stddev anomaly rules
+    get poisoned out of by the very outliers they hunt. Both medians use
+    the ceil(n/2) rank-selection form (ties broken by order key), so the
+    result is an actual corpus value and bit-identical across engines —
+    no interpolation, no sketches.
+
+    Scale: two window passes partitioned by the group key (parallel
+    per-group sorts; at very high per-group cardinality the same
+    rank-select runs on a pre-aggregated (grp, cents, count) histogram —
+    see disc_percentiles_from_counts) plus one broadcast-sized join of
+    the per-group medians back onto the rows.
+
+    Reference parity: no counterpart; §2.5 statistics extension
+    alongside regr/percentile/histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("uid"),
+        _x.cents("o_totalprice").alias("cents"),
+    )
+    w1 = Window.partitionBy("grp").orderBy("cents", "uid")
+    wn = Window.partitionBy("grp")
+    r1 = t.select(
+        "grp",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))
+        ).alias("median_cents"),
+    )
+    dev = t.join(F.broadcast(med.select("grp", "median_cents")), "grp").select(
+        "grp",
+        "uid",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
+    )
+    w2 = Window.partitionBy("grp").orderBy("d", "uid")
+    r2 = dev.select(
+        "grp",
+        "d",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("d"))
+        ).cast("long").alias("mad_cents")
+    )
+    return (
+        med.join(mad, "grp")
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("median_cents").cast("long").alias("median_cents"),
+            "mad_cents",
+        )
+    )
