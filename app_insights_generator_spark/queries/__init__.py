@@ -76,6 +76,7 @@ _GATE_PRIORITY = [
     "sql_udf_revenue_lineitem",
     "cdc_apply_customer_balances",
     "robust_stats_orders_price",
+    "distribution_drift_chi2_documents",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -119,7 +120,6 @@ _GATE_PRIORITY = [
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
     "funnel_conversion_events",
-    "retention_cohorts_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

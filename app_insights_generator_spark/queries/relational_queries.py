@@ -1874,3 +1874,71 @@ def robust_stats_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_cents",
         )
     )
+
+
+@register(
+    "distribution_drift_chi2_documents",
+    """
+    WITH v1 AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS o1
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY lang
+    ),
+    v2 AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS o2
+      FROM documents GROUP BY lang
+    ),
+    n AS (SELECT (SELECT SUM(o1) FROM v1) AS n1,
+                 (SELECT SUM(o2) FROM v2) AS n2)
+    SELECT v1.lang, v1.o1, v2.o2,
+           CAST(((v2.o2 * n.n1 - v1.o1 * n.n2)
+                 * (v2.o2 * n.n1 - v1.o1 * n.n2) * 1000000)
+                // (CAST(n.n1 AS BIGINT) * v1.o1 * n.n2) AS BIGINT)
+             AS chi2_contrib_micro
+    FROM v1 JOIN v2 USING (lang), n
+    """,
+)
+def distribution_drift_chi2_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution drift between two dataset versions as an integer
+    chi-square statistic — the PROFILE-drift complement to the
+    schema-drift report: schema_drift says a column appeared or
+    retyped; this says the language mix itself moved. Per-cell
+    contribution uses the algebraic form
+    (o2*n1 - o1*n2)^2 / (n1*o1*n2) == (o2-e)^2/e with e = o1*n2/n1,
+    scaled to micro-units and floor-divided so both engines emit the
+    same integer — no floating expected-count anywhere. Version 1 is
+    the odd-doc_id half, version 2 the full corpus (a deterministic
+    synthetic "new dump").
+
+    Scale: two tiny keyed aggregates + a 1-row total broadcast. The
+    integer products need n*o < ~3e9 to stay in int64 ((o2*n1)^2
+    dominates); at real corpus counts run the identical algebra after
+    down-scaling counts to per-million rates, or in DECIMAL(38) — the
+    statistic is scale-invariant up to the chosen unit.
+
+    Reference parity: no counterpart; §2.5 data-quality extension
+    alongside schema_drift / dq_report."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("o1"))
+    )
+    v2 = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("o2"))
+    totals = v1.agg(F.sum("o1").alias("n1")).crossJoin(
+        v2.agg(F.sum("o2").alias("n2"))
+    )
+    return (
+        v1.join(v2, "lang")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "o1",
+            "o2",
+            F.expr(
+                "CAST(((o2 * n1 - o1 * n2) * (o2 * n1 - o1 * n2) * 1000000)"
+                " DIV (n1 * o1 * n2) AS LONG)"
+            ).alias("chi2_contrib_micro"),
+        )
+    )
