@@ -878,3 +878,234 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
             h, w, 3
         )
     return frames, duration * 1000 // timescale
+
+
+# --- GIF89a (variable-width LZW, animated) -----------------------------------
+#
+# Written against the public GIF89a specification (CompuServe, 1990) and
+# the standard GIF-LZW description: variable code width starting at
+# min_code_size+1, LSB-first bit packing, CLEAR/EOI codes, dictionary
+# reset at 4096 entries, data carried in <=255-byte sub-blocks.
+# Supported subset (encoder writes exactly this; decoder RAISES on
+# anything else rather than guessing): global 256-color table, no
+# interlace, no local color tables, no transparency; animation via one
+# Graphic Control Extension per frame with centisecond delays.
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+
+    s = b""
+    for ch in indices:
+        cand = s + bytes([ch])
+        if cand in table:
+            s = cand
+            continue
+        out_bits.append((table[s], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([ch])
+    if s:
+        out_bits.append((table[s], width))
+    out_bits.append((eoi, width))
+
+    acc = n_acc = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n_acc
+        n_acc += w
+        while n_acc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, n_expected: int, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = n_acc = pos = 0
+    prev: bytes | None = None
+    while True:
+        while n_acc < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated before EOI")
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW first code {code} not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table {len(table)}")
+        out += entry
+        # Width grows when the NEXT append would need it (table size hits
+        # the current width's capacity), capped at 12 bits per the spec.
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"GIF LZW output overruns frame: {len(out)} > {n_expected}"
+            )
+    if len(out) != n_expected:
+        raise ValueError(f"GIF frame decoded {len(out)} of {n_expected} pixels")
+    return bytes(out)
+
+
+def encode_gif(
+    frames: np.ndarray, palette: np.ndarray, delay_cs: int = 10
+) -> bytes:
+    """(n, h, w) uint8 palette indices + (256, 3) uint8 palette ->
+    animated GIF89a bytes, ``delay_cs`` centiseconds per frame."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be (n, h, w) uint8 palette indices")
+    if palette.shape != (256, 3) or palette.dtype != np.uint8:
+        raise ValueError("palette must be (256, 3) uint8")
+    n, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # global table, 8-bit, bg 0, square pixels
+    out += palette.tobytes()
+    for f in range(n):
+        out += bytes([0x21, 0xF9, 4, 0x00])  # GCE: disposal none, no transp
+        out += struct.pack("<H", delay_cs)
+        out += bytes([0, 0])  # transparent idx (unused), terminator
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([8])  # LZW min code size
+        lzw = _lzw_encode(frames[f].tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])  # block terminator
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[np.ndarray, int]:
+    """GIF89a bytes -> ((n, h, w, 3) uint8 RGB frames, duration_ms).
+    Raises ValueError on non-GIF bytes, truncation, interlace, local
+    color tables, transparency, or any LZW inconsistency."""
+    if len(data) < 13 or data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF file")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_size > len(data):
+        raise ValueError("GIF global color table truncated")
+    palette = np.frombuffer(data, dtype="u1", count=3 * gct_size, offset=pos)
+    palette = palette.reshape(gct_size, 3)
+    pos += 3 * gct_size
+
+    frames: list[np.ndarray] = []
+    total_cs = 0
+    pending_delay = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF truncated before trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 1 > len(data):
+                raise ValueError("GIF extension truncated")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:
+                if pos + 6 > len(data) or data[pos] != 4:
+                    raise ValueError("GIF graphic control extension malformed")
+                gce_packed = data[pos + 1]
+                if gce_packed & 0x01:
+                    raise ValueError("GIF transparency is unsupported")
+                (pending_delay,) = struct.unpack_from("<H", data, pos + 2)
+                pos += 5
+                if data[pos] != 0:
+                    raise ValueError("GIF GCE missing terminator")
+                pos += 1
+            else:  # skip other extensions block-wise
+                while True:
+                    if pos >= len(data):
+                        raise ValueError("GIF extension sub-blocks truncated")
+                    sz = data[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("GIF image descriptor truncated")
+        left, top, fw, fh = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if (left, top, fw, fh) != (0, 0, w, h):
+            raise ValueError("GIF partial-canvas frames are unsupported")
+        if ipacked & 0x80:
+            raise ValueError("GIF local color tables are unsupported")
+        if ipacked & 0x40:
+            raise ValueError("GIF interlace is unsupported")
+        if pos >= len(data):
+            raise ValueError("GIF LZW header truncated")
+        min_code = data[pos]
+        pos += 1
+        if min_code != 8:
+            raise ValueError(f"GIF min code size {min_code} != 8 unsupported")
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("GIF image sub-blocks truncated")
+            sz = data[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(data):
+                raise ValueError("GIF image sub-block overruns file")
+            lzw += data[pos : pos + sz]
+            pos += sz
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), fw * fh), dtype="u1"
+        ).reshape(fh, fw)
+        frames.append(palette[idx])
+        total_cs += pending_delay
+        pending_delay = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), total_cs * 10

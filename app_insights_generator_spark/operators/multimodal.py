@@ -339,6 +339,38 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
     )
 
 
+def synthesize_gif_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate REAL animated GIF89a payloads (variable-width LZW,
+    operators/codecs.py encode_gif), one per id: n = 1 + id%3 frames of
+    w = 3*(2 + id%5) x h = 2*(2 + id%4) palette indices
+    px[f, y, x] = (3y + 7x + 5f + id) % 256 at 7 cs/frame, with the
+    identity-R palette pal[i] = (i, 2i%256, 3i%256) — so an external
+    oracle predicts width, height, duration (n*70 ms) and the decoded
+    R-channel sum (= the index sum) in closed form while the payload
+    still exercises real LZW entropy coding + sub-block framing."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_gif
+
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i, (2 * i) % 256, (3 * i) % 256], axis=1).astype(np.uint8)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n, w, h = 1 + mid % 3, 3 * (2 + mid % 5), 2 * (2 + mid % 4)
+                f, y, x = np.mgrid[0:n, 0:h, 0:w]
+                idx = ((3 * y + 7 * x + 5 * f + mid) % 256).astype("u1")
+                rows.append((mid, "image_gif", encode_gif(idx, palette, delay_cs=7)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=REAL_MEDIA_SCHEMA
+    )
+
+
 def synthesize_mp4_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Generate REAL MP4 files (ISO BMFF: ftyp + mdat + moov with full
     stts/stsc/stsz/stco sample tables, operators/codecs.py encode_mp4),
@@ -426,6 +458,7 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
 
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_mp4,
         decode_png,
@@ -459,6 +492,19 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
                     )
                 elif mtype == "video_mp4":
                     frames, dur_ms = decode_mp4(raw)
+                    _, h, w, _ = frames.shape
+                    out.append(
+                        (
+                            int(mid),
+                            mtype,
+                            w,
+                            h,
+                            int(dur_ms),
+                            int(frames[:, :, :, 0].astype("i8").sum()),
+                        )
+                    )
+                elif mtype == "image_gif":
+                    frames, dur_ms = decode_gif(raw)
                     _, h, w, _ = frames.shape
                     out.append(
                         (

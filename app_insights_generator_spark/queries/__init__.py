@@ -95,6 +95,7 @@ _GATE_PRIORITY = [
     # (e) round-5 additions: real MP4 container codec, substring-level
     #     duplicate spans, embedding-cosine dedup, integer PageRank,
     #     log-free BM25, custom Python DataSource
+    "multimodal_gif_codec_features",
     "multimodal_mp4_codec_features",
     "multimodal_mp4_frame_sample",
     "duplicate_spans_documents",
@@ -119,7 +120,6 @@ _GATE_PRIORITY = [
     "sessionize_dynamic_gap_events",
     # r04-green padding (re-confirmation)
     "sessionize_events_batch",
-    "funnel_conversion_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -2294,3 +2294,54 @@ def jaccard_join_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard")
     )
+
+
+@register(
+    "multimodal_gif_codec_features",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 100),
+    dims AS (
+      SELECT media_id,
+             1 + media_id % 3 AS n,
+             3 * (2 + media_id % 5) AS w,
+             2 * (2 + media_id % 4) AS h
+      FROM ids
+    ),
+    px AS (
+      SELECT d.media_id, d.n, d.w, d.h,
+             (3 * y.y + 7 * x.x + 5 * f.f + d.media_id) % 256 AS r
+      FROM dims d,
+           LATERAL (SELECT unnest(range(0, d.n)) AS f) f,
+           LATERAL (SELECT unnest(range(0, d.h)) AS y) y,
+           LATERAL (SELECT unnest(range(0, d.w)) AS x) x
+    )
+    SELECT media_id,
+           'image_gif' AS media_type,
+           CAST(ANY_VALUE(w) AS INT) AS width,
+           CAST(ANY_VALUE(h) AS INT) AS height,
+           CAST(ANY_VALUE(n) * 70 AS BIGINT) AS duration_ms,
+           CAST(SUM(r) AS BIGINT) AS payload_sum
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_gif_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode end to end: GIF89a payloads with
+    variable-width LZW entropy coding (operators/codecs.py — clear/EOI
+    codes, 12-bit dictionary growth + reset, sub-block framing, per-frame
+    Graphic Control Extensions) are generated distributed, then parsed
+    back by the pure-numpy decoder inside Arrow-batched mapInPandas. The
+    oracle predicts width, height, duration, and the decoded R-channel
+    sum in CLOSED FORM from the id alone (identity-R palette: R-sum ==
+    index sum), so one wrong LZW code width, dictionary entry, or block
+    boundary hash-mismatches the gate. Extends the real-codec family to
+    {WAV, BMP, PNG, JPEG, MP4, GIF} — LZW joins DEFLATE and Huffman/DCT
+    as the third real entropy-coding stack."""
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        synthesize_gif_media,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return extract_real_media_features(synthesize_gif_media(ids, "media_id"))

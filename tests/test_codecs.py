@@ -450,11 +450,13 @@ def test_codec_fuzz_corruption_raises_cleanly():
     over seeded positions so failures reproduce."""
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_mp4,
         decode_png,
         decode_wav,
         encode_bmp,
+        encode_gif,
         encode_jpeg,
         encode_mp4,
         encode_png,
@@ -462,12 +464,15 @@ def test_codec_fuzz_corruption_raises_cleanly():
     )
 
     rng = np.random.default_rng(99)
+    pal = np.arange(256, dtype=np.int64)
+    pal = np.stack([pal, (2 * pal) % 256, (3 * pal) % 256], 1).astype("u1")
     samples = [
         (decode_wav, encode_wav(rng.integers(-1000, 1000, 256).astype("<i2"))),
         (decode_bmp, encode_bmp(rng.integers(0, 256, (6, 5, 3)).astype("u1"))),
         (decode_png, encode_png(rng.integers(0, 256, (7, 4, 3)).astype("u1"), 3)),
         (decode_jpeg, encode_jpeg(rng.integers(0, 256, (16, 16)).astype("u1"))),
         (decode_mp4, encode_mp4(rng.integers(0, 256, (3, 4, 5, 3)).astype("u1"))),
+        (decode_gif, encode_gif(rng.integers(0, 256, (2, 6, 9)).astype("u1"), pal)),
     ]
     for decode, good in samples:
         n = len(good)
@@ -485,3 +490,60 @@ def test_codec_fuzz_corruption_raises_cleanly():
                         f"{decode.__name__} leaked {type(e).__name__} at "
                         f"byte {pos} (+{delta:#x}): {e}"
                     ) from e
+
+
+# --- GIF / LZW ---------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact_and_duration():
+    from app_insights_generator_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(21)
+    pal = np.arange(256, dtype=np.int64)
+    pal = np.stack([pal, (2 * pal) % 256, (3 * pal) % 256], 1).astype("u1")
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (2, 16, 23)]:
+        idx = rng.integers(0, 256, size=(n, h, w)).astype("u1")
+        out, dur_ms = decode_gif(encode_gif(idx, pal, delay_cs=7))
+        assert (out == pal[idx]).all()
+        assert dur_ms == n * 70
+
+
+def test_gif_lzw_dictionary_reset_on_long_runs():
+    """A highly repetitive frame forces the LZW dictionary past 4096
+    entries, exercising the mid-stream CLEAR + rebuild path on both
+    encode and decode."""
+    from app_insights_generator_spark.operators.codecs import decode_gif, encode_gif
+
+    pal = np.arange(256, dtype=np.int64)
+    pal = np.stack([pal, pal, pal], 1).astype("u1")
+    idx = np.zeros((1, 80, 400), dtype="u1")
+    idx[0, :, ::3] = 17
+    idx[0, ::5, :] = 203
+    out, _ = decode_gif(encode_gif(idx, pal))
+    assert (out == pal[idx]).all()
+
+
+def test_gif_malformed_rejected():
+    import struct
+
+    from app_insights_generator_spark.operators.codecs import decode_gif, encode_gif
+
+    pal = np.zeros((256, 3), dtype="u1")
+    good = encode_gif(np.zeros((2, 4, 6), dtype="u1"), pal)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"")
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + good[7:])
+    with pytest.raises(ValueError):
+        decode_gif(good[:-1])  # missing trailer
+    # interlace flag must be rejected, not misparsed
+    bad = bytearray(good)
+    at = bad.index(b"\x2c")
+    bad[at + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlace"):
+        decode_gif(bytes(bad))
+    # truncated image sub-block
+    bad = bytearray(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
