@@ -1,6 +1,7 @@
 """Real media codecs in pure numpy/stdlib: WAV (PCM 16-bit mono), BMP
 (24-bit uncompressed), PNG (zlib DEFLATE + all five scanline filters),
-and baseline-sequential JPEG (Huffman + DCT, grayscale).
+baseline-sequential JPEG (Huffman + DCT, grayscale), and animated GIF89a
+(variable-width LZW).
 
 WAV/BMP are fixed-layout headers + raw payloads; PNG and JPEG are REAL
 compressed formats implemented against their public specs (RFC 2083 /

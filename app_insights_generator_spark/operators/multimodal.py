@@ -4,8 +4,8 @@ Media is carried as an opaque ``binary`` column plus typed metadata —
 the parquet-native pattern that scales: bytes stay columnar, predicates
 prune on metadata without touching payloads.
 
-WAV, BMP, PNG, baseline JPEG, and MP4 (ISO BMFF container with
-uncompressed 'raw ' RGB24 video samples) decode for REAL via the
+WAV, BMP, PNG, baseline JPEG, animated GIF, and MP4 (ISO BMFF container
+with uncompressed 'raw ' RGB24 video samples) decode for REAL via the
 pure-numpy codecs in operators/codecs.py (synthesize_*/extract_real_*
 below). The one remaining stub is MOTION-COMPRESSED video payloads
 (H.264 etc.) — those need codec libraries that are NOT in this
@@ -603,6 +603,7 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
 
     from app_insights_generator_spark.operators.codecs import (
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_mp4,
         decode_png,
@@ -629,8 +630,9 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
                     height.append(h)
                     dur.append(None)
                     psum.append(int(px.astype("i8").sum()))
-                elif mtype == "video_mp4":
-                    frames, dur_ms = decode_mp4(raw)
+                elif mtype in ("video_mp4", "image_gif"):
+                    decode = decode_mp4 if mtype == "video_mp4" else decode_gif
+                    frames, dur_ms = decode(raw)
                     _, h, w, _ = frames.shape
                     width.append(w)
                     height.append(h)

@@ -547,3 +547,18 @@ def test_gif_malformed_rejected():
     bad = bytearray(good[: len(good) // 2])
     with pytest.raises(ValueError):
         decode_gif(bytes(bad))
+
+
+def test_gif_media_arrow_twin_matches_pandas(spark):
+    from app_insights_generator_spark.operators.multimodal import (
+        extract_real_media_features,
+        extract_real_media_features_arrow,
+        synthesize_gif_media,
+    )
+
+    ids = spark.range(0, 25).withColumnRenamed("id", "media_id")
+    media = synthesize_gif_media(ids, "media_id").persist()
+    a = {tuple(r) for r in extract_real_media_features(media).collect()}
+    b = {tuple(r) for r in extract_real_media_features_arrow(media).collect()}
+    media.unpersist()
+    assert a == b and len(a) == 25
