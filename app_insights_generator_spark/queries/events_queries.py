@@ -949,3 +949,237 @@ def sessionize_dynamic_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- Multi-resolution rollup cascade (mergeable-state tree) ------------------
+
+
+#: shared measure spec for the rollup cascade: every measure is a mergeable
+#: semigroup state (operators/incremental.py), so coarser resolutions are
+#: derived from finer STATES, never from raw events.
+def _rollup_measures():
+    from app_insights_generator_spark.operators import incremental as _I  # noqa: F401
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    return {
+        "n_events": ("count", None),
+        "sum_cents": ("sum", cents),
+        "min_cents": ("min", cents),
+        "max_cents": ("max", cents),
+    }
+
+
+@register(
+    "rollup_cascade_events",
+    """
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket rollup CASCADE (minute -> hour) over mergeable partial
+    states — the hypertable/continuous-aggregate pattern: the hour level
+    is merged from the MINUTE state table (operators/incremental.py
+    agg_state/merge_states), never recomputed from raw events, while the
+    oracle aggregates hours directly from raw rows. Their equality IS the
+    gate: it proves count/sum/min/max states merge losslessly across the
+    resolution tree (the same algebra extends hour -> day -> month; the
+    day level is equivalence-pinned in tests/test_incremental.py).
+
+    Scale: at 100 TB the raw->minute pass is the only full-data scan;
+    every coarser resolution aggregates the previous level's state table
+    (~|buckets| rows), so a month-level refresh touches gigabytes, not
+    terabytes. AVG is intentionally absent from the state: a stored
+    average is not mergeable — derive it at read time as sum/count.
+    Money rides integer cents (round(value*100)), engine-exact.
+
+    Registered for the round-7 gate window (post-sweep addition).
+
+    Reference parity: none (main.py recomputes every run); §2.4/§2.6
+    engine-extension surface alongside incremental_agg_orders."""
+    from app_insights_generator_spark.operators import incremental as I
+
+    measures = _rollup_measures()
+    base = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        (F.floor(_us(F.col("ts")) / 60_000_000) * 60).cast("long").alias(
+            "minute_epoch"
+        ),
+    )
+    minute = I.agg_state(base, ["event_type", "minute_epoch"], measures)
+    rekeyed = minute.withColumn(
+        "hour_epoch", F.expr("CAST(minute_epoch DIV 3600 * 3600 AS BIGINT)")
+    ).drop("minute_epoch")
+    return I.merge_states([rekeyed], ["event_type", "hour_epoch"], measures)
+
+
+# --- Windowed mean-shift change detection ------------------------------------
+
+
+@register(
+    "mean_shift_events",
+    """
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_epoch,
+             epoch_us(ts) AS tsu,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT event_type, event_id, ts_epoch,
+             COUNT(cents) OVER w_b AS nb,
+             CAST(SUM(cents) OVER w_b AS BIGINT) AS sum_b,
+             COUNT(cents) OVER w_a AS na,
+             CAST(SUM(cents) OVER w_a AS BIGINT) AS sum_a
+      FROM b
+      WINDOW
+        w_b AS (PARTITION BY event_type ORDER BY tsu, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+        w_a AS (PARTITION BY event_type ORDER BY tsu, event_id
+                ROWS BETWEEN 1 FOLLOWING AND 20 FOLLOWING)
+    )
+    SELECT event_type, event_id, ts_epoch,
+           sum_a - sum_b AS shift_cents
+    FROM s
+    WHERE nb = 20 AND na = 20 AND abs(sum_a - sum_b) >= 70000
+    """,
+)
+def mean_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point candidates by windowed mean shift: per event type,
+    ordered by time, compare the 20 values BEFORE each point against the
+    20 AFTER (two ROWS frames on one window spec) and flag points where
+    the level shifts by >= 35 cents/value on average. The statistic is
+    the raw integer sum difference (threshold 20*3500 cents) — dividing
+    by the fixed window width adds nothing and integer division of
+    NEGATIVE diffs is where Spark DIV (truncate) and DuckDB // (floor)
+    disagree, so the division is deliberately absent. Classic CUSUM is a
+    per-row recursion (s_i = max(0, s_{i-1} + dev)) no window frame can
+    express; the two-sided scan statistic is its standard scan-friendly
+    relaxation (e-divisive / moving-window segmentation family).
+
+    Scale: one shuffle on event_type (the window partition key), two
+    frames over one sort — Spark evaluates both from a single Window
+    physical node. Partial windows at series edges are excluded (nb/na
+    counts pinned to exactly 20), so results are membership-stable
+    under append-only growth except at the moving tail.
+
+    Registered for the round-7 gate window (post-sweep addition).
+
+    Reference parity: none; §2.6 analytics extension (the batch twin of
+    streaming anomaly detection — anomaly_zscore_events flags points
+    against a GLOBAL profile, this flags LOCAL level shifts)."""
+    base = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(_us(F.col("ts")) / 1_000_000).cast("long").alias("ts_epoch"),
+        _us(F.col("ts")).alias("tsu"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    order = Window.partitionBy("event_type").orderBy("tsu", "event_id")
+    before = order.rowsBetween(-20, -1)
+    after = order.rowsBetween(1, 20)
+    scored = base.select(
+        "event_type",
+        "event_id",
+        "ts_epoch",
+        F.count("cents").over(before).alias("nb"),
+        F.sum("cents").over(before).cast("long").alias("sum_b"),
+        F.count("cents").over(after).alias("na"),
+        F.sum("cents").over(after).cast("long").alias("sum_a"),
+    )
+    return (
+        scored.filter((F.col("nb") == 20) & (F.col("na") == 20))
+        .withColumn("shift_cents", F.col("sum_a") - F.col("sum_b"))
+        .filter(F.abs(F.col("shift_cents")) >= 70000)
+        .select("event_type", "event_id", "ts_epoch", "shift_cents")
+    )
+
+
+# --- Marketing attribution (first-/last-touch) -------------------------------
+
+
+@register(
+    "attribution_first_last_events",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             CASE WHEN event_type IN ('click', 'view', 'signup')
+                  THEN event_type END AS touch
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, event_type,
+             first_value(touch IGNORE NULLS) OVER prior AS first_touch,
+             last_value(touch IGNORE NULLS) OVER prior AS last_touch
+      FROM b
+      WINDOW prior AS (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(first_touch, 'none') AS first_touch,
+           COALESCE(last_touch, 'none') AS last_touch,
+           COUNT(*) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def attribution_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch conversion attribution: for every purchase, the
+    EARLIEST and the MOST RECENT touch event (click/view/signup) the same
+    user produced strictly before it, then conversion counts by the
+    (first_touch, last_touch) channel pair. Purchases with no prior touch
+    report 'none' (never NULL: nullable finals depend on the driver's
+    fetch path). The running first/last over an UNBOUNDED PRECEDING..1
+    PRECEDING frame with IGNORE NULLS is the single-pass form — no
+    self-join per purchase, no correlated subquery.
+
+    Scale: one shuffle on user_id (window partition key), then one
+    aggregation over the tiny (touch x touch) matrix. The frame carries
+    two running scalars per row regardless of history length.
+
+    Registered for the round-7 gate window (post-sweep addition).
+
+    Reference parity: none; §2.6 product-analytics extension alongside
+    funnel_conversion_events (the funnel fixes a step ORDER, attribution
+    reports the observed channel MIX)."""
+    base = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _us(F.col("ts")).alias("tsu"),
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"),
+            F.col("event_type"),
+        ).alias("touch"),
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = base.select(
+        "user_id",
+        "event_type",
+        F.first("touch", ignorenulls=True).over(prior).alias("first_touch"),
+        F.last("touch", ignorenulls=True).over(prior).alias("last_touch"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+            "user_id",
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -2345,3 +2345,209 @@ def multimodal_gif_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id").alias("media_id")
     )
     return extract_real_media_features(synthesize_gif_media(ids, "media_id"))
+
+
+# --- Gopher document-level quality rules (non-repetition panel) --------------
+
+
+@register(
+    "gopher_quality_rules_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(CASE WHEN len(w) > 0
+                  THEN 100 * len(list_aggregate(w, 'string_agg', '')) // len(w)
+                  ELSE -1 END AS BIGINT) AS mean_word_len_x100,
+             CAST(CASE WHEN len(w) > 0
+                  THEN 10000 * len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                       // len(w)
+                  ELSE -1 END AS BIGINT) AS alpha_word_bp,
+             CAST(len(list_filter(['the', 'and', 'of', 'to', 'in'],
+                                  s -> list_contains(w, s))) AS BIGINT)
+               AS n_stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len_x100, alpha_word_bp, n_stop_hits,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (mean_word_len_x100 BETWEEN 300 AND 1000) AS ok_mean_word_len,
+           (alpha_word_bp >= 8000) AS ok_alpha_words,
+           (n_stop_hits >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len_x100 BETWEEN 300 AND 1000)
+            AND (alpha_word_bp >= 8000)
+            AND (n_stop_hits >= 2)) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-level quality rules that are NOT
+    repetition-based (Rae et al. 2021, Table A1 — the companion panel to
+    gopher_repetition_documents): word count in [50, 100k], mean word
+    length in [3, 10] chars (x100 integer), >= 80% of words containing an
+    alphabetic character (basis points), and >= 2 distinct required
+    stopwords present — plus the per-rule verdicts and the conjunction
+    `keep`. All thresholds are integers, so both engines floor
+    identically; empty docs encode -1 (never NULL in an int final).
+    C4's line-level rules (terminal punctuation, >= 3-word lines —
+    Raffel et al. 2020 §2.2) degenerate on this corpus (single-line,
+    punctuation-free synthetic text) and are exercised on constructed
+    text in tests/test_text.py instead.
+
+    Scale: shuffle-free — one projection over the corpus, every metric a
+    higher-order array function on the tokenized column (JVM codegen, no
+    Python). The filter verdict is a pure scan at 100 TB.
+
+    Registered for the round-7 gate window (post-sweep addition).
+
+    Reference parity: none (main.py has no text surface); §2.6 curation
+    extension."""
+    docs = _docs(spark, sf_dir)
+    toked = docs.select("doc_id", T.tokens(F.col("text")).alias("w"))
+    n = F.size("w").cast("long")
+    alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[a-z]"))).cast("long")
+    stops = F.array([F.lit(s) for s in T.LANG_MARKERS["en"]])
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(F.col("w"), s))
+    ).cast("long")
+    m = toked.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.expr(
+            "CAST(CASE WHEN size(w) > 0 THEN 100 * length(array_join(w, '')) "
+            "DIV size(w) ELSE -1 END AS BIGINT)"
+        ).alias("mean_word_len_x100"),
+        F.when(n > 0, F.expr("CAST(10000 AS BIGINT)") * alpha)
+        .otherwise(F.lit(None))
+        .alias("_alpha_raw"),
+        stop_hits.alias("n_stop_hits"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_x100",
+        F.expr(
+            "CAST(CASE WHEN n_words > 0 THEN _alpha_raw DIV n_words "
+            "ELSE -1 END AS BIGINT)"
+        ).alias("alpha_word_bp"),
+        "n_stop_hits",
+    )
+    rules = m.select(
+        "*",
+        F.col("n_words").between(50, 100000).alias("ok_word_count"),
+        F.col("mean_word_len_x100").between(300, 1000).alias("ok_mean_word_len"),
+        (F.col("alpha_word_bp") >= 8000).alias("ok_alpha_words"),
+        (F.col("n_stop_hits") >= 2).alias("ok_stopwords"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )
+
+
+# --- Linear quality-classifier inference (fixed weights, integer) ------------
+
+
+@register(
+    "quality_linear_scores_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS s, {_TOKS} AS w FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(w) > 0
+                  THEN 100 * len(list_aggregate(w, 'string_agg', '')) // len(w)
+                  ELSE 0 END AS BIGINT) AS mwl_x100,
+             CAST(CASE WHEN len(w) > 0 THEN
+                  10000 * ({" + ".join(_sql_occurrences("(' ' || s || ' ')", f" {_w} ") for _w in T.LANG_MARKERS["en"])})
+                        // len(w) ELSE 0 END AS BIGINT) AS stop_bp,
+             CAST(CASE WHEN len(replace(s, ' ', '')) > 0 THEN
+                  10000 * length(regexp_replace(s, '[^0-9]', '', 'g'))
+                        // len(replace(s, ' ', ''))
+                  ELSE 0 END AS BIGINT) AS digit_bp
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mwl_x100, stop_bp, digit_bp,
+           CAST(500000 + 300 * LEAST(n_tokens, 200)
+                - 500 * abs(mwl_x100 - 450)
+                + 40 * stop_bp - 30 * digit_bp AS BIGINT) AS score_micro,
+           (500000 + 300 * LEAST(n_tokens, 200)
+                - 500 * abs(mwl_x100 - 450)
+                + 40 * stop_bp - 30 * digit_bp) >= 510000 AS keep
+    FROM feat
+    """,
+)
+def quality_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE: the fastText/logistic-scorer
+    deployment shape every curation pipeline runs — a fixed trained
+    weight vector dotted with cheap per-document features (token count
+    capped at 200, mean word length deviation, stopword density, digit
+    density), thresholded into a keep verdict. Weights live in micro-units
+    and every feature is an integer ratio (bp / x100), so the score is
+    exact int64 arithmetic — the model is a pure codegen'd expression, no
+    UDF, no serialized model object, no float drift between engines.
+
+    Scale: shuffle-free scan; at 100 TB the scorer streams through the
+    corpus at parquet-read speed, which is precisely why linear scorers
+    (not transformer classifiers) are the first filtering stage of
+    CCNet/fastText-style curation (Wenzek et al. 2020).
+
+    Registered for the round-7 gate window (post-sweep addition).
+
+    Reference parity: none; §2.6 curation extension — the trained-model
+    complement to the rule panel gopher_quality_rules_documents."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        T.normalized_text(F.col("text")).alias("s"),
+        T.tokens(F.col("text")).alias("w"),
+    )
+    padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+    stop_occ = F.lit(0)
+    for word in T.LANG_MARKERS["en"]:
+        stop_occ = stop_occ + T.occurrences(padded, f" {word} ")
+    feat = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(CASE WHEN size(w) > 0 THEN 100 * length(array_join(w, '')) "
+            "DIV size(w) ELSE 0 END AS BIGINT)"
+        ).alias("mwl_x100"),
+        F.when(
+            F.size("w") > 0,
+            (F.lit(10000).cast("long") * stop_occ.cast("long")),
+        )
+        .otherwise(F.lit(None))
+        .alias("_stop_raw"),
+        F.expr(
+            "CAST(CASE WHEN length(replace(s, ' ', '')) > 0 THEN "
+            "10000 * length(regexp_replace(s, '[^0-9]', '')) "
+            "DIV length(replace(s, ' ', '')) ELSE 0 END AS BIGINT)"
+        ).alias("digit_bp"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "mwl_x100",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN _stop_raw DIV n_tokens "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("stop_bp"),
+        "digit_bp",
+    )
+    score = (
+        F.lit(500000).cast("long")
+        + 300 * F.least(F.col("n_tokens"), F.lit(200).cast("long"))
+        - 500 * F.abs(F.col("mwl_x100") - 450)
+        + 40 * F.col("stop_bp")
+        - 30 * F.col("digit_bp")
+    )
+    return feat.select(
+        "*",
+        score.alias("score_micro"),
+        (score >= 510000).alias("keep"),
+    )

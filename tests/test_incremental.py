@@ -74,3 +74,48 @@ def test_rejects_unmergeable_kind(spark):
 def test_rejects_empty_state_list(spark):
     with pytest.raises(ValueError, match="at least one"):
         merge_states([], ["k"], _measures())
+
+
+def test_rollup_cascade_day_from_hour_equals_direct(spark, sf_dir):
+    """The resolution tree extends: day states merged FROM the hour level
+    (itself merged from minute states — queries/events_queries.py
+    rollup_cascade_events) equal a direct day aggregation of raw events."""
+    from app_insights_generator_spark.queries.events_queries import (
+        _rollup_measures,
+        rollup_cascade_events,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    measures = _rollup_measures()
+    hour = rollup_cascade_events(spark, sf_dir)
+    day_cascade = merge_states(
+        [
+            hour.withColumn(
+                "day_epoch", F.expr("CAST(hour_epoch DIV 86400 * 86400 AS BIGINT)")
+            ).drop("hour_epoch")
+        ],
+        ["event_type", "day_epoch"],
+        measures,
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    day_direct = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 "
+                "* 86400 AS BIGINT)"
+            ).alias("day_epoch"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "day_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )
+    got = {tuple(r) for r in day_cascade.collect()}
+    want = {tuple(r) for r in day_direct.collect()}
+    assert got == want and len(want) > 0

@@ -197,3 +197,34 @@ def test_disc_percentiles_preagg_equals_row_level(spark, sf_dir):
         ).collect()
     }
     assert preagg == row_level
+
+
+def test_c4_line_profile_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 3 lines: kept, dropped (2 words), dropped (no terminal punct)
+            (1, "The cat sat down.\nToo short.\nno punctuation here at all"),
+            # banned markers and brace page
+            (2, "Accept our cookie policy now.\nvar x = { a: 1 };\nThis one is fine!"),
+            # multi-sentence single line + quote terminal
+            (3, 'He said "stop here."\nOne. Two. Three. Four sentences here.'),
+            # degenerate: no newline, no punctuation (the parquet corpus shape)
+            (4, "word soup with no punctuation"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    from app_insights_generator_spark.operators.text import c4_line_profile
+
+    rows = {
+        r.doc_id: r for r in c4_line_profile(docs, "doc_id", "text").collect()
+    }
+    assert rows[1].n_lines == 3 and rows[1].n_kept_lines == 1
+    assert rows[1].n_sentences == 1 and not rows[1].has_brace
+    # line 1 banned (cookie policy), line 2 banned ({ + brace page), line 3 kept
+    assert rows[2].n_kept_lines == 1 and rows[2].has_brace
+    assert rows[3].n_kept_lines == 2
+    # 'He said "stop here."' has 1 '.', the second line has 4 terminals
+    assert rows[3].n_sentences == 5
+    assert rows[4].n_lines == 1 and rows[4].n_kept_lines == 0
+    assert rows[5].n_kept_lines == 0 and rows[5].kept_chars == 0
