@@ -229,22 +229,31 @@ def simhash_signatures(
     return sums.select("_id", out.alias("_sim"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, max_hamming: int = 3
+def hamming_band_pairs(
+    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks (any
-    pair within hamming distance 3 shares >=1 exact chunk), verify with
-    bit_count(xor) <= max_hamming. Output [id_a, id_b, hamming]."""
-    sh = simhash_signatures(df, id_col, text_col, shingle_n)
-    chunked = sh.select(
+    """Near-dup pairs over any 64-bit signature column: bucket on each of
+    4 exact 16-bit chunks — by pigeonhole, any pair within hamming
+    distance 3 (< number of bands) shares at least one UNCHANGED chunk,
+    so the banded equi-join has zero false negatives — then verify with
+    bit_count(xor) <= max_hamming. Output [id_a, id_b, hamming].
+
+    Scale: the only join is equi on (chunk, cval) — never Cartesian; a
+    signature appears in exactly 4 buckets, so candidate volume tracks
+    real collisions, not corpus size squared. Shared by SimHash (text)
+    and dHash (image) near-dup detection."""
+    sig = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_sig")
+    )
+    chunked = sig.select(
         "_id",
-        "_sim",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("_sim", c * 16)
+                        F.shiftrightunsigned("_sig", c * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("cval"),
                     )
@@ -252,9 +261,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("ck"),
-    ).select("_id", "_sim", "ck.chunk", "ck.cval")
+    ).select("_id", "_sig", "ck.chunk", "ck.cval")
     a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
         a.join(
             b,
@@ -270,6 +279,15 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: signatures + the shared banded hamming
+    join (hamming_band_pairs). Output [id_a, id_b, hamming]."""
+    sh = simhash_signatures(df, id_col, text_col, shingle_n)
+    return hamming_band_pairs(sh, "_id", "_sim", max_hamming)
 
 
 def connected_components(

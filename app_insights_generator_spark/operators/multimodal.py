@@ -668,3 +668,142 @@ def extract_real_media_features_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(batches, schema=REAL_FEATURE_SCHEMA)
+
+
+# --- Perceptual image hashing (dHash) ----------------------------------------
+
+#: dHash sampling grid over a 16x16 source: 8 rows x 9 cols, nearest-
+#: neighbor index map src = (dst * src_dim) // dst_dim — the same
+#: convention as resize_real_images, so the oracle can enumerate it.
+DHASH_ROWMAP = tuple((i * 16) // 8 for i in range(8))
+DHASH_COLMAP = tuple((j * 16) // 9 for j in range(9))
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def synthesize_dhash_images(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """16x16 grayscale BMPs whose pixels are the closed-form wrap-around
+    gradient px[y, x] = (a*x + b*y) % 256 with id-derived coefficients
+    a = 37 + 11*(base % 13), b = 5*(base % 5 + 1), base = id - id % 2 —
+    the multiplier is large enough that a*x wraps several times across a
+    row, so horizontal gradient SIGNS (what dHash encodes) vary per
+    image instead of being monotonically positive. Odd ids replicate the
+    even sibling's image with pixel (0, 0) shifted by +128 (mod 256):
+    a planted near-duplicate whose dHash differs in at most the one bit
+    that samples pixel (0, 0)."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                base = mid - (mid % 2)
+                a, b = 37 + 11 * (base % 13), 5 * (base % 5 + 1)
+                y, x = np.mgrid[0:16, 0:16]
+                px = (a * x + b * y) % 256
+                if mid % 2 == 1:
+                    px[0, 0] = (px[0, 0] + 128) % 256
+                rgb = np.repeat(px[:, :, None], 3, axis=2).astype("u1")
+                rows.append((mid, "image", encode_bmp(rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type", "content"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=REAL_MEDIA_SCHEMA
+    )
+
+
+def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual difference hash over REAL decoded pixels -> [media_id,
+    dhash(bigint)]: decode the BMP payload, sample the 8x9 grid
+    (DHASH_ROWMAP x DHASH_COLMAP) from the R channel, set bit i*8+j iff
+    g[i, j+1] > g[i, j] (horizontal gradient sign — invariant to global
+    brightness/contrast shifts, which is the point of dHash for image
+    near-dup detection). The 64 bits pack into one signed bigint (bit 63
+    carries weight -2^63, the same two's-complement packing as SimHash
+    signatures), so the downstream banded hamming join is shared code.
+
+    Arrow-batched mapInPandas: decode cost is per-image and embarrassingly
+    parallel; output is one 16-byte row per image, so the subsequent
+    near-dup join never touches pixels again."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp
+
+    rowmap, colmap = np.array(DHASH_ROWMAP), np.array(DHASH_COLMAP)
+    weights = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                px = decode_bmp(bytes(content))
+                gray = px[:, :, 0].astype(np.int64)
+                g = gray[np.ix_(rowmap, colmap)]
+                bits = (g[:, 1:] > g[:, :-1]).flatten()
+                h = int(np.sum(weights[bits], dtype=np.uint64))
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append((int(mid), h))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+# --- Audio loudness profile (windowed sum-of-squares over real PCM) ----------
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("w_idx", LongType()),
+        StructField("ssq", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_window_profile(
+    media: DataFrame, id_col: str = "media_id", window: int = 200
+) -> DataFrame:
+    """Windowed loudness profile over REAL decoded PCM -> [media_id,
+    w_idx, ssq, peak]: decode the WAV payload and emit, per full window
+    of ``window`` samples, the exact integer sum of squares (RMS^2 *
+    window — the loudness statistic, kept as an integer so the oracle
+    matches bit-for-bit; RMS itself is sqrt(ssq/window) at read time,
+    the same derive-ratios-late rule as the rollup cascade) and the peak
+    absolute sample. The trailing partial window is dropped (count is
+    pinned by the window arithmetic, so membership is deterministic).
+
+    This is the audio twin of image feature extraction for curation:
+    silence/clipping detection is a pure filter on (ssq, peak)."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                s = samples.astype(np.int64)
+                n_full = len(s) // window
+                for k in range(n_full):
+                    win = s[k * window : (k + 1) * window]
+                    out.append(
+                        (
+                            int(mid),
+                            k,
+                            int(np.sum(win * win)),
+                            int(np.max(np.abs(win))),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "w_idx", "ssq", "peak"])
+
+    return media.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)

@@ -2551,3 +2551,132 @@ def quality_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFra
         score.alias("score_micro"),
         (score >= 510000).alias("keep"),
     )
+
+
+# --- Image perceptual near-dup (dHash over real decoded pixels) --------------
+
+
+@register(
+    "image_dhash_neardup",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 100),
+    co AS (
+      SELECT media_id,
+             37 + 11 * ((media_id - media_id % 2) % 13) AS a,
+             5 * ((media_id - media_id % 2) % 5 + 1) AS b,
+             media_id % 2 AS odd
+      FROM ids
+    ),
+    g AS (
+      SELECT media_id, i, j,
+             (a * ([0,1,3,5,7,8,10,12,14][j+1]) + b * (2*i)
+              + CASE WHEN odd = 1 AND i = 0 AND j = 0 THEN 128 ELSE 0 END) % 256
+               AS v
+      FROM co, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(9)) AS j)
+    ),
+    h AS (
+      SELECT l.media_id,
+             CAST(SUM(CASE WHEN r.v > l.v THEN
+                    CASE WHEN l.i*8 + l.j = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (l.i*8 + l.j)) END
+                  ELSE 0 END) AS BIGINT) AS dhash
+      FROM g l JOIN g r
+        ON r.media_id = l.media_id AND r.i = l.i AND r.j = l.j + 1
+      WHERE l.j < 8
+      GROUP BY l.media_id
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection over REAL decoded pixels: 16x16
+    wrap-gradient BMPs (odd ids = planted near-dups of their even
+    sibling, one perturbed pixel) are decoded by the real BMP codec, a
+    64-bit perceptual dHash computed from the 8x9 downsample's
+    horizontal gradient signs (operators/multimodal.py image_dhash),
+    then paired with the SAME banded hamming join SimHash uses
+    (operators/dedup.py hamming_band_pairs — 4 x 16-bit bands, zero
+    false negatives for hamming <= 3 by pigeonhole).
+
+    The oracle reproduces hash AND pairs in CLOSED FORM from the id
+    alone (the gradient, the sampling grid, the bit packing, and an
+    exact O(n^2) hamming join in SQL) — so one wrong decoded pixel, a
+    misaligned sampling index, or a bit-packing sign error anywhere in
+    encode/decode/hash flips the gate. This is the image-modality twin
+    of text near-dup: decode -> signature -> banded join, all three
+    stages shared machinery.
+
+    Scale: pixels are touched exactly once (Arrow-batched decode);
+    signatures are 16 bytes/image; the join is equi on band chunks —
+    candidate volume tracks true collisions, never n^2. 100 TB of
+    images reduces to a signatures table joinable on any cluster.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.dedup import hamming_band_pairs
+    from app_insights_generator_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_dhash_images,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+    hashes = image_dhash(synthesize_dhash_images(ids, "media_id"))
+    return hamming_band_pairs(hashes, "media_id", "dhash", max_hamming=3).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )
+
+
+# --- Audio loudness windows (real WAV PCM, exact integer statistics) ---------
+
+
+@register(
+    "audio_loudness_windows",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id, 256 * (4 + doc_id % 8) AS n
+      FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1
+    ),
+    w AS (
+      SELECT media_id, n, unnest(range(n // 200)) AS w_idx FROM ids
+    )
+    SELECT media_id, CAST(w_idx AS BIGINT) AS w_idx,
+           CAST(list_sum(list_transform(range(200),
+                  t -> (((200 * w_idx + t) % 256 - 128) * 64)
+                     * (((200 * w_idx + t) % 256 - 128) * 64))) AS BIGINT) AS ssq,
+           CAST(list_max(list_transform(range(200),
+                  t -> abs(((200 * w_idx + t) % 256 - 128) * 64))) AS BIGINT) AS peak
+    FROM w
+    """,
+)
+def audio_loudness_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO loudness profiling over REAL decoded PCM: the sawtooth WAV
+    fixtures (sample_i = ((i % 256) - 128) * 64) are decoded by the real
+    RIFF/WAVE codec and profiled in 200-sample windows — exact integer
+    sum-of-squares (RMS^2 x window) and peak absolute sample per window
+    (operators/multimodal.py audio_window_profile). The window length is
+    deliberately coprime-ish to the 256-sample period so consecutive
+    windows carry different phases — every row distinct, any off-by-one
+    in chunk walking or sample decoding shifts a window and flips the
+    gate. The oracle computes both statistics in closed form from the
+    sawtooth formula (range/list_transform sums, no codec).
+
+    Silence and clipping detection — the audio curation filters — are
+    pure predicates on (ssq, peak) over this profile.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.multimodal import (
+        audio_window_profile,
+        synthesize_real_media,
+    )
+
+    ids = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 100) & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = synthesize_real_media(ids, "media_id")
+    return audio_window_profile(media, "media_id", window=200)

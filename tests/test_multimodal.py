@@ -104,3 +104,66 @@ def test_frame_sample_stub_gate_raises(media):
 
     with _pytest.raises(NotImplementedError):
         sample_frames(media, decode_stub=False)
+
+
+def test_dhash_planted_pairs_and_brightness_invariance(spark):
+    """Every odd id is a 1-pixel perturbation of its even sibling: the
+    banded hamming join must recover ALL 25 planted pairs. dHash must
+    also be invariant to a global brightness shift (gradient SIGNS do
+    not change when every pixel moves together without wrapping)."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp, encode_bmp
+    from app_insights_generator_spark.operators.dedup import hamming_band_pairs
+    from app_insights_generator_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_dhash_images,
+    )
+
+    from pyspark.sql import functions as F
+
+    ids = spark.range(50).select(F.col("id").alias("media_id"))
+    media = synthesize_dhash_images(ids, "media_id")
+    hashes = image_dhash(media)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(hashes, "media_id", "dhash", 3).collect()
+    }
+    for k in range(25):
+        assert (2 * k, 2 * k + 1) in pairs
+        assert pairs[(2 * k, 2 * k + 1)] <= 1
+
+    # brightness shift: add +10 to every pixel of image 0 WITHOUT wrap
+    # (clip-free region) -> identical dhash
+    content = {r.media_id: bytes(r.content) for r in media.collect()}
+    px = decode_bmp(content[0]).astype(np.int32)
+    shifted = np.where(px <= 245, px + 10, px).astype("u1")
+    two = spark.createDataFrame(
+        [(0, "image", content[0]), (1, "image", encode_bmp(shifted))],
+        "media_id long, media_type string, content binary",
+    )
+    h0, h1 = {r.media_id: r.dhash for r in image_dhash(two).collect()}.values()
+    # only pixels that hit the 245 clip boundary can flip a bit; on the
+    # wrap-gradient fixture most do not — hamming stays tiny vs 64
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 8
+
+
+def test_audio_window_profile_exact(spark):
+    """Windowed sum-of-squares/peak over a constructed PCM signal with a
+    silent window and a clipping window — the curation predicates."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import encode_wav
+    from app_insights_generator_spark.operators.multimodal import audio_window_profile
+
+    s = np.zeros(500, dtype=np.int64)
+    s[200:400] = 32767  # clipping in window 1
+    s[450:500] = 5  # trailing partial window -> dropped
+    wav = encode_wav(s.astype("<i2"))
+    media = spark.createDataFrame(
+        [(7, "audio", wav)], "media_id long, media_type string, content binary"
+    )
+    rows = {r.w_idx: r for r in audio_window_profile(media, window=200).collect()}
+    assert set(rows) == {0, 1}  # 500 // 200 = 2 full windows
+    assert rows[0].ssq == 0 and rows[0].peak == 0  # silence
+    assert rows[1].ssq == 200 * 32767 * 32767 and rows[1].peak == 32767
