@@ -893,3 +893,54 @@ def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").alias("is_masked"),
         F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --- Equi-depth histogram via NTILE ------------------------------------------
+
+
+@register(
+    "equidepth_histogram_orders",
+    f"""
+    WITH t AS (
+      SELECT NTILE(10) OVER (ORDER BY {_x.sql_cents('o_totalprice')}, o_orderkey)
+               AS decile,
+             {_x.sql_cents('o_totalprice')} AS cents
+      FROM orders
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY decile
+    """,
+)
+def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value: NTILE(10)
+    over (cents, key) — the tie-break on the unique key makes bucket
+    assignment total-order-deterministic, which is what lets an NTILE
+    result hash-gate at all (bare NTILE over a column with duplicates
+    is engine-dependent at the boundaries). Per-decile count, bounds,
+    and exact integer mass. Equi-depth bounds are what optimizers store
+    as column statistics and what skew diagnostics read — the
+    complement to the fixed-width bucketing operator (O6) and the
+    PERCENTILE_DISC panel (boundaries at ALL the q-points at once).
+
+    Scale: a global NTILE is one total sort — the honest cost statement
+    is the same as systematic sampling's: exact at gate scale, replaced
+    by the pre-aggregated histogram form (disc_percentiles_from_counts)
+    when values are billions of rows of bounded cardinality.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(_x.cents("o_totalprice"), F.col("o_orderkey"))
+    t = orders.select(
+        F.ntile(10).over(w).alias("decile"),
+        _x.cents("o_totalprice").alias("cents"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

@@ -2680,3 +2680,59 @@ def audio_loudness_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synthesize_real_media(ids, "media_id")
     return audio_window_profile(media, "media_id", window=200)
+
+
+# --- Token-distribution Gini impurity (integer-exact diversity metric) -------
+
+
+@register(
+    "token_gini_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(1000000 - 1000000 * SUM(cnt * cnt) // (SUM(cnt) * SUM(cnt))
+                AS BIGINT) AS gini_ppm
+    FROM c GROUP BY source
+    """,
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Gini impurity in parts-per-million:
+    1 - sum(p_i^2) over the unigram distribution — the diversity metric
+    that needs NO logarithm (unlike Shannon entropy, whose float log2
+    can never hash-gate across engines). sum(p^2) is computed
+    cross-multiplied (sum(c^2)/n^2) so the whole statistic is exact
+    int64 arithmetic; low gini = a corpus slice dominated by few tokens
+    (the boilerplate smell the repetition filters catch per-document,
+    measured here per-SOURCE).
+
+    Scale: one explode + one (source, term) groupBy with map-side
+    combine (the shuffle carries distinct terms, not occurrences), then
+    a per-source fold over the term-count table. int64 headroom:
+    sum(cnt)^2 < 8.5e18 holds to ~2.9e9 tokens per source; past that,
+    compute in per-shard strata or move the two sums to DECIMAL(38).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    c = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST(1000000 - 1000000 * SUM(cnt * cnt) "
+            "DIV (SUM(cnt) * SUM(cnt)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

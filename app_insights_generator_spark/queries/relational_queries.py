@@ -1942,3 +1942,89 @@ def distribution_drift_chi2_documents(
             ).alias("chi2_contrib_micro"),
         )
     )
+
+
+# --- Kolmogorov–Smirnov distribution drift (exact integer form) --------------
+
+
+@register(
+    "ks_drift_orders_price",
+    f"""
+    WITH t AS (
+      SELECT {_x.sql_cents('o_totalprice')} AS cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    c AS (
+      SELECT cents,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM t GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             CAST(SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ka,
+             CAST(SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kb,
+             CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM c
+    )
+    SELECT na, nb,
+           abs(ka * nb - kb * na) AS ks_scaled,
+           cents AS ks_at_cents
+    FROM cum
+    ORDER BY ks_scaled DESC, cents ASC
+    LIMIT 1
+    """,
+)
+def ks_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic, EXACT integer form:
+    split orders into even/odd key halves and find the maximum CDF gap
+    of o_totalprice between them. The float statistic sup|F_a - F_b| is
+    computed cross-multiplied — |k_a*n_b - k_b*n_a| over the merged
+    distinct-value grid — so both engines agree bit-for-bit; the float
+    KS is ks_scaled/(n_a*n_b) at read time. Emits the max and the
+    SMALLEST value achieving it (deterministic argmax tie-break). The
+    profile-drift complement to distribution_drift_chi2_documents:
+    chi-square tests categorical bins, KS tests a continuous CDF with
+    no binning choice at all.
+
+    Scale: one groupBy on value (map-side combine collapses 100 TB of
+    rows to the distinct-value grid), one global-window cumulative pass
+    over that grid, one top-1. The grid for 2-decimal money is bounded
+    (~1e7 distinct cents), so the single-partition cumulative window is
+    safe — for truly unbounded-cardinality values, pre-bucket first
+    (the chi2 path). int64 headroom: k*n < n_a*n_b ~ 2.6e17 even at
+    5e8 rows per side.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        _x.cents("o_totalprice").alias("cents"),
+        F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    c = t.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = c.select(
+        "cents",
+        F.sum("ca").over(wcum).cast("long").alias("ka"),
+        F.sum("cb").over(wcum).cast("long").alias("kb"),
+        F.sum("ca").over(wall).cast("long").alias("na"),
+        F.sum("cb").over(wall).cast("long").alias("nb"),
+    )
+    return (
+        cum.select(
+            "na",
+            "nb",
+            F.abs(F.col("ka") * F.col("nb") - F.col("kb") * F.col("na")).alias(
+                "ks_scaled"
+            ),
+            F.col("cents").alias("ks_at_cents"),
+        )
+        .orderBy(F.desc("ks_scaled"), F.asc("ks_at_cents"))
+        .limit(1)
+    )

@@ -644,3 +644,65 @@ def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * total_tokens) DIV (n_sources * src_tokens) AS LONG)"
         ).alias("multiplier_ppm"),
     )
+
+
+# --- Deterministic systematic weighted sampling ------------------------------
+
+
+@register(
+    "systematic_weighted_sample_documents",
+    """
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+             CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(n_chars) OVER () AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT doc_id, source, wt,
+           CAST((cum - wt) * 50 // total AS BIGINT) AS before_slot,
+           CAST(cum * 50 // total AS BIGINT) AS after_slot
+    FROM w
+    WHERE (cum - wt) * 50 // total < cum * 50 // total
+    """,
+)
+def systematic_weighted_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT randomness: systematic
+    (PPS) selection — lay documents on a line in stable doc_id order,
+    each occupying its weight (n_chars) in length, and keep every
+    document whose span crosses one of 50 equally spaced slot
+    boundaries. Selection probability is proportional to weight, the
+    sample is identical on every engine/rerun/retry (no rand(), no
+    hash tuning), and heavy documents can span multiple slots (they
+    are emitted once with their slot interval). The cross-boundary
+    predicate floor(cum_before*K/total) < floor(cum_after*K/total) is
+    pure int64 arithmetic.
+
+    Scale: one cumulative-sum window. The global ORDER BY doc_id
+    window is the textbook single-partition bottleneck at 100 TB — the
+    production form partitions by shard and samples per shard (the
+    per-source variant of pack_documents_token_budget), or computes
+    per-partition offsets two-pass. At gate scale the single window is
+    exact and cheap; the per-source twin is what you deploy.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("wt"),
+        F.sum("n_chars").over(wcum).cast("long").alias("cum"),
+        F.sum("n_chars").over(wall).cast("long").alias("total"),
+    )
+    before = F.expr("(cum - wt) * 50 DIV total")
+    after = F.expr("cum * 50 DIV total")
+    return (
+        w.withColumn("before_slot", before.cast("long"))
+        .withColumn("after_slot", after.cast("long"))
+        .filter(F.col("before_slot") < F.col("after_slot"))
+        .select("doc_id", "source", "wt", "before_slot", "after_slot")
+    )

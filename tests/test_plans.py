@@ -320,3 +320,55 @@ def test_length_percentiles_partitioned_windows(spark, sf_dir):
     assert "partitionBy" not in plan  # plan text uses Window [..], check spec:
     # the Window spec must carry the source partition key
     assert "source" in plan.split("Window [")[1].split("\n")[0], plan
+
+
+def test_mean_shift_single_window_node(spark, sf_dir):
+    """Both before/after frames must come from ONE Window node over one
+    sort (two Exchange/Sorts would double the cost for no reason)."""
+    plan = _plan(spark, sf_dir, "mean_shift_events")
+    assert plan.count("Window ") + plan.count("Window\n") <= 2, plan
+    assert plan.count("Exchange") <= 2, plan  # partition + AQE read at most
+
+
+def test_attribution_window_then_tiny_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "attribution_first_last_events")
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # one shuffle for the user window, one for the (touch x touch) agg
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_rollup_cascade_two_aggregation_levels_no_rescans(spark, sf_dir):
+    """minute agg + hour merge = exactly two aggregate pairs over ONE
+    scan of events (a base rescan would defeat the cascade)."""
+    plan = _plan(spark, sf_dir, "rollup_cascade_events")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_quality_panels_are_shuffle_free_scans(spark, sf_dir):
+    for name in (
+        "gopher_quality_rules_documents",
+        "quality_linear_scores_documents",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+        assert "BatchEvalPython" not in plan
+
+
+def test_dhash_band_join_no_cartesian(spark, sf_dir):
+    """The image near-dup join must stay equi on (chunk, cval) — never a
+    Cartesian/broadcast-nested-loop over signatures."""
+    plan = _plan(spark, sf_dir, "image_dhash_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ks_drift_preaggregates_before_global_window(spark, sf_dir):
+    """The cumulative window must run over the distinct-value grid, not
+    raw rows: a groupBy (partial_ + final aggregate) precedes it."""
+    plan = _plan(spark, sf_dir, "ks_drift_orders_price")
+    agg_pos = plan.rfind("HashAggregate")
+    win_pos = plan.rfind("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executed plans print top-down: the Window consuming the aggregate
+    # appears ABOVE it in the string
+    assert win_pos < agg_pos, plan
