@@ -77,6 +77,20 @@ _GATE_PRIORITY = [
     "cdc_apply_customer_balances",
     "robust_stats_orders_price",
     "distribution_drift_chi2_documents",
+    # (b3) round-6 later additions: rollup cascade, change-point scan,
+    #      attribution, quality panels, image dhash near-dup, audio
+    #      loudness, KS drift, PPS sampling, token gini, equi-depth
+    "rollup_cascade_events",
+    "mean_shift_events",
+    "attribution_first_last_events",
+    "gopher_quality_rules_documents",
+    "quality_linear_scores_documents",
+    "image_dhash_neardup",
+    "audio_loudness_windows",
+    "ks_drift_orders_price",
+    "systematic_weighted_sample_documents",
+    "token_gini_by_source",
+    "equidepth_histogram_orders",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",
@@ -118,8 +132,6 @@ _GATE_PRIORITY = [
     "triangle_count_nation_trade",
     "incremental_agg_orders",
     "sessionize_dynamic_gap_events",
-    # r04-green padding (re-confirmation)
-    "sessionize_events_batch",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -931,7 +931,7 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the pre-aggregated histogram form (disc_percentiles_from_counts)
     when values are billions of rows of bounded cardinality.
 
-    Registered for the round-7 gate window (post-sweep addition)."""
+    Rotated into the round-6 gate window (pre-sweep addition)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy(_x.cents("o_totalprice"), F.col("o_orderkey"))
     t = orders.select(

@@ -999,7 +999,7 @@ def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is not mergeable — derive it at read time as sum/count.
     Money rides integer cents (round(value*100)), engine-exact.
 
-    Registered for the round-7 gate window (post-sweep addition).
+    Rotated into the round-6 gate window (pre-sweep addition).
 
     Reference parity: none (main.py recomputes every run); §2.4/§2.6
     engine-extension surface alongside incremental_agg_orders."""
@@ -1070,7 +1070,7 @@ def mean_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts pinned to exactly 20), so results are membership-stable
     under append-only growth except at the moving tail.
 
-    Registered for the round-7 gate window (post-sweep addition).
+    Rotated into the round-6 gate window (pre-sweep addition).
 
     Reference parity: none; §2.6 analytics extension (the batch twin of
     streaming anomaly detection — anomaly_zscore_events flags points
@@ -1144,7 +1144,7 @@ def attribution_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregation over the tiny (touch x touch) matrix. The frame carries
     two running scalars per row regardless of history length.
 
-    Registered for the round-7 gate window (post-sweep addition).
+    Rotated into the round-6 gate window (pre-sweep addition).
 
     Reference parity: none; §2.6 product-analytics extension alongside
     funnel_conversion_events (the funnel fixes a step ORDER, attribution

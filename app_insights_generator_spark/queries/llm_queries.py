@@ -2400,7 +2400,7 @@ def gopher_quality_rules_documents(spark: SparkSession, sf_dir: str) -> DataFram
     higher-order array function on the tokenized column (JVM codegen, no
     Python). The filter verdict is a pure scan at 100 TB.
 
-    Registered for the round-7 gate window (post-sweep addition).
+    Rotated into the round-6 gate window (pre-sweep addition).
 
     Reference parity: none (main.py has no text surface); §2.6 curation
     extension."""
@@ -2497,7 +2497,7 @@ def quality_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFra
     (not transformer classifiers) are the first filtering stage of
     CCNet/fastText-style curation (Wenzek et al. 2020).
 
-    Registered for the round-7 gate window (post-sweep addition).
+    Rotated into the round-6 gate window (pre-sweep addition).
 
     Reference parity: none; §2.6 curation extension — the trained-model
     complement to the rule panel gopher_quality_rules_documents."""
@@ -2614,7 +2614,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume tracks true collisions, never n^2. 100 TB of
     images reduces to a signatures table joinable on any cluster.
 
-    Registered for the round-7 gate window (post-sweep addition)."""
+    Rotated into the round-6 gate window (pre-sweep addition)."""
     from app_insights_generator_spark.operators.dedup import hamming_band_pairs
     from app_insights_generator_spark.operators.multimodal import (
         image_dhash,
@@ -2667,7 +2667,7 @@ def audio_loudness_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Silence and clipping detection — the audio curation filters — are
     pure predicates on (ssq, peak) over this profile.
 
-    Registered for the round-7 gate window (post-sweep addition)."""
+    Rotated into the round-6 gate window (pre-sweep addition)."""
     from app_insights_generator_spark.operators.multimodal import (
         audio_window_profile,
         synthesize_real_media,
@@ -2720,7 +2720,7 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(cnt)^2 < 8.5e18 holds to ~2.9e9 tokens per source; past that,
     compute in per-shard strata or move the two sums to DECIMAL(38).
 
-    Registered for the round-7 gate window (post-sweep addition)."""
+    Rotated into the round-6 gate window (pre-sweep addition)."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "source", F.explode(T.tokens(F.col("text"))).alias("term")

@@ -1997,7 +1997,7 @@ def ks_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the chi2 path). int64 headroom: k*n < n_a*n_b ~ 2.6e17 even at
     5e8 rows per side.
 
-    Registered for the round-7 gate window (post-sweep addition)."""
+    Rotated into the round-6 gate window (pre-sweep addition)."""
     orders = load_table(spark, sf_dir, "orders")
     t = orders.select(
         _x.cents("o_totalprice").alias("cents"),

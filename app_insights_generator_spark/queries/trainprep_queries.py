@@ -687,7 +687,7 @@ def systematic_weighted_sample_documents(
     per-partition offsets two-pass. At gate scale the single window is
     exact and cheap; the per-source twin is what you deploy.
 
-    Registered for the round-7 gate window (post-sweep addition)."""
+    Rotated into the round-6 gate window (pre-sweep addition)."""
     docs = load_table(spark, sf_dir, "documents")
     wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
