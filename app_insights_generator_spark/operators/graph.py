@@ -283,3 +283,58 @@ def sssp(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling -> surviving [node, deg]: symmetrize
+    the edge list, then ``rounds`` times drop every node whose current
+    degree is < k (and all its edges). After enough rounds this IS the
+    k-core (the maximal subgraph of minimum degree k — the standard
+    graph-degeneracy/community-seed primitive); a fixed round budget
+    peels the cascade ``rounds`` levels deep, which is the same
+    fixed-iteration contract as pagerank/sssp and what makes the result
+    oracle-unrollable into chained CTEs. Convergence detection (a
+    count() per round) is the driver-loop alternative when exactness of
+    the fixpoint matters more than a pinned plan.
+
+    Scale: per round, one degree aggregation + two semi-joins keyed on
+    node — the same one-shuffle-per-round shape as the rest of the
+    module; localCheckpoint truncates lineage so ``rounds`` stays a
+    constant-factor cost, never a growing plan. Degree skew (hubs)
+    lands in the groupBy, which AQE splits.
+
+    Cite: reference has no graph surface (main.py); SURVEY §2.5/§2.6
+    engine extension."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = und
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("a")
+        )
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

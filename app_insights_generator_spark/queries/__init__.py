@@ -91,6 +91,9 @@ _GATE_PRIORITY = [
     "systematic_weighted_sample_documents",
     "token_gini_by_source",
     "equidepth_histogram_orders",
+    "kcore_documents_graph",
+    "dq_expectations_orders",
+    "seasonal_dow_profile_events",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",

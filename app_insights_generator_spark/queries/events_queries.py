@@ -1183,3 +1183,99 @@ def attribution_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# --- Seasonal (day-of-week) profile with exact top-outlier -------------------
+
+
+@register(
+    "seasonal_dow_profile_events",
+    """
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow7,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT event_type, dow7, event_id, cents,
+             COUNT(*) OVER g AS n_events,
+             CAST(SUM(cents) OVER g AS BIGINT) AS sum_cents
+      FROM b
+      WINDOW g AS (PARTITION BY event_type, dow7)
+    ), r AS (
+      SELECT event_type, dow7, n_events, sum_cents, event_id,
+             cents * n_events - sum_cents AS resid_scaled,
+             ROW_NUMBER() OVER (PARTITION BY event_type, dow7
+                                ORDER BY abs(cents * n_events - sum_cents) DESC,
+                                         event_id ASC) AS rn
+      FROM w
+    )
+    SELECT event_type, dow7, n_events, sum_cents,
+           event_id AS out_event_id,
+           CAST(resid_scaled AS BIGINT) AS out_resid_scaled
+    FROM r WHERE rn = 1
+    """,
+)
+def seasonal_dow_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal day-of-week profile with the exact top outlier per cell:
+    for every (event_type, day-of-week) cell, the event count, integer
+    cents mass, and the single most anomalous event vs the cell mean —
+    deviation kept exact by cross-multiplication (cents*n - sum instead
+    of cents - sum/n, the same no-float-division rule as the KS
+    statistic), argmax made deterministic by the (|resid| DESC,
+    event_id ASC) tie-break. Day-of-week is epoch-day modulo 7 —
+    timezone- and engine-convention-proof where DAYOFWEEK() is not
+    (Spark counts Sunday=1, DuckDB Sunday=0). The weekday-seasonality
+    baseline is the standard first decomposition step before any
+    anomaly model; its residual argmax is the 'worst offender' drill-
+    down every ops dashboard needs.
+
+    Scale: one shuffle on (event_type, dow7) — the unbounded-frame
+    stats and the ranking share the same partition key, so Spark plans
+    one Exchange feeding two Window nodes over one sort order.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    base = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        (F.floor(_us(F.col("ts")) / 86_400_000_000) % 7)
+        .cast("long")
+        .alias("dow7"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = Window.partitionBy("event_type", "dow7")
+    w = base.select(
+        "event_type",
+        "dow7",
+        "event_id",
+        "cents",
+        F.count(F.lit(1)).over(g).alias("n_events"),
+        F.sum("cents").over(g).cast("long").alias("sum_cents"),
+    )
+    resid = (F.col("cents") * F.col("n_events") - F.col("sum_cents")).alias(
+        "resid_scaled"
+    )
+    r = w.select(
+        "event_type",
+        "dow7",
+        "n_events",
+        "sum_cents",
+        "event_id",
+        resid,
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "dow7").orderBy(
+                F.abs(F.col("cents") * F.col("n_events") - F.col("sum_cents")).desc(),
+                F.col("event_id").asc(),
+            )
+        )
+        .alias("rn"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "event_type",
+        "dow7",
+        "n_events",
+        "sum_cents",
+        F.col("event_id").alias("out_event_id"),
+        F.col("resid_scaled").cast("long").alias("out_resid_scaled"),
+    )

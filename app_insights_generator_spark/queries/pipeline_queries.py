@@ -938,3 +938,74 @@ def pysink_jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_regionkey").cast("long"),
         )
     )
+
+
+# --- Data-quality expectation report -----------------------------------------
+
+
+@register(
+    "dq_expectations_orders",
+    f"""
+    WITH ck AS (SELECT DISTINCT c_custkey FROM customer)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_custkey,
+           CAST(SUM(CASE WHEN o.o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_date,
+           CAST(COUNT(*) - COUNT(DISTINCT o.o_orderkey) AS BIGINT)
+             AS n_dup_orderkey,
+           CAST(SUM(CASE WHEN ck.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_custkey,
+           CAST(SUM(CASE WHEN {_x.sql_cents('o.o_totalprice')} <= 0
+                           OR {_x.sql_cents('o.o_totalprice')} > 100000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_price_out_of_range,
+           CAST(SUM(CASE WHEN o.o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+           CAST(SUM(CASE WHEN o.o_orderdate > TIMESTAMP '1998-12-31 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_future_dates
+    FROM orders o LEFT JOIN ck ON o.o_custkey = ck.c_custkey
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite as ONE report row — the
+    dbt-test/Great-Expectations checklist an ingestion pipeline runs
+    before promoting a batch: null checks, primary-key uniqueness
+    (count minus distinct), referential integrity (orders whose
+    customer is missing — counted via a LEFT join against the broadcast
+    distinct key set, not an anti-join second pass), value-range and
+    accepted-set checks, and a freshness bound. Every expectation is an
+    integer count, so the report hash-gates exactly; 'all zeros except
+    n_rows' is the promotion predicate.
+
+    Scale: one scan of orders + one broadcast of distinct customer keys
+    folded into a single aggregate — adding expectations widens the
+    projection, never adds passes. The key-set broadcast is the only
+    piece that grows with the dimension; at 100 TB swap it for a bloom
+    filter (n_orphan becomes an upper bound) or a shuffled left join.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    o = load_table(spark, sf_dir, "orders")
+    ck = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    joined = o.join(ck, o.o_custkey == ck.c_custkey, "left")
+    cents = _x.cents("o_totalprice")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("n_null_date"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_dup_orderkey"),
+        F.count_if(F.col("c_custkey").isNull()).alias("n_orphan_custkey"),
+        F.count_if((cents <= 0) | (cents > 100_000_000)).alias(
+            "n_price_out_of_range"
+        ),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "n_bad_status"
+        ),
+        F.count_if(
+            F.col("o_orderdate")
+            > F.lit("1998-12-31 00:00:00").cast("timestamp")
+        ).alias("n_future_dates"),
+    )

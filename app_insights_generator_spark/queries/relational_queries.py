@@ -2028,3 +2028,88 @@ def ks_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks_scaled"), F.asc("ks_at_cents"))
         .limit(1)
     )
+
+
+# --- k-core peeling (graph degeneracy) ---------------------------------------
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled fixed-round peel: e0 (symmetrized planted graph), then
+    per round keep_i = nodes of degree >= k in e_{i-1}, e_i = edges with
+    both endpoints kept — the same chained-CTE discipline as pagerank."""
+    parts = [
+        """
+    WITH core AS (
+      SELECT d.doc_id AS s, (d.doc_id + o.o) % 30 AS t
+      FROM documents d, (SELECT unnest([1, 2, 3]) AS o) o
+      WHERE d.doc_id < 30
+    ),
+    chain AS (
+      SELECT doc_id AS s, CASE WHEN doc_id = 30 THEN 0 ELSE doc_id - 1 END AS t
+      FROM documents WHERE doc_id BETWEEN 30 AND 199
+    ),
+    e0 AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT s AS a, t AS b FROM core UNION ALL SELECT t, s FROM core
+        UNION ALL SELECT s, t FROM chain UNION ALL SELECT t, s FROM chain
+      ) WHERE a != b
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    k{i} AS (SELECT a FROM e{i - 1} GROUP BY a HAVING COUNT(*) >= {k}),
+    e{i} AS (SELECT e.a, e.b FROM e{i - 1} e
+             JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)"""
+        )
+    parts.append(
+        f"""
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{rounds} GROUP BY a"""
+    )
+    return "".join(parts)
+
+
+@register("kcore_documents_graph", _kcore_oracle())
+def kcore_documents_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=2, 4 rounds — operators/graph.py kcore_peel)
+    over a PLANTED graph built in closed form from doc ids: nodes 0-29
+    form a circulant core (each linked to the next three, degree 6 —
+    inside the 2-core forever), nodes 30-199 hang off it as a single
+    chain whose free end has degree 1 — so each peel round removes
+    exactly the current chain tip, and a 4-round budget strips exactly
+    4 nodes (196-199). The planted structure makes the peeling CASCADE
+    itself the thing the gate pins: one wrong round, one missed degree
+    update, one direction bug in symmetrization, and the surviving node
+    set differs. Graph degeneracy/k-core is the standard community-seed
+    and influence-pruning primitive (Seidman 1983) and completes the
+    iterative-graph family (pagerank / BFS / SSSP / triangles / CC).
+
+    Scale: one degree groupBy + two node-keyed semi-joins per round,
+    lineage truncated per round — identical cost shape to the other
+    fixed-iteration graph ops in the module.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    from app_insights_generator_spark.operators.graph import kcore_peel
+
+    docs = load_table(spark, sf_dir, "documents")
+    core = (
+        docs.filter(F.col("doc_id") < 30)
+        .select("doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("o"))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + F.col("o")) % 30).alias("dst"),
+        )
+    )
+    chain = (
+        docs.filter(F.col("doc_id").between(30, 199))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.when(F.col("doc_id") == 30, F.lit(0))
+            .otherwise(F.col("doc_id") - 1)
+            .cast("long")
+            .alias("dst"),
+        )
+    )
+    edges = core.unionByName(chain)
+    return kcore_peel(edges, k=2, rounds=4)

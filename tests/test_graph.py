@@ -144,3 +144,30 @@ def test_sssp_matches_bfs_on_unit_weights(spark):
     by_bfs = {r.node: r.depth for r in bfs_depths(df, sources).collect()}
     by_sssp = {r.node: r.cost for r in sssp(wdf, sources).collect()}
     assert by_bfs == by_sssp
+
+
+def test_kcore_peel_cascade(spark):
+    """A path graph peels one tip per round; a triangle never peels at
+    k=2. Fixed-round budget strips exactly `rounds` chain nodes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from app_insights_generator_spark.operators.graph import kcore_peel
+
+    # triangle 0-1-2 plus a tail 2-3-4-5-6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 6)],
+        ["src", "dst"],
+    )
+    # round 1 peels 6, round 2 peels 5 -> survivors {0,1,2,3,4}, but 4
+    # now has degree 1 (peel not yet converged at rounds=2)
+    got = {r.node: r.deg for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    # rounds=4 converges: only the triangle remains, all degree 2
+    got4 = {r.node: r.deg for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert got4 == {0: 2, 1: 2, 2: 2}
+    # self-loops and duplicate/reversed edges must not inflate degrees
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 2), (2, 0)], ["src", "dst"]
+    )
+    gotn = {r.node: r.deg for r in kcore_peel(noisy, k=2, rounds=3).collect()}
+    assert gotn == {0: 2, 1: 2, 2: 2}
