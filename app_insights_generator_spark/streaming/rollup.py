@@ -1,0 +1,84 @@
+"""Streaming continuous-aggregate maintenance: foreachBatch + mergeable
+states (operators/incremental.py) — the streaming face of the rollup
+cascade (queries/events_queries.py rollup_cascade_events).
+
+Per micro-batch: state <- merge(state, agg_state(batch)). Cost per batch
+is O(|batch| + |groups|), independent of history — the same refresh
+algebra the batch cascade proves, driven by Structured Streaming.
+
+State is VERSIONED, never overwritten in place: batch N writes
+``state_v{N}`` and then flips the ``_LATEST`` pointer file — the
+write-new-then-swap-pointer shape every table format (Delta/Iceberg)
+uses, because overwriting a parquet dir you are concurrently reading is
+undefined. Retried batches (checkpoint replay after a crash) see the
+pointer already at/past their id and SKIP — exactly-once state, at-least-
+once invocation. On a real cluster the pointer flip must be an atomic
+rename/putIfAbsent on the object store; the versioned layout is what
+makes that a single tiny-file operation.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from app_insights_generator_spark.operators.incremental import (
+    agg_state,
+    merge_states,
+)
+
+_LATEST = "_LATEST"
+
+
+def _latest_version(state_dir: str) -> int:
+    p = os.path.join(state_dir, _LATEST)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def read_state(spark, state_dir: str) -> DataFrame | None:
+    """Current state table, or None before the first batch."""
+    v = _latest_version(state_dir)
+    if v < 0:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
+
+
+def run_continuous_rollup(
+    events_sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    measures: dict,
+) -> None:
+    """Drain a streaming DataFrame (trigger availableNow) into a merged
+    per-group state table under ``state_dir``. ``measures`` is the
+    agg_state/merge_states spec built lazily by the caller (Column specs
+    need an active SparkContext)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _latest_version(state_dir):
+            return  # checkpoint replay of an applied batch: state is current
+        spark = batch_df.sparkSession
+        delta = agg_state(batch_df, keys, measures)
+        prev = read_state(spark, state_dir)
+        new = delta if prev is None else merge_states([prev, delta], keys, measures)
+        out = os.path.join(state_dir, f"state_v{batch_id}")
+        new.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(state_dir, f"_LATEST.tmp.{batch_id}")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic pointer flip
+
+    (
+        events_sdf.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

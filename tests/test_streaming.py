@@ -393,3 +393,55 @@ def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir, events_stre
     # 3) the outer path emitted real unmatched errors (watermark advanced
     #    far enough over the sf0.001 data for at least some state to expire)
     assert len(nulls) > 0
+
+
+def test_continuous_rollup_state_matches_batch_across_restart(spark, tmp_path):
+    """Streaming continuous-aggregate maintenance: two availableNow runs
+    (new files between them, shared checkpoint) must leave the merged
+    state equal to a direct batch aggregation over ALL events — and a
+    third run with no new data must not change the state version's
+    contents (checkpoint replay skips applied batches)."""
+    import pyspark.sql.functions as F
+
+    from app_insights_generator_spark.streaming.rollup import (
+        read_state,
+        run_continuous_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=["k", "v"])),
+            str(src / name),
+        )
+
+    def measures():
+        return {
+            "n": ("count", None),
+            "s": ("sum", F.col("v")),
+            "hi": ("max", F.col("v")),
+        }
+
+    def run_once():
+        sdf = spark.readStream.schema("k string, v long").parquet(str(src))
+        run_continuous_rollup(sdf, state_dir, ckpt, ["k"], measures())
+
+    write_file("a.parquet", [("x", 1), ("x", 2), ("y", 10)])
+    run_once()
+    write_file("b.parquet", [("x", 4), ("z", 7)])
+    run_once()
+
+    got = {r.k: (r.n, r.s, r.hi) for r in read_state(spark, state_dir).collect()}
+    assert got == {"x": (3, 7, 4), "y": (1, 10, 10), "z": (1, 7, 7)}
+
+    run_once()  # no new files: no new state version may appear
+    got2 = {r.k: (r.n, r.s, r.hi) for r in read_state(spark, state_dir).collect()}
+    assert got2 == got
