@@ -483,6 +483,69 @@ def bench_incremental(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_dhash(spark, scales: list[int]) -> list[dict]:
+    """Image dHash + banded hamming join wall-clock vs image count.
+    Claim: the equi band join keeps candidate volume tracking TRUE
+    near-dup pairs, so wall-clock grows ~linearly in images (decode +
+    hash are per-image; the join is keyed on 16-bit band values). The
+    synthesis widens coefficient diversity vs the gate fixture (whose
+    65-pattern space would produce quadratically many identical-hash
+    pairs under replication — a duplicate-heavy corpus, not a banding
+    measurement); planted odd-sibling pairs must all be recovered."""
+    import numpy as np
+    import pandas as pd
+
+    from app_insights_generator_spark.operators.codecs import encode_bmp
+    from app_insights_generator_spark.operators.dedup import hamming_band_pairs
+    from app_insights_generator_spark.operators.multimodal import (
+        REAL_MEDIA_SCHEMA,
+        image_dhash,
+    )
+
+    def synth_diverse(ids_df):
+        def batches(it):
+            for pdf in it:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    base = mid - (mid % 2)
+                    a, b = 37 + 11 * (base % 201), 5 * (base % 89 + 1)
+                    y, x = np.mgrid[0:16, 0:16]
+                    px = (a * x + b * y) % 256
+                    if mid % 2 == 1:
+                        px[0, 0] = (px[0, 0] + 128) % 256
+                    rgb = np.repeat(px[:, :, None], 3, axis=2).astype("u1")
+                    rows.append((mid, "image", encode_bmp(rgb)))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "media_type", "content"]
+                )
+
+        return ids_df.mapInPandas(batches, schema=REAL_MEDIA_SCHEMA)
+
+    rows = []
+    for s in scales:
+        n = 1000 * s
+        ids = spark.range(n).select(F.col("id").alias("media_id"))
+        t0 = time.time()
+        hashes = image_dhash(synth_diverse(ids)).localCheckpoint()
+        pairs = hamming_band_pairs(hashes, "media_id", "dhash", 3)
+        planted = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1) & (F.col("id_a") % 2 == 0)
+        ).count()
+        total = pairs.count()
+        dt = time.time() - t0
+        assert planted == n // 2, (planted, n)
+        rows.append(
+            {
+                "images": n,
+                "pairs_total": total,
+                "pairs_planted": planted,
+                "dhash_join_s": round(dt, 2),
+            }
+        )
+    return rows
+
+
 def md_table(rows: list[dict]) -> str:
     cols = list(rows[0])
     out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
@@ -497,7 +560,7 @@ def main() -> None:
         "--only",
         default=None,
         help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,"
-        "incremental,sssp,bfs,prefix_join",
+        "incremental,sssp,bfs,prefix_join,dhash",
     )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
@@ -537,6 +600,9 @@ def main() -> None:
     if want("bfs"):
         print("\n## BFS frontier expansion on the skew (star+ring) graph\n")
         print(md_table(bench_bfs(spark, scales)))
+    if want("dhash"):
+        print("\n## image dHash + banded hamming join vs image count\n")
+        print(md_table(bench_dhash(spark, scales)))
     if want("prefix_join"):
         print("\n## prefix-filter Jaccard join: positional vs prefix-only\n")
         print(md_table(bench_prefix_join(spark, scales)))
