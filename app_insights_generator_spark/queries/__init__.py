@@ -94,6 +94,9 @@ _GATE_PRIORITY = [
     "kcore_documents_graph",
     "dq_expectations_orders",
     "seasonal_dow_profile_events",
+    "lateness_profile_events",
+    "hll_union_ndv_orders",
+    "percentile_sketch_audit_lineitem",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",

@@ -1279,3 +1279,92 @@ def seasonal_dow_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("out_event_id"),
         F.col("resid_scaled").cast("long").alias("out_resid_scaled"),
     )
+
+
+# --- Watermark lateness profile (how late is late data, exactly) -------------
+
+
+@register(
+    "lateness_profile_events",
+    """
+    WITH b AS (
+      SELECT event_type, event_id, epoch_us(ts) AS tsu
+      FROM events
+    ), r AS (
+      SELECT event_type,
+             GREATEST(CAST(0 AS BIGINT),
+                      CAST(MAX(tsu) OVER (PARTITION BY event_type
+                                          ORDER BY event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) - tsu AS BIGINT))
+               AS late_us
+      FROM b
+    ), s AS (
+      SELECT event_type, late_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY late_us) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM r
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN late_us END)
+                AS BIGINT) AS p95_late_us,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM s GROUP BY event_type
+    """,
+)
+def lateness_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing profile: per event type, how far events arrive
+    BEHIND the running event-time high-water mark, using arrival order
+    (event_id — the ingestion sequence) as the processing-order proxy:
+    late_us = max(0, running_max(ts) - ts). Emits late-event count, the
+    exact discrete p95 (ceil-rank selection, the PERCENTILE_DISC
+    convention used across the engine), and the max — exactly the
+    numbers that size ``withWatermark``: a '10 minutes' delay is a
+    claim about THIS distribution, and every streaming query in the
+    repo states one. Too-small watermark = dropped events
+    (test_late_data_dropped_after_watermark pins the mechanism); this
+    measures the right value instead of guessing it.
+
+    Scale: one shuffle on event_type; running max and rank share the
+    sort. The profile is a bounded per-type row — it runs as a daily
+    job over trillions of events with no driver state.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    base = _events(spark, sf_dir).select(
+        "event_type", "event_id", _us(F.col("ts")).alias("tsu")
+    )
+    arrival = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = base.select(
+        "event_type",
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.max("tsu").over(arrival) - F.col("tsu")).cast("long"),
+        ).alias("late_us"),
+    )
+    rank = Window.partitionBy("event_type").orderBy("late_us")
+    grp = Window.partitionBy("event_type")
+    s = r.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(rank).alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    return s.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count_if(F.col("late_us") > 0).alias("n_late"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) DIV 100"), F.col("late_us")
+            )
+        )
+        .cast("long")
+        .alias("p95_late_us"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )

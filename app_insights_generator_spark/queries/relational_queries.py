@@ -2113,3 +2113,159 @@ def kcore_documents_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = core.unionByName(chain)
     return kcore_peel(edges, k=2, rounds=4)
+
+
+# --- HLL sketch merge audit (mergeable NDV, exact side gated) ----------------
+
+
+@register(
+    "hll_union_ndv_orders",
+    """
+    WITH per AS (
+      SELECT o_orderstatus AS status,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv
+      FROM orders GROUP BY o_orderstatus
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS g FROM orders)
+    SELECT per.status, per.exact_ndv,
+           (SELECT g FROM tot) AS exact_global_ndv,
+           TRUE AS sketch_within_5pct
+    FROM per
+    """,
+)
+def hll_union_ndv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY audit: per-status HyperLogLog sketches of
+    the customer key (hll_sketch_agg) are UNIONED (hll_union_agg) into a
+    global sketch — the partial-aggregate algebra that lets a 100 TB NDV
+    refresh merge per-partition/per-day sketches instead of re-scanning
+    (the approximate cousin of incremental_agg_orders' exact states).
+
+    Gate design (the ANN-recall pattern): the exact per-status and
+    global NDVs are SQL-expressible and hash-gated; the sketch estimates
+    exist only in Spark's Datasketches binary format (DuckDB's
+    approx_count_distinct is a different implementation), so the sketch
+    side is enforced by a HARD IN-QUERY INVARIANT — the query RAISES
+    unless BOTH every per-status estimate and the union'd global
+    estimate are within 5% of exact (HLL's standard error at the
+    default lgConfigK=12 is ~1.6%, so 5% is a real failure bound, not a
+    tautology), and emits the verdict as a constant column the oracle
+    pins TRUE. Sketches are insertion-order-independent (register-max),
+    so the estimates are deterministic across partitionings — but their
+    exact values are implementation detail, which is precisely why they
+    stay out of the hash and inside the invariant.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_ndv"),
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+    )
+    rows = per.select(
+        "status",
+        "exact_ndv",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est"),
+        "sk",
+    ).collect()
+    exact_global = o.select(
+        F.countDistinct("o_custkey").cast("long").alias("g")
+    ).collect()[0].g
+    global_est = (
+        per.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("e"))
+        .collect()[0]
+        .e
+    )
+    for r in rows:
+        if abs(r.est - r.exact_ndv) * 100 > 5 * r.exact_ndv:
+            raise AssertionError(
+                f"HLL per-status estimate off >5%: {r.status} "
+                f"est={r.est} exact={r.exact_ndv}"
+            )
+    if abs(global_est - exact_global) * 100 > 5 * exact_global:
+        raise AssertionError(
+            f"HLL union estimate off >5%: est={global_est} exact={exact_global}"
+        )
+    spark_rows = [
+        (r.status, r.exact_ndv, exact_global, True) for r in rows
+    ]
+    return spark.createDataFrame(
+        spark_rows,
+        "status string, exact_ndv long, exact_global_ndv long, "
+        "sketch_within_5pct boolean",
+    )
+
+
+@register(
+    "percentile_sketch_audit_lineitem",
+    f"""
+    WITH t AS (
+      SELECT l_quantity AS q,
+             ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+               AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN q END) AS BIGINT)
+             AS exact_p50,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN q END) AS BIGINT)
+             AS exact_p99,
+           TRUE AS sketch_within_rank_tolerance
+    FROM t
+    """,
+)
+def percentile_sketch_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit (the ANN-recall / HLL-audit pattern): exact
+    discrete p50/p99 of l_quantity (ceil-rank selection over a total
+    order, hash-gated) beside Spark's approx_percentile sketch, whose
+    estimates are enforced by a HARD IN-QUERY INVARIANT: with accuracy
+    parameter 10000 the sketch guarantees rank error <= n/10000, so the
+    returned values' TRUE ranks must fall within that band of the
+    target ranks — the query RAISES otherwise and emits the verdict as
+    a constant the oracle pins TRUE. This is the audit that justifies
+    replacing the global-sort exact percentile with the mergeable
+    sketch at 100 TB (the same exact-vs-approx promotion decision as
+    IVF-vs-exact and HLL-vs-countDistinct, measured not assumed).
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact side via rank selection (one sort), sketch side via one agg
+    w = Window.orderBy(F.col("l_quantity"), F.col("l_orderkey"), F.col("l_linenumber"))
+    t = li.select(
+        F.col("l_quantity").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    exact = t.groupBy().agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 50 + 99) DIV 100"), F.col("q")))
+        .cast("long")
+        .alias("exact_p50"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 99 + 99) DIV 100"), F.col("q")))
+        .cast("long")
+        .alias("exact_p99"),
+    ).collect()[0]
+    approx = li.agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_quantity, 0.99, 10000)").alias("a99"),
+    ).collect()[0]
+    # verify rank tolerance: the sketch value's true rank band must
+    # include the target rank within n/accuracy
+    tol = exact.n_rows // 10000 + 1
+    for target_pct, aval in ((50, approx.a50), (99, approx.a99)):
+        target_rank = (exact.n_rows * target_pct + 99) // 100
+        below, at_or_below = (
+            li.agg(
+                F.count_if(F.col("l_quantity") < aval),
+                F.count_if(F.col("l_quantity") <= aval),
+            ).collect()[0]
+        )
+        if not (below - tol <= target_rank <= at_or_below + tol):
+            raise AssertionError(
+                f"approx_percentile p{target_pct}={aval} rank band "
+                f"[{below}, {at_or_below}] misses target {target_rank} ± {tol}"
+            )
+    return spark.createDataFrame(
+        [(exact.n_rows, exact.exact_p50, exact.exact_p99, True)],
+        "n_rows long, exact_p50 long, exact_p99 long, "
+        "sketch_within_rank_tolerance boolean",
+    )
