@@ -97,6 +97,9 @@ _GATE_PRIORITY = [
     "lateness_profile_events",
     "hll_union_ndv_orders",
     "percentile_sketch_audit_lineitem",
+    "table_checksum_customer",
+    "cumulative_distinct_users_events",
+    "table_diff_customer_versions",
     "q9_product_type_profit",
     # (c) round-4 additions never driver-sampled
     "merge_upsert_customer_balances",

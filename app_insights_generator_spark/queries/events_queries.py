@@ -1368,3 +1368,72 @@ def lateness_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95_late_us"),
         F.max("late_us").cast("long").alias("max_late_us"),
     )
+
+
+# --- Cumulative distinct users (first-seen flag trick) -----------------------
+
+
+@register(
+    "cumulative_distinct_users_events",
+    """
+    WITH b AS (
+      SELECT event_type, user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), firsts AS (
+      SELECT event_type, day_idx, COUNT(*) AS n_new
+      FROM b WHERE rn = 1 GROUP BY event_type, day_idx
+    )
+    SELECT event_type, day_idx, CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day_idx
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct_users
+    FROM firsts
+    """,
+)
+def cumulative_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW vs CUMULATIVE distinct users per event type — the
+    growth-curve query. A windowed COUNT(DISTINCT) is unsupported and
+    would hold per-frame state proportional to history anyway; the
+    standard exact rewrite is the FIRST-SEEN trick: rank each (type,
+    user) appearance, keep rank 1 (each user contributes exactly once,
+    on their first day), aggregate firsts per day, running-sum the
+    days. Exact at any scale with state proportional to users, not
+    user-days.
+
+    Scale: one shuffle on (type, user) for the ranking, one tiny
+    aggregation on (type, day), one running sum over the per-type day
+    series (bounded rows). This exact pattern is also the batch twin of
+    streaming 'new user' detection via keyed state.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    b = _events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.floor(_us(F.col("ts")) / 86_400_000_000).cast("long").alias("day_idx"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "user_id").orderBy(
+                _us(F.col("ts")), F.col("event_id")
+            )
+        )
+        .alias("rn"),
+    )
+    firsts = (
+        b.filter(F.col("rn") == 1)
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_users"))
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return firsts.select(
+        "event_type",
+        "day_idx",
+        "n_new_users",
+        F.sum("n_new_users").over(run).cast("long").alias("cum_distinct_users"),
+    )

@@ -1009,3 +1009,101 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit("1998-12-31 00:00:00").cast("timestamp")
         ).alias("n_future_dates"),
     )
+
+
+# --- Row-level table diff between versions -----------------------------------
+
+
+@register(
+    "table_diff_customer_versions",
+    """
+    WITH v1 AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 10 != 3
+    ),
+    v2 AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 7
+                  THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 != 6
+    ),
+    j AS (
+      SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS k,
+             CASE WHEN v2.c_custkey IS NULL THEN 'removed'
+                  WHEN v1.c_custkey IS NULL THEN 'added'
+                  WHEN v1.c_nationkey != v2.c_nationkey
+                    OR v1.c_name != v2.c_name
+                    OR v1.c_mktsegment != v2.c_mktsegment THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             CASE WHEN v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL
+                   AND v1.c_nationkey != v2.c_nationkey THEN 1 ELSE 0 END
+               AS ch_nationkey
+      FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+    )
+    SELECT verdict, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(ch_nationkey) AS BIGINT) AS n_nationkey_changes
+    FROM j GROUP BY verdict
+    """,
+)
+def table_diff_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two dataset versions — the third member of
+    the drift family (schema_drift = column profiles, chi2/KS =
+    distributions, THIS = exact row accounting): a keyed FULL OUTER join
+    classifies every key as added / removed / changed / unchanged, with
+    per-column change counts for the changed set. Versions are derived
+    deterministically from the base table (v1 drops keys ≡3 mod 10, v2
+    drops ≡6 and bumps nationkey on ≡7), so the oracle pins exact
+    counts, key-sums, and the per-column change attribution.
+
+    Scale: ONE full outer join on the key — both sides shuffle once on
+    the same key (bucketed versions co-locate and skip even that);
+    verdict classification and change attribution are projections. This
+    is the validation query run after every backfill/migration, and the
+    row-level receipt behind the CDC apply operator (cdc_apply applies
+    a changelog; this PRODUCES one from two snapshots).
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    v1 = c.filter(F.col("c_custkey") % 10 != 3)
+    v2 = c.filter(F.col("c_custkey") % 10 != 6).withColumn(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 10 == 7, (F.col("c_nationkey") + 1) % 25
+        ).otherwise(F.col("c_nationkey")),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    changed = (
+        (F.col("a.c_nationkey") != F.col("b.c_nationkey"))
+        | (F.col("a.c_name") != F.col("b.c_name"))
+        | (F.col("a.c_mktsegment") != F.col("b.c_mktsegment"))
+    )
+    verdict = (
+        F.when(F.col("b.c_custkey").isNull(), "removed")
+        .when(F.col("a.c_custkey").isNull(), "added")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    ch_nat = F.when(
+        F.col("a.c_custkey").isNotNull()
+        & F.col("b.c_custkey").isNotNull()
+        & (F.col("a.c_nationkey") != F.col("b.c_nationkey")),
+        1,
+    ).otherwise(0)
+    return (
+        j.select(
+            F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("k"),
+            verdict.alias("verdict"),
+            ch_nat.alias("ch_nationkey"),
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("ch_nationkey").cast("long").alias("n_nationkey_changes"),
+        )
+    )

