@@ -958,8 +958,6 @@ def sessionize_dynamic_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame
 #: semigroup state (operators/incremental.py), so coarser resolutions are
 #: derived from finer STATES, never from raw events.
 def _rollup_measures():
-    from app_insights_generator_spark.operators import incremental as _I  # noqa: F401
-
     cents = F.round(F.col("value") * 100).cast("long")
     return {
         "n_events": ("count", None),
