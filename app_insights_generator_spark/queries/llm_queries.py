@@ -2736,3 +2736,67 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (SUM(cnt) * SUM(cnt)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# --- Video scene-change detection (motion energy over real MP4 frames) -------
+
+
+@register(
+    "video_scene_changes_mp4",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 3 AS cut
+      FROM documents WHERE doc_id < 60
+    ),
+    g AS (
+      SELECT media_id, f,
+             abs(((3*x + 5*y + 11*c + 2*f
+                   + (CASE WHEN f >= cut THEN 97 ELSE 0 END) + media_id) % 256)
+               - ((3*x + 5*y + 11*c + 2*(f-1)
+                   + (CASE WHEN f-1 >= cut THEN 97 ELSE 0 END) + media_id) % 256))
+               AS d
+      FROM ids,
+           (SELECT unnest(range(1, 8)) AS f),
+           (SELECT unnest(range(8)) AS y),
+           (SELECT unnest(range(8)) AS x),
+           (SELECT unnest(range(3)) AS c)
+    )
+    SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(SUM(d) AS BIGINT) AS energy,
+           (SUM(d) >= 5000) AS is_cut
+    FROM g GROUP BY media_id, f
+    """,
+)
+def video_scene_changes_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO scene-change detection over REAL decoded frames: MP4s with
+    a planted hard cut (frame cut = 3 + id % 3 jumps every pixel by
+    +97) are parsed by the real ISO BMFF decoder, and adjacent-frame
+    MOTION ENERGY — the exact integer sum of per-pixel |diff| — is the
+    change statistic (operators/multimodal.py scene_change_energy). The
+    energy form matters: a difference of frame brightness SUMS
+    telescopes to ~0 under mod-256 wraparound for ANY uniform shift, so
+    the naive statistic misses hard cuts entirely; per-pixel absolute
+    energy separates within-scene drift (~770) from the cut (~23,000)
+    by 30x. The oracle enumerates every pixel of every frame pair in
+    closed form — decoder, frame order, and energy arithmetic all pinned.
+
+    This is the video-modality member of the curation family: shot
+    segmentation for frame-dedup and sampling (pick one frame per shot,
+    not per fixed stride) is the standard pre-training video prep step.
+
+    Scale: decode + energy are per-video (Arrow-batched, pixels never
+    shuffle); output is (video, frame) rows. Registered for the
+    round-7 gate window (post-sweep addition — the committed
+    GATE_SWEEP_r06 window predates it)."""
+    from app_insights_generator_spark.operators.multimodal import (
+        scene_change_energy,
+        synthesize_scene_mp4,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_scene_mp4(ids, "media_id")
+    return scene_change_energy(media).withColumn(
+        "is_cut", F.col("energy") >= 5000
+    )

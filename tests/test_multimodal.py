@@ -167,3 +167,24 @@ def test_audio_window_profile_exact(spark):
     assert set(rows) == {0, 1}  # 500 // 200 = 2 full windows
     assert rows[0].ssq == 0 and rows[0].peak == 0  # silence
     assert rows[1].ssq == 200 * 32767 * 32767 and rows[1].peak == 32767
+
+
+def test_scene_change_energy_flags_exactly_the_planted_cut(spark):
+    """Each synthesized video must flag exactly one high-energy frame,
+    at the planted cut index 3 + id % 3."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.multimodal import (
+        scene_change_energy,
+        synthesize_scene_mp4,
+    )
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    rows = scene_change_energy(synthesize_scene_mp4(ids)).collect()
+    cuts = {}
+    for r in rows:
+        if r.energy >= 5000:
+            cuts.setdefault(r.media_id, []).append(r.frame_idx)
+        else:
+            assert r.energy < 2000, r  # within-scene drift stays tiny
+    assert cuts == {m: [3 + m % 3] for m in range(6)}
