@@ -2327,3 +2327,45 @@ def table_checksum_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rowhash).cast("long").alias("checksum_sum"),
         F.min(rowhash).cast("long").alias("checksum_min"),
     )
+
+
+# --- SQL pipe syntax (Spark 4 |> operator chains) ----------------------------
+
+
+@register(
+    "pipe_syntax_orders_monthly",
+    f"""
+    SELECT o_orderpriority,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority, EXTRACT(month FROM o_orderdate)
+    """,
+)
+def pipe_syntax_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4, SPARK-49555): the |>-chained form reads
+    top-down in execution order — FROM |> WHERE |> EXTEND |> AGGREGATE —
+    instead of the inside-out SELECT nesting; same Catalyst plan, purely
+    an API-surface capability (the oracle is the equivalent classic
+    SQL). EXTEND adds the derived month column before aggregation, and
+    AGGREGATE ... GROUP BY fuses projection+grouping, the two pipe
+    operators with no one-keyword classic equivalent.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("pipe_orders_v")
+    return spark.sql(
+        f"""
+        FROM pipe_orders_v
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND EXTRACT(month FROM o_orderdate) AS month,
+                  {_x.sql_cents('o_totalprice')} AS cents
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents
+           GROUP BY o_orderpriority, month
+        |> SELECT o_orderpriority, CAST(month AS BIGINT) AS month,
+                  n_orders, sum_cents
+        """
+    )
