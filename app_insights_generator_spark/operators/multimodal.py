@@ -878,3 +878,69 @@ def scene_change_energy(media: DataFrame, id_col: str = "media_id") -> DataFrame
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "energy"])
 
     return media.mapInPandas(batches, schema=SCENE_SCHEMA)
+
+
+# --- Image patch extraction (ViT-style patchify) -----------------------------
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("py", IntegerType()),
+        StructField("px", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("r_min", LongType()),
+        StructField("r_max", LongType()),
+    ]
+)
+
+
+def image_patchify(
+    media: DataFrame, id_col: str = "media_id", patch: int = 4
+) -> DataFrame:
+    """ViT-style patch grid over REAL decoded pixels -> one row per
+    (image, patch_row, patch_col) with exact integer R-channel
+    sum/min/max per patch — the patchify step every vision-transformer
+    data pipeline runs before embedding, expressed as decode + numpy
+    reshape inside Arrow-batched mapInPandas. Images whose dimensions
+    are not multiples of ``patch`` raise (patchify contracts are exact;
+    silent cropping is how training sets drift from their specs).
+
+    Scale: decode + reshape are per-image; the output is patch-grid
+    metadata (bytes per patch, not pixels), which is what downstream
+    shuffles touch."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                pxl = decode_bmp(bytes(content))
+                h, w, _ = pxl.shape
+                if h % patch or w % patch:
+                    raise ValueError(
+                        f"image {mid}: {h}x{w} not a multiple of patch {patch}"
+                    )
+                r = pxl[:, :, 0].astype(np.int64)
+                grid = r.reshape(h // patch, patch, w // patch, patch)
+                sums = grid.sum(axis=(1, 3))
+                mins = grid.min(axis=(1, 3))
+                maxs = grid.max(axis=(1, 3))
+                for py in range(h // patch):
+                    for px_ in range(w // patch):
+                        out.append(
+                            (
+                                int(mid),
+                                py,
+                                px_,
+                                int(sums[py, px_]),
+                                int(mins[py, px_]),
+                                int(maxs[py, px_]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["media_id", "py", "px", "r_sum", "r_min", "r_max"]
+            )
+
+    return media.mapInPandas(batches, schema=PATCH_SCHEMA)

@@ -2800,3 +2800,138 @@ def video_scene_changes_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_change_energy(media).withColumn(
         "is_cut", F.col("energy") >= 5000
     )
+
+
+@register(
+    "image_patchify_features",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             37 + 11 * ((doc_id - doc_id % 2) % 13) AS a,
+             5 * ((doc_id - doc_id % 2) % 5 + 1) AS b,
+             doc_id % 2 AS odd
+      FROM documents WHERE doc_id < 100
+    ),
+    cells AS (
+      SELECT media_id, py, px, y, x,
+             (a * (px * 4 + x) + b * (py * 4 + y)
+              + CASE WHEN odd = 1 AND py = 0 AND px = 0 AND y = 0 AND x = 0
+                     THEN 128 ELSE 0 END) % 256 AS v
+      FROM ids,
+           (SELECT unnest(range(4)) AS py), (SELECT unnest(range(4)) AS px),
+           (SELECT unnest(range(4)) AS y), (SELECT unnest(range(4)) AS x)
+    )
+    SELECT media_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+           CAST(SUM(v) AS BIGINT) AS r_sum,
+           CAST(MIN(v) AS BIGINT) AS r_min,
+           CAST(MAX(v) AS BIGINT) AS r_max
+    FROM cells GROUP BY media_id, py, px
+    """,
+)
+def image_patchify_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCHIFY over real decoded pixels: the 16x16 wrap-
+    gradient BMPs split into a 4x4 grid of 4x4 patches, each reported
+    with exact integer R-channel sum/min/max (operators/multimodal.py
+    image_patchify). The oracle enumerates every pixel of every patch in
+    closed form — decode, the reshape's row/column orientation (the
+    classic patchify bug is a transposed grid, which flips r_sum between
+    (py,px) and (px,py)), and the odd-id perturbation landing in patch
+    (0,0) only, are all pinned by the hash. Patch metadata, not pixels,
+    is what flows downstream — the same metadata-over-payload discipline
+    as the rest of the multimodal surface.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.multimodal import (
+        image_patchify,
+        synthesize_dhash_images,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return image_patchify(synthesize_dhash_images(ids, "media_id"), patch=4)
+
+
+@register(
+    "image_dedup_canonical",
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < 100
+    ),
+    co AS (
+      SELECT media_id,
+             37 + 11 * ((media_id - media_id % 2) % 13) AS a,
+             5 * ((media_id - media_id % 2) % 5 + 1) AS b,
+             media_id % 2 AS odd
+      FROM ids
+    ),
+    g AS (
+      SELECT media_id, i, j,
+             (a * ([0,1,3,5,7,8,10,12,14][j+1]) + b * (2*i)
+              + CASE WHEN odd = 1 AND i = 0 AND j = 0 THEN 128 ELSE 0 END) % 256
+               AS v
+      FROM co, (SELECT unnest(range(8)) AS i), (SELECT unnest(range(9)) AS j)
+    ),
+    h AS (
+      SELECT l.media_id,
+             CAST(SUM(CASE WHEN r.v > l.v THEN
+                    CASE WHEN l.i*8 + l.j = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << (l.i*8 + l.j)) END
+                  ELSE 0 END) AS BIGINT) AS dhash
+      FROM g l JOIN g r
+        ON r.media_id = l.media_id AND r.i = l.i AND r.j = l.j + 1
+      WHERE l.j < 8
+      GROUP BY l.media_id
+    ),
+    truth AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM truth
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM truth
+    ),
+    walk(node, comp) AS (
+      SELECT media_id, media_id FROM ids
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS media_id, MIN(comp) AS component,
+           (node = MIN(comp)) AS is_canonical
+    FROM walk GROUP BY node
+    """,
+)
+def image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image deduplication: real BMP decode -> dHash ->
+    banded hamming join -> connected components (hash-min propagation,
+    the SAME operator text dedup uses) -> canonical selection (min id
+    per duplicate cluster). This is the complete 100 TB image-dedup
+    pipeline as one composition of already-gated stages — pixels are
+    touched once, signatures shuffle once, and the keep/drop verdict is
+    one boolean per image. The oracle recomputes hashes, the exact pair
+    set, AND the transitive closure declaratively (recursive CTE), so a
+    drift anywhere in the four-stage chain flips the gate.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.dedup import (
+        connected_components,
+        hamming_band_pairs,
+    )
+    from app_insights_generator_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_dhash_images,
+    )
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+    hashes = image_dhash(synthesize_dhash_images(ids, "media_id"))
+    pairs = hamming_band_pairs(hashes, "media_id", "dhash", max_hamming=3)
+    comp = connected_components(pairs, ids, "media_id")
+    return comp.select(
+        F.col("media_id"),
+        F.col("component"),
+        (F.col("media_id") == F.col("component")).alias("is_canonical"),
+    )
