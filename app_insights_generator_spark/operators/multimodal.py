@@ -944,3 +944,54 @@ def image_patchify(
             )
 
     return media.mapInPandas(batches, schema=PATCH_SCHEMA)
+
+
+def audio_decimate(
+    media: DataFrame, id_col: str = "media_id", factor: int = 4
+) -> DataFrame:
+    """Integer-factor audio downsampling over REAL codec round trips:
+    decode WAV -> keep every ``factor``-th sample -> RE-ENCODE at the
+    reduced rate -> decode AGAIN and profile the result (count, exact
+    sum of squares, peak). The double decode is the point: the gate
+    covers the re-encoder's headers/chunk arithmetic at the new rate,
+    not just the numpy stride. Plain decimation (no anti-alias filter)
+    is stated, not hidden — the filtered variant changes sample values
+    and belongs behind the same schema with a filter kernel argument."""
+    import numpy as np
+
+    from app_insights_generator_spark.operators.codecs import decode_wav, encode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("rate_out", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("ssq", LongType()),
+            StructField("peak", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                samples, rate = decode_wav(bytes(content))
+                dec = samples[::factor]
+                rate_out = rate // factor
+                round_trip, rate_rt = decode_wav(encode_wav(dec, rate=rate_out))
+                assert rate_rt == rate_out
+                s = round_trip.astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        rate_out,
+                        len(s),
+                        int(np.sum(s * s)),
+                        int(np.max(np.abs(s))) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "rate_out", "n_samples", "ssq", "peak"]
+            )
+
+    return media.mapInPandas(batches, schema=schema)

@@ -2935,3 +2935,45 @@ def image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component"),
         (F.col("media_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "audio_decimate_wav",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id, 256 * (4 + doc_id % 8) AS n
+      FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1
+    )
+    SELECT media_id,
+           CAST(2000 AS INTEGER) AS rate_out,
+           CAST((n + 3) // 4 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range((n + 3) // 4),
+                  t -> ((4 * t % 256 - 128) * 64) * ((4 * t % 256 - 128) * 64)))
+                AS BIGINT) AS ssq,
+           CAST(list_max(list_transform(range((n + 3) // 4),
+                  t -> abs((4 * t % 256 - 128) * 64))) AS BIGINT) AS peak
+    FROM ids
+    """,
+)
+def audio_decimate_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLING (integer 4x decimation) through a full real
+    codec round trip: sawtooth WAVs are decoded, strided, re-encoded at
+    2 kHz, decoded again, and profiled — the oracle predicts the count
+    (ceil(n/4): the stride keeps sample 0), exact sum of squares, and
+    peak of the decimated signal in closed form. Together with
+    audio_loudness_windows (windowed profile) and the silence/clipping
+    predicates this completes the audio prep surface: decode, profile,
+    resample — each stage exact-integer and gate-pinned.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.multimodal import (
+        audio_decimate,
+        synthesize_real_media,
+    )
+
+    ids = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 100) & (F.col("doc_id") % 2 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return audio_decimate(synthesize_real_media(ids, "media_id"), factor=4)
