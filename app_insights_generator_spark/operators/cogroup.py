@@ -1,0 +1,93 @@
+"""Cogrouped applyInPandas: per-key sorted-merge of two event streams.
+
+``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas(fn, schema)``
+(SPARK-27463) hands each key's rows from BOTH sides to one Python
+function as two pandas DataFrames — the batch API for per-key
+reconciliation logic that is not a plain join: pointer merges, as-of
+matching with side conditions, interleaved audits. The reference's
+single-table pipeline (main.py:363-404) has no two-stream surface at
+all; this covers the Spark API a migrating user would reach for.
+
+Scale notes (100 TB): one shuffle per side on the cogroup key, both
+sides co-partitioned to the same hash partitioning, then Arrow-batched
+Python workers receive one key group at a time. Driver state: none.
+Worker state: bounded by the largest single key's rows on both sides —
+the hazard is a hot key (one user with millions of events). Mitigation
+here is upstream stream-splitting: each side is pre-filtered to ONE
+event type before the cogroup, so a group is the per-user slice of that
+type, not the whole firehose; a genuinely pathological user would need
+the same salting treatment as any skewed groupBy (split by time bucket,
+merge the per-bucket as-of results with a second pass over bucket
+boundaries).
+
+The merge itself is O(p log e) numpy searchsorted per group — no
+python-level row loop, no cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: Output schema of :func:`asof_error_context` (arrow-mapped; gap_s is a
+#: nullable pandas Int64 so no-prior-error rows surface as SQL NULL, not
+#: a float NaN smuggled through an integer column).
+ASOF_CONTEXT_SCHEMA = "user_id long, event_id long, gap_s long, errors_1h long"
+
+_USEC_PER_SEC = 1_000_000
+_WINDOW_US = 3_600 * _USEC_PER_SEC
+
+
+def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
+    """For each purchase row: seconds since the user's most recent error
+    at-or-before it (NULL if none) and the count of errors in the
+    inclusive [ts - 1h, ts] window. Pure integer microsecond arithmetic
+    so the DuckDB oracle (epoch_us + ``//``) matches bit-for-bit."""
+    if purchases.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "gap_s": pd.Series(dtype="Int64"),
+                "errors_1h": pd.Series(dtype="int64"),
+            }
+        )
+    p_us = purchases["ts_us"].to_numpy(dtype="int64")
+    e_us = np.sort(errors["ts_us"].to_numpy(dtype="int64")) if len(errors) else np.empty(0, dtype="int64")
+    # idx = #errors with ts <= purchase ts (side='right' keeps equality);
+    # lo  = first error index >= ts - 1h (side='left' keeps equality).
+    idx = np.searchsorted(e_us, p_us, side="right")
+    lo = np.searchsorted(e_us, p_us - _WINDOW_US, side="left")
+    has_prior = idx > 0
+    if len(e_us):
+        gap = (p_us - e_us[np.maximum(idx - 1, 0)]) // _USEC_PER_SEC
+    else:  # no errors for this key: every gap is NULL
+        gap = np.zeros(len(p_us), dtype="int64")
+    gap_col = pd.array(np.where(has_prior, gap, 0), dtype="Int64")
+    gap_col[~has_prior] = pd.NA
+    return pd.DataFrame(
+        {
+            "user_id": purchases["user_id"].to_numpy(dtype="int64"),
+            "event_id": purchases["event_id"].to_numpy(dtype="int64"),
+            "gap_s": gap_col,
+            "errors_1h": (idx - lo).astype("int64"),
+        }
+    )
+
+
+def asof_error_context(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """Cogroup two per-user event streams and merge them as-of.
+
+    ``purchases`` needs columns (user_id, event_id, ts_us); ``errors``
+    needs (user_id, ts_us) — ts_us = unix_micros(ts), precomputed
+    JVM-side so the Python worker never touches timestamp objects.
+    """
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: _merge_purchase_errors(left, right),
+            schema=ASOF_CONTEXT_SCHEMA,
+        )
+    )

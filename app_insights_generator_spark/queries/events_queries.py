@@ -1435,3 +1435,51 @@ def cumulative_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFr
         "n_new_users",
         F.sum("n_new_users").over(run).cast("long").alias("cum_distinct_users"),
     )
+
+
+# --- Cogrouped applyInPandas (two-stream per-key as-of merge) -----------------
+
+
+@register(
+    "cogroup_purchase_error_asof_events",
+    """
+    SELECT p.user_id AS user_id,
+           p.event_id AS event_id,
+           (SELECT CAST((epoch_us(p.ts) - epoch_us(e.ts)) // 1000000 AS BIGINT)
+              FROM events e
+             WHERE e.event_type = 'error' AND e.user_id = p.user_id
+               AND e.ts <= p.ts
+             ORDER BY e.ts DESC LIMIT 1) AS gap_s,
+           (SELECT COUNT(*)
+              FROM events e
+             WHERE e.event_type = 'error' AND e.user_id = p.user_id
+               AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 3600 SECOND) AS errors_1h
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def cogroup_purchase_error_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas (SPARK-27463): per-user sorted-merge of the
+    purchase stream against the error stream — for every purchase, the
+    as-of gap (seconds since the user's most recent error, NULL if none)
+    and the error count in the inclusive trailing hour. The two sides are
+    pre-filtered to single event types BEFORE the cogroup (stream
+    splitting), so each Python group is one user's slice of one type,
+    and the merge is numpy searchsorted, not a row loop — see
+    operators/cogroup.py for the 100 TB skew notes. Timestamps cross the
+    Arrow boundary as unix_micros BIGINTs, never datetime objects.
+
+    The oracle expresses the same semantics as correlated scalar
+    subqueries (DuckDB decorrelates both); the Spark side is the
+    engine-surface point — this is the one batch API where both sides of
+    a key meet in one Python function.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.cogroup import asof_error_context
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", _us(F.col("ts")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    return asof_error_context(purchases, errors)

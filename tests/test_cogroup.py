@@ -1,0 +1,58 @@
+"""Cogrouped applyInPandas as-of merge (operators/cogroup.py).
+
+Plants the boundary cases the sf oracle run can't guarantee it hits:
+the inclusive 3600 s window edge, an error exactly at the purchase
+timestamp, a purchase-before-any-error NULL, and a user with no errors
+at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from app_insights_generator_spark.operators.cogroup import asof_error_context
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    purchases = spark.createDataFrame(
+        [
+            # user 1: errors at t=100s and t=500s
+            (1, 10, 50 * US),  # before any error -> NULL gap, 0 in window
+            (1, 11, 100 * US),  # exactly at an error -> gap 0, inclusive count 1
+            (1, 12, 3700 * US),  # 3700-100=3600 exactly -> window INCLUDES t=100
+            (1, 13, 4101 * US),  # 4101-500=3601 -> t=500 outside, t=100 outside
+            # user 2: no errors at all
+            (2, 20, 100 * US),
+        ],
+        "user_id long, event_id long, ts_us long",
+    )
+    errors = spark.createDataFrame(
+        [(1, 100 * US), (1, 500 * US)],
+        "user_id long, ts_us long",
+    )
+    rows = asof_error_context(purchases, errors).collect()
+    return {r.event_id: (r.gap_s, r.errors_1h) for r in rows}
+
+
+def test_before_any_error_is_null(result):
+    assert result[10] == (None, 0)
+
+
+def test_exact_tie_counts_and_zero_gap(result):
+    assert result[11] == (0, 1)
+
+
+def test_window_edge_inclusive(result):
+    # gap to last error (t=500) = 3200s; window [100, 3700] holds both
+    assert result[12] == (3200, 2)
+
+
+def test_window_edge_exclusive_past_3600(result):
+    assert result[13] == (3601, 0)
+
+
+def test_user_without_errors(result):
+    assert result[20] == (None, 0)
