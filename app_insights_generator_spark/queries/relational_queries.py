@@ -2369,3 +2369,69 @@ def pipe_syntax_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n_orders, sum_cents
         """
     )
+
+
+# --- Skyline / Pareto frontier ------------------------------------------------
+
+
+@register(
+    "skyline_parts_price_size",
+    f"""
+    WITH pts AS (
+      SELECT p_partkey,
+             {_x.sql_cents('p_retailprice')} AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT a.p_partkey AS p_partkey,
+           a.price_cents AS price_cents,
+           a.p_size AS p_size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+    """,
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part dominates on
+    (price low, size high); ties on both axes survive together. The
+    oracle is the textbook NOT EXISTS dominance scan — O(n²), truth
+    anchor only. The Spark plan is the scale-safe sort-scan form:
+    (1) aggregate to price tiers (map-side combine; one shuffle on
+    price_cents, output bounded by |distinct prices|), (2) one ordered
+    window computes each tier's strictly-cheaper running max — a tier is
+    on the frontier iff its max size beats it, so frontier tiers are
+    strictly increasing in size and number at most |distinct sizes|,
+    (3) broadcast the tiny frontier back onto part for the row-level
+    members (equal (price,size) duplicates all survive). The global
+    orderBy window runs on the TIER table, never the fact table; at a
+    price domain too large for one partition the same prefix-max
+    decomposes into range-partitioned partial maxima + a broadcast
+    offset pass, but |tiers| ≤ |distinct cents values| makes that moot
+    here.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        _x.cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(part)
+
+
+def skyline_2d(pts: DataFrame) -> DataFrame:
+    """Skyline members of (price_cents min, p_size max); remaining columns
+    of ``pts`` ride along. Tie pairs (equal on both axes) all survive."""
+    tiers = pts.groupBy("price_cents").agg(F.max("p_size").alias("tier_max"))
+    prior = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        tiers.withColumn("prev_max", F.max("tier_max").over(prior))
+        .filter(F.col("prev_max").isNull() | (F.col("tier_max") > F.col("prev_max")))
+        .select("price_cents", F.col("tier_max").alias("p_size"))
+    )
+    return pts.join(F.broadcast(frontier), ["price_cents", "p_size"]).select(
+        *[c for c in pts.columns if c not in ("price_cents", "p_size")],
+        "price_cents",
+        "p_size",
+    )
