@@ -944,3 +944,105 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("long").alias("hi_cents"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# --- Autocorrelation (ACF) of the daily-revenue series ------------------------
+
+
+@register(
+    "acf_daily_revenue_orders",
+    f"""
+    WITH daily0 AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_idx,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) // 10000 AS x
+      FROM orders GROUP BY 1
+    ),
+    ctr AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS c FROM daily0),
+    daily AS (SELECT day_idx, x - c AS x FROM daily0, ctr),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(lag_d)),
+    pairs AS (
+      SELECT l.lag_d AS lag_d, a.x AS x, b.x AS y
+      FROM daily a JOIN lags l ON TRUE
+      JOIN daily b ON b.day_idx = a.day_idx + l.lag_d
+    ),
+    mom AS (
+      SELECT lag_d, COUNT(*) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag_d
+    )
+    SELECT lag_d, n_pairs,
+           CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf
+    FROM mom
+    WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+    """,
+)
+def acf_daily_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-7, Pearson per-lag form) of the
+    daily order-revenue series, by CALENDAR lag: pairs join on
+    day_idx + k, so date gaps pair nothing rather than silently pairing
+    adjacent rows. Every moment (sx, sy, sxy, sxx, syy) is an exact
+    BIGINT, and the only floating point is the final num / sqrt(d1*d2) —
+    identical IEEE ops on identical integers in both engines, the repo's
+    ratio-of-exact-sums rule. Degenerate (constant) series are excluded
+    by the d1/d2 > 0 guard instead of dividing by zero.
+
+    int64 headroom: the series is hundreds-of-dollars units CENTERED by
+    the integer global mean — Pearson's cross-multiplied form is exactly
+    shift-invariant, so the subtraction changes no output bit while
+    collapsing sx from ~4e9 (whose square overflows int64 — measured,
+    ARITHMETIC_OVERFLOW under ANSI) to near zero and sxx to the
+    variance scale: n_pairs*sxx ~ 6e14 at sf0.01, ~100× per 10× SF, so
+    ~sf1 before the per-year-strata fallback (the bm25_documents
+    discipline) is needed. Centering costs one extra 1-row aggregate
+    broadcast onto the 2,400-row daily series.
+
+    Plan: one shuffle aggregates orders to the ~2,400-row daily series
+    (map-side combine); the lag expansion and self-join run on that
+    broadcast-sized table, and the moment aggregation is 7 groups.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    daily0 = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_idx")
+    ).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) DIV 10000").alias(
+            "x"
+        )
+    )
+    ctr = daily0.agg(F.expr("CAST(SUM(x) AS BIGINT) DIV COUNT(*)").alias("c"))
+    daily = daily0.crossJoin(F.broadcast(ctr)).select(
+        "day_idx", F.expr("x - c").alias("x")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag_d"))
+    b = daily.select(F.col("day_idx").alias("b_day"), F.col("x").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("b_day") == F.col("day_idx") + F.col("lag_d"))
+        .select("lag_d", "x", "y")
+    )
+    mom = pairs.groupBy("lag_d").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return mom.filter(
+        F.expr("n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0")
+    ).select(
+        "lag_d",
+        "n_pairs",
+        F.expr(
+            "CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n_pairs * syy - sy * sy AS DOUBLE))"
+        ).alias("acf"),
+    )

@@ -1483,3 +1483,67 @@ def cogroup_purchase_error_asof_events(spark: SparkSession, sf_dir: str) -> Data
     )
     errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
     return asof_error_context(purchases, errors)
+
+
+# --- Markov transition matrix over per-user event sequences -------------------
+
+
+@register(
+    "markov_transitions_events",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS prob_bp
+    FROM t
+    """,
+)
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    count of each type->next-type step plus the row-stochastic transition
+    probability in basis points (exact integer DIV — drift-proof). The
+    step order is (event time, event_id): event_id breaks timestamp ties
+    deterministically in both engines.
+
+    Plan: one shuffle for the per-user lead() window (same exchange a
+    sessionize needs), one groupBy to at most |types|^2 rows with
+    map-side combine, and a window over that tiny matrix for the row
+    totals. Nothing after the first aggregation sees data volume, and
+    the window sum is cast to BIGINT before the divide so the oracle
+    never emits a HUGEINT final (the r05 red class).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", _us(F.col("ts")).alias("ts_us")
+    )
+    step = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        ev.withColumn("to_type", F.lead("event_type").over(step))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000").cast("long").alias("_num"),
+        row_total.alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("_num DIV _den").alias("prob_bp"),
+    )
