@@ -2977,3 +2977,78 @@ def audio_decimate_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"))
     )
     return audio_decimate(synthesize_real_media(ids, "media_id"), factor=4)
+
+
+# --- PMI collocations (pointwise mutual information over word bigrams) --------
+
+
+@register(
+    "pmi_collocations_documents",
+    r"""
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bg GROUP BY w1, w2),
+    m1 AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS c1 FROM cnt GROUP BY w1),
+    m2 AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS c2 FROM cnt GROUP BY w2),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cnt)
+    SELECT w1, w2, n_xy,
+           n_xy * n * 1000000 // (c1 * c2) AS pmi_ppm
+    FROM cnt JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+    WHERE n_xy >= 5
+    """,
+)
+def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    word pairs: PMI = log(P(xy) / (P(x·)P(·y))) reported as the exact
+    integer ratio n_xy*N*1e6 DIV (c1*c2) (log is monotone, so the ppm
+    ratio ranks identically and hashes identically across engines).
+    Marginals use the directional convention — c1 = bigrams STARTING
+    with w1, c2 = bigrams ENDING with w2 — the standard bigram PMI
+    estimator.
+
+    Plan economics: ONE pass over the corpus builds the bigram counts
+    (explode + groupBy with map-side combine); both marginals and the
+    grand total are re-aggregations of that vocab²-bounded count table,
+    never of the corpus, and the final assembly is broadcast joins of
+    vocab-sized sides. int64 headroom: n_xy*N*1e6 ~ 9e16 at sf0.1 for a
+    degenerate single-pair corpus; a real 1e9-bigram corpus needs the
+    scale constant dropped to 1e3 or DECIMAL — same discipline as
+    bm25_documents.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(T.tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    m1 = cnt.groupBy("w1").agg(F.sum("n_xy").alias("c1"))
+    m2 = cnt.groupBy("w2").agg(F.sum("n_xy").alias("c2"))
+    tot = cnt.agg(F.sum("n_xy").alias("n"))
+    return (
+        cnt.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_xy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr("n_xy * n * 1000000 DIV (c1 * c2)").alias("pmi_ppm"),
+        )
+    )
