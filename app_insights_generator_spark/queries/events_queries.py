@@ -1547,3 +1547,77 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("_num DIV _den").alias("prob_bp"),
     )
+
+
+# --- Journey pattern matching (MATCH_RECOGNIZE-style regex over sequences) ----
+
+
+@register(
+    "journey_patterns_events",
+    """
+    WITH j AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN regexp_matches(journey, 's.*p') THEN 1 ELSE 0 END
+             AS signup_to_purchase,
+           CAST(len(regexp_extract_all(journey, 'ep')) AS BIGINT)
+             AS n_error_then_purchase,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(journey, 'v+'), x -> len(x))), 0) AS BIGINT)
+             AS max_view_run
+    FROM j
+    """,
+)
+def journey_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the
+    MATCH_RECOGNIZE workload (Spark has no MATCH_RECOGNIZE clause; the
+    standard engine-native encoding is exactly this): compress each
+    user's time-ordered events to a symbol string, then run regexes —
+    eventual conversion (s.*p), an adjacency pattern (error immediately
+    before purchase), and the longest view streak (v+). Event types map
+    to distinct initials, so symbols are one char.
+
+    The journey build is the determinism-sensitive step: collect_list
+    order is undefined, so Spark sorts an array of (ts_us, event_id,
+    sym) structs JVM-side before joining chars (array_sort on structs is
+    lexicographic by field), matching the oracle's string_agg ORDER BY.
+    Per-user strings are bounded by per-user event counts — the same
+    hot-key bound every sessionize carries; one shuffle total, regexes
+    run on the aggregated (small) per-user table.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    j = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.expr("CASE WHEN journey RLIKE 's.*p' THEN 1 ELSE 0 END").alias(
+            "signup_to_purchase"
+        ),
+        F.expr("CAST(regexp_count(journey, 'ep') AS BIGINT)").alias(
+            "n_error_then_purchase"
+        ),
+        F.expr(
+            "CAST(COALESCE(array_max(transform("
+            "regexp_extract_all(journey, 'v+', 0), x -> length(x))), 0) AS BIGINT)"
+        ).alias("max_view_run"),
+    )

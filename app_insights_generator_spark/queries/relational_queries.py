@@ -2435,3 +2435,52 @@ def skyline_2d(pts: DataFrame) -> DataFrame:
         "price_cents",
         "p_size",
     )
+
+
+# --- Market-basket frequent pairs ---------------------------------------------
+
+
+@register(
+    "frequent_part_pairs_lineitem",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+    FROM d a
+    JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def frequent_part_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: part pairs co-purchased in >= 2 orders (the
+    frequent-itemset level-2 pass; the insights sweep's Apriori machinery
+    is the same lattice discipline one level up). The oracle is the
+    self-join form; the Spark plan is the basket form that survives
+    scale: ONE shuffle groups lineitem to per-order sorted item arrays,
+    then i<j pairs are generated JVM-side (array_sort + indexed
+    transform/slice — no Python, no self-join of the fact table) at
+    O(basket²) per order with basket size bounded by order width (~7 in
+    TPC-H), and the pair counts aggregate with map-side combine. A
+    self-join on l_orderkey would shuffle lineitem TWICE and build a
+    join hash table per partition for no reason — baskets are tiny and
+    already colocated after the first groupBy.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
