@@ -445,3 +445,47 @@ def test_continuous_rollup_state_matches_batch_across_restart(spark, tmp_path):
     run_once()  # no new files: no new state version may appear
     got2 = {r.k: (r.n, r.s, r.hi) for r in read_state(spark, state_dir).collect()}
     assert got2 == got
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir, events_stream):
+    """Same stateful queries under the RocksDB state store provider — the
+    provider production clusters run when aggregation state outgrows the
+    executor heap (HDFS-backed state is JVM-memory-resident; RocksDB
+    spills to local disk with incremental changelog checkpointing). The
+    provider must be invisible to results: tumbling counts AND an
+    applyInPandasWithState operator must match their batch twins
+    bit-for-bit, same as the default-provider tests above."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory(tumbling_counts_stream(events_stream), "t_rocks_tumbling")
+        batch = QUERIES["tumbling_window_events"](spark, sf_dir)
+        assert _multiset(got) == _multiset(batch)
+
+        got2 = run_to_memory(
+            user_running_totals(events_stream), "t_rocks_state", output_mode="update"
+        )
+        final: dict = {}
+        for r in got2.collect():
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, r.total_value)
+        batch2 = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        }
+        assert final == batch2
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
