@@ -3052,3 +3052,43 @@ def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_xy * n * 1000000 DIV (c1 * c2)").alias("pmi_ppm"),
         )
     )
+
+
+# --- applyInArrow grouped map (per-source adaptive histogram) ------------------
+
+
+@register(
+    "arrow_adaptive_histogram_documents",
+    """
+    WITH ext AS (
+      SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+      FROM documents GROUP BY source
+    ),
+    b AS (
+      SELECT d.source AS source,
+             (d.n_chars - e.lo) // ((e.hi - e.lo) // 10 + 1) AS bin,
+             e.lo + ((d.n_chars - e.lo) // ((e.hi - e.lo) // 10 + 1))
+                  * ((e.hi - e.lo) // 10 + 1) AS bin_lo
+      FROM documents d JOIN ext e USING (source)
+    )
+    SELECT source, bin, bin_lo, COUNT(*) AS n_docs
+    FROM b GROUP BY source, bin, bin_lo
+    """,
+)
+def arrow_adaptive_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow (SPARK-46253): per-source ADAPTIVE-width
+    length histogram — bin width derives from each group's own min/max,
+    which SQL needs a second pass over the fact table for (the oracle's
+    extent-join), but the Arrow grouped map computes in one columnar
+    scan of the group it already holds: pc.min_max, integer divide,
+    value_counts, straight on the transferred buffers with no pandas
+    materialization (operators/arrowgroup.py). All arithmetic is int64,
+    so both engines hash identically.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.arrowgroup import (
+        adaptive_histogram_by_source,
+    )
+
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    return adaptive_histogram_by_source(docs)
