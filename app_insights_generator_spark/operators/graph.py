@@ -26,7 +26,7 @@ this is part of the §2.3/§2.4 engine-extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -338,3 +338,48 @@ def kcore_peel(
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al. 2007) ->
+    [node, label]: every node starts as its own label; each round every
+    node adopts the most frequent label among its neighbors, ties broken
+    by MIN label. Synchronous fixed-round updates make the algorithm
+    fully deterministic (the classic async formulation is run-order
+    dependent — useless under a hash gate) and unrollable into chained
+    SQL CTEs for the oracle.
+
+    One shuffle per round: neighbor-label frequencies (groupBy with
+    map-side combine) + a per-node row_number window on the same
+    partitioning; localCheckpoint truncates lineage. Driver state: none.
+    The frequency table is bounded by the round's (node, distinct
+    neighbor label) pairs <= edge count — never quadratic.
+    """
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        freq = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -2484,3 +2484,50 @@ def frequent_part_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --- iterative graph: synchronous label propagation ---------------------------
+
+
+def _lpa_oracle(iterations: int = 4) -> str:
+    """Unrolled-iteration SQL twin of operators/graph.py
+    label_propagation — same discipline as _pagerank_oracle: a fixed
+    round count unrolls into chained CTEs (aggregates are illegal in a
+    recursive term), and every step is engine-agnostic (COUNT + ROW_NUMBER
+    with a total ORDER BY, no floats anywhere)."""
+    ctes = [
+        f"edges0 AS ({_PR_EDGES_SQL})",
+        "edges_u AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges_u)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.src AS node, p.label AS label,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                                  ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+        FROM edges_u e JOIN l{i - 1} p ON p.node = e.dst
+        GROUP BY e.src, p.label
+      ) WHERE rn = 1)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{iterations}"
+
+
+@register("label_propagation_nation_trade", _lpa_oracle())
+def label_propagation_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    nation trade graph (4 rounds, min-label tie-break) — completes the
+    iterative-graph family (pagerank / BFS / SSSP / triangles / k-core)
+    with the community primitive. Synchronous rounds are the
+    determinism-bearing choice: classic async LPA depends on visit
+    order, which no cross-engine hash gate could pin. Per round: one
+    neighbor-label frequency shuffle + a row_number window on the same
+    key, lineage truncated per round (operators/graph.py
+    label_propagation). The oracle unrolls the identical recurrence into
+    chained CTEs.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.graph import label_propagation
+
+    return label_propagation(_nation_trade_edges(spark, sf_dir), iterations=4)
