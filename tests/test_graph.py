@@ -171,3 +171,28 @@ def test_kcore_peel_cascade(spark):
     )
     gotn = {r.node: r.deg for r in kcore_peel(noisy, k=2, rounds=3).collect()}
     assert gotn == {0: 2, 1: 2, 2: 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    from app_insights_generator_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge (3-4): LPA must settle each
+    # clique on its min label and not bleed across the bridge
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a, b) for a in range(4, 8) for b in range(4, 8) if a < b]
+    edges = spark.createDataFrame(k4a + k4b + [(3, 4)], ["src", "dst"])
+    got = {r.node: r.label for r in label_propagation(edges, iterations=4).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(4, 8)} == {4}
+
+
+def test_label_propagation_star_min_tiebreak(spark):
+    from app_insights_generator_spark.operators.graph import label_propagation
+
+    # star: center 9 with leaves 1,2,3 — every leaf label is equally
+    # frequent at the center, so the min label (1) must win there
+    edges = spark.createDataFrame([(9, 1), (9, 2), (9, 3)], ["src", "dst"])
+    got = {r.node: r.label for r in label_propagation(edges, iterations=1).collect()}
+    assert got[9] == 1
+    # leaves see only the center
+    assert got[1] == got[2] == got[3] == 9
