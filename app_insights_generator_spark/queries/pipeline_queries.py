@@ -1107,3 +1107,55 @@ def table_diff_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ch_nationkey").cast("long").alias("n_nationkey_changes"),
         )
     )
+
+
+@register(
+    "pysource_pushdown_events",
+    """
+    WITH feed AS (
+      SELECT i.i AS event_id, i.i % 97 AS user_id,
+             CASE i.i % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                          WHEN 2 THEN 'purchase' WHEN 3 THEN 'refund'
+                          ELSE 'error' END AS event_type,
+             (i.i * 37) % 10000 AS amount_cents
+      FROM (SELECT unnest(range(90000, 90500)) AS i) i
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(amount_cents) AS BIGINT) AS amount_sum
+    FROM feed
+    WHERE user_id % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def pysource_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN through the Python DataSource API (Spark 4.1,
+    `pushFilters` — sources/pysource.py): the event_id range predicates
+    are consumed source-side, tightening the generation bounds BEFORE
+    split planning, so of the 10^6-row feed only the 500-row slice is
+    ever produced (the Python-source analogue of parquet row-group
+    pruning — verified: the executed plan's residual filter no longer
+    contains the range, pinned in tests/test_pysource.py). The
+    non-pushable predicate (user_id % 2 = 0) stays Spark-side, showing
+    the split contract: sources take what they can, return the rest.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.sources.pysource import (
+        register_synthetic_events,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_synthetic_events(spark)
+    feed = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1_000_000)
+        .option("n_partitions", 8)
+        .option("pushdown", "true")
+        .load()
+        .filter("event_id >= 90000 AND event_id < 90500")
+        .filter("user_id % 2 = 0")
+    )
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").cast("long").alias("amount_sum"),
+    )

@@ -38,19 +38,67 @@ class SyntheticEventsReader(DataSourceReader):
         self.n_partitions = max(1, int(options.get("n_partitions", 8)))
         if self.n_rows < 0:
             raise ValueError(f"n_rows must be >= 0, got {self.n_rows}")
+        # Generation bounds on event_id (== row index). The base reader
+        # never narrows them; PushdownEventsReader's pushFilters does.
+        self.lo = 0
+        self.hi = self.n_rows
 
     def partitions(self):
-        if self.n_rows == 0:
-            return [_Slice(0, 0)]  # a valid empty split, never zero splits
-        step = -(-self.n_rows // self.n_partitions)  # ceil
-        return [
-            _Slice(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
-        ]
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi == lo:
+            return [_Slice(lo, lo)]  # a valid empty split, never zero splits
+        step = -(-(hi - lo) // self.n_partitions)  # ceil
+        return [_Slice(s, min(s + step, hi)) for s in range(lo, hi, step)]
 
     def read(self, partition: _Slice):
         for i in range(partition.start, partition.end):
             yield (i, i % 97, EVENT_TYPES[i % 5], (i * 37) % 10_000)
+
+
+class PushdownEventsReader(SyntheticEventsReader):
+    """Opt-in reader with source-side filter pushdown (Spark 4.1,
+    SPARK-50849). A SEPARATE class because Spark hard-errors on ANY
+    reader that merely defines pushFilters while
+    spark.sql.python.filterPushdown.enabled is false — pushdown must be
+    opted into per read (.option("pushdown", "true")) so the base source
+    keeps working on conf-off sessions."""
+
+    def pushFilters(self, filters):
+        """Range and equality predicates on event_id tighten the [lo, hi)
+        generation bounds BEFORE partitions() plans splits, so filtered
+        rows are NEVER GENERATED — the Python-source equivalent of
+        parquet row-group pruning, and the difference between scanning
+        10^6 rows and 16 when a query wants a slice. Everything else is
+        handed back to Spark (the contract: returned filters are
+        evaluated post-scan and must be input objects by reference)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        rest = []
+        for f in filters:
+            v = getattr(f, "value", None)
+            if getattr(f, "attribute", None) == ("event_id",) and isinstance(v, int):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                else:
+                    rest.append(f)
+                continue
+            rest.append(f)
+        return rest
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -67,6 +115,8 @@ class SyntheticEventsDataSource(DataSource):
         )
 
     def reader(self, schema) -> SyntheticEventsReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PushdownEventsReader(self.options)
         return SyntheticEventsReader(self.options)
 
     def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":

@@ -114,3 +114,73 @@ def test_batch_read_edge_options(spark):
     assert _batch(spark, n_rows=0).count() == 0
     with pytest.raises(Exception, match="n_rows"):
         _batch(spark, n_rows=-5).collect()
+
+
+def test_push_filters_narrow_bounds_and_residual():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    from app_insights_generator_spark.sources.pysource import PushdownEventsReader
+
+    r = PushdownEventsReader({"n_rows": "1000000", "n_partitions": "8"})
+    keep_type = StringStartsWith(("event_type",), "v")  # not pushable
+    not_null = IsNotNull(("event_id",))  # right column, unsupported op
+    rest = r.pushFilters(
+        [
+            GreaterThanOrEqual(("event_id",), 100),
+            GreaterThan(("event_id",), 100),  # tighter: lo = 101
+            LessThan(("event_id",), 500),
+            LessThanOrEqual(("event_id",), 600),  # looser: hi stays 500
+            keep_type,
+            not_null,
+        ]
+    )
+    assert (r.lo, r.hi) == (101, 500)
+    # residuals returned by reference, pushed ones absent
+    assert list(rest) == [keep_type, not_null]
+    # split planning covers exactly the narrowed range
+    splits = r.partitions()
+    assert splits[0].start == 101 and splits[-1].end == 500
+    assert sum(s.end - s.start for s in splits) == 399
+
+    # EqualTo pins a single row; contradictory bounds plan one empty split
+    r2 = PushdownEventsReader({"n_rows": "100"})
+    r2.pushFilters([EqualTo(("event_id",), 7)])
+    assert (r2.lo, r2.hi) == (7, 8)
+    r3 = PushdownEventsReader({"n_rows": "100"})
+    r3.pushFilters([GreaterThan(("event_id",), 50), LessThan(("event_id",), 10)])
+    assert [(s.start, s.end) for s in r3.partitions()] == [(50 + 1, 50 + 1)]
+
+
+def test_pushdown_e2e_matches_unpushed(spark):
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key, None)
+    pred = "event_id >= 999990 AND event_id < 999998 AND user_id % 2 = 0"
+    try:
+        spark.conf.set(key, "true")
+        pushed = _batch(spark, n_rows=1_000_000, pushdown="true").filter(pred).collect()
+        # residual plan must not contain the consumed range predicate
+        plan = (
+            _batch(spark, n_rows=1_000_000, pushdown="true")
+            .filter(pred)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "999990" not in plan and "999998" not in plan
+        spark.conf.set(key, "false")
+        unpushed = _batch(spark, n_rows=1_000_000).filter(pred).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert sorted(map(tuple, pushed)) == sorted(map(tuple, unpushed))
+    assert len(pushed) == 4
