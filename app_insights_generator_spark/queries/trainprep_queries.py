@@ -706,3 +706,87 @@ def systematic_weighted_sample_documents(
         .filter(F.col("before_slot") < F.col("after_slot"))
         .select("doc_id", "source", "wt", "before_slot", "after_slot")
     )
+
+
+# --- LM pretraining chunker: global token stream -> fixed blocks ---------------
+
+_CHUNK_BLOCK = 128
+
+
+@register(
+    "chunk_spans_documents",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split(trim(text), ' ')) AS n_tokens
+               FROM documents),
+    o AS (SELECT source, doc_id, n_tokens,
+                 CAST(SUM(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                  - (n_tokens + 1) AS BIGINT) AS off
+          FROM t WHERE n_tokens >= 1)
+    SELECT source,
+           CAST(b.b AS BIGINT) AS block_id,
+           doc_id,
+           GREATEST(off, b.b * {_CHUNK_BLOCK}) - b.b * {_CHUNK_BLOCK} AS lo,
+           LEAST(off + n_tokens, (b.b + 1) * {_CHUNK_BLOCK})
+             - b.b * {_CHUNK_BLOCK} AS hi
+    FROM o, UNNEST(generate_series(off // {_CHUNK_BLOCK},
+                                   (off + n_tokens - 1) // {_CHUNK_BLOCK})) AS b(b)
+    """,
+)
+def chunk_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-pretraining data loader shape: concatenate each shard's
+    documents (doc_id order, one EOS token between docs) into a token
+    stream and cut it into fixed {_CHUNK_BLOCK}-token training blocks,
+    emitting the (block, doc) span map — [lo, hi) token positions of
+    each document inside each block it touches — i.e. exactly the
+    attention-boundary metadata a doc-masked pretraining run needs.
+
+    The global-concatenation problem is a PREFIX SUM, not a collect:
+    each document's stream offset comes from one running-sum window
+    (partitioned by source, so shards chunk independently and in
+    parallel — the same serialization argument as
+    pack_documents_token_budget), after which every (doc, block)
+    overlap row is pure integer arithmetic exploded JVM-side
+    (sequence() over the block range). No driver state, no Python, one
+    shuffle for the window; block boundaries fall mid-document and the
+    span map says exactly where.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    run = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = t.withColumn(
+        "off",
+        (F.sum(F.col("n_tokens") + 1).over(run) - (F.col("n_tokens") + 1)).cast(
+            "bigint"
+        ),
+    )
+    B = _CHUNK_BLOCK
+    return o.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.expr(f"off DIV {B}"), F.expr(f"(off + n_tokens - 1) DIV {B}")
+            )
+        ).alias("block_id"),
+        "doc_id",
+        "off",
+        "n_tokens",
+    ).select(
+        "source",
+        "block_id",
+        "doc_id",
+        F.expr(f"GREATEST(off, block_id * {B}) - block_id * {B}").alias("lo"),
+        F.expr(f"LEAST(off + n_tokens, (block_id + 1) * {B}) - block_id * {B}").alias(
+            "hi"
+        ),
+    )
