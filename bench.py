@@ -66,6 +66,8 @@ HEADLINE = [
 
     "bucketed_join_orders_lineitem",
     "udtf_chunk_documents",
+    "cogroup_purchase_error_asof_events",  # round-6: pandas cogroup throughput
+    "chunk_spans_documents",               # round-6: LM block chunker
 ]
 
 
