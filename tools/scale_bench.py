@@ -553,6 +553,99 @@ def md_table(rows: list[dict]) -> str:
     return "\n".join(out)
 
 
+def _ring_of_cliques(spark, n_cliques: int, clique: int = 8):
+    """Deterministic LPA workload: n_cliques K8s joined in a ring by one
+    bridge edge each — communities that must NOT bleed, with edge count
+    linear in n_cliques."""
+    rows = []
+    for k in range(n_cliques):
+        base = k * clique
+        rows.extend(
+            (base + a, base + b) for a in range(clique) for b in range(clique) if a < b
+        )
+        rows.append((base + clique - 1, ((k + 1) % n_cliques) * clique))
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def bench_lpa(spark, scales: list[int]) -> list[dict]:
+    """Label propagation wall-clock vs edge count (4 synchronous rounds).
+    Claim: one freq-shuffle + one window per round, linear in edges."""
+    from app_insights_generator_spark.operators.graph import label_propagation
+
+    rows = []
+    for s in scales:
+        n_cliques = 50 * s
+        edges = _ring_of_cliques(spark, n_cliques)
+        n_edges = edges.count()
+        t0 = time.time()
+        labels = label_propagation(edges, iterations=4)
+        n_comm = labels.select("label").distinct().count()
+        dt = time.time() - t0
+        rows.append(
+            {
+                "cliques": n_cliques,
+                "edges": n_edges,
+                "communities": n_comm,
+                "lpa_4round_s": round(dt, 2),
+            }
+        )
+    return rows
+
+
+def bench_chunk(spark, scales: list[int]) -> list[dict]:
+    """LM block chunker wall-clock vs corpus (prefix-sum window + JVM
+    explode). Claim: linear, no driver state."""
+    from app_insights_generator_spark.queries import QUERIES
+
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"chunk_x{s}")
+        replicate(spark, "documents", "doc_id", s, os.path.join(path, "documents.parquet"))
+        t0 = time.time()
+        QUERIES["chunk_spans_documents"](spark, path).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        n = spark.read.parquet(os.path.join(path, "documents.parquet")).count()
+        rows.append({"docs": n, "chunk_spans_s": round(dt, 2)})
+    return rows
+
+
+def bench_cogroup(spark, scales: list[int]) -> list[dict]:
+    """Cogrouped applyInPandas as-of merge vs event count, user count held
+    proportional (replicas offset user_id too, so group COUNT grows while
+    group SIZE stays fixed — the realistic corpus-growth shape). Claim:
+    wall-clock is Python-overhead-dominated at small scale and linear
+    once data dominates."""
+    from app_insights_generator_spark.operators.cogroup import asof_error_context
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_users = 1 + base.agg(F.max("user_id")).first()[0]
+    n_ids = base.count()
+    rows = []
+    for s in scales:
+        parts = [
+            base.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * n_ids))
+            for i in range(s)
+        ]
+        ev = parts[0]
+        for pdf in parts[1:]:
+            ev = ev.unionByName(pdf)
+        ev = ev.withColumn("ts_us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts_us"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+        t0 = time.time()
+        asof_error_context(purchases, errors).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        rows.append({"events": n_ids * s, "users": n_users * s, "cogroup_s": round(dt, 2)})
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
@@ -606,6 +699,15 @@ def main() -> None:
     if want("prefix_join"):
         print("\n## prefix-filter Jaccard join: positional vs prefix-only\n")
         print(md_table(bench_prefix_join(spark, scales)))
+    if want("lpa"):
+        print("\n## label propagation wall-clock vs edges (ring of cliques)\n")
+        print(md_table(bench_lpa(spark, scales)))
+    if want("chunk"):
+        print("\n## LM block chunker wall-clock vs corpus\n")
+        print(md_table(bench_chunk(spark, scales)))
+    if want("cogroup"):
+        print("\n## cogrouped as-of merge wall-clock vs events\n")
+        print(md_table(bench_cogroup(spark, scales)))
 
 
 if __name__ == "__main__":
