@@ -224,3 +224,37 @@ def clicks_before_errors_stream_outer(
     return err.join(clk, cond, "left_outer").select(
         "event_id", "user_id", "ts", "c_event_id"
     )
+
+
+def clicks_errors_stream_full_outer(
+    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — the last cell of the
+    stream-stream join matrix (inner / left outer / full outer): rows on
+    EITHER side with no 5-minute counterpart are held in state and
+    emitted NULL-padded when the watermark passes their join window.
+    Full-outer requires a watermark + time bound on BOTH inputs (Spark
+    rejects it otherwise — the state would be unbounded on both sides);
+    same trailing-emission caveat as the left-outer variant."""
+    err = (
+        errors.filter(F.col("event_type") == "error")
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"))
+        .withWatermark("ts", watermark)
+    )
+    clk = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    return err.join(clk, cond, "full_outer").select(
+        "event_id", "user_id", "c_event_id", "c_user_id"
+    )

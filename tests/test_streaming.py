@@ -489,3 +489,55 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir, events_stream):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_stream_full_outer_join_both_sides(spark, sf_dir, events_stream):
+    """FULL OUTER watermarked join: matched rows equal the batch inner
+    join; NULL-padded rows must appear on BOTH sides (unmatched errors
+    AND unmatched clicks) with no false NULLs. Same containment-style
+    assertions as the left-outer test — outer emission trails the
+    watermark on a finite source."""
+    from app_insights_generator_spark.streaming.windows import (
+        clicks_errors_stream_full_outer,
+    )
+
+    got = run_to_memory(
+        clicks_errors_stream_full_outer(
+            events_stream, read_events_stream(spark, sf_dir)
+        ),
+        "t_ssjoin_full",
+        output_mode="append",
+    )
+    rows = got.collect()
+    matched = {
+        (r.event_id, r.c_event_id)
+        for r in rows
+        if r.event_id is not None and r.c_event_id is not None
+    }
+    null_err = {r.event_id for r in rows if r.c_event_id is None}
+    null_clk = {r.c_event_id for r in rows if r.event_id is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (clk.c_user_id == err.user_id)
+        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
+        & (clk.c_ts < err.ts)
+    )
+    batch_inner = {
+        (r.event_id, r.c_event_id)
+        for r in err.join(clk, cond, "inner").select("event_id", "c_event_id").collect()
+    }
+    assert matched == batch_inner
+    matched_err = {e for e, _ in batch_inner}
+    matched_clk = {c for _, c in batch_inner}
+    # no false NULLs on either side
+    assert not (null_err & matched_err)
+    assert not (null_clk & matched_clk)
+    # both outer paths actually emitted
+    assert len(null_err) > 0 and len(null_clk) > 0
