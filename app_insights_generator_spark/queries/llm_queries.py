@@ -3092,3 +3092,83 @@ def arrow_adaptive_histogram_documents(spark: SparkSession, sf_dir: str) -> Data
 
     docs = _docs(spark, sf_dir).select("source", "n_chars")
     return adaptive_histogram_by_source(docs)
+
+
+# --- int8 embedding quantization ------------------------------------------------
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)
+               AS d,
+             embedding
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id,
+             CAST(FLOOR(d * 1000000) AS BIGINT) AS scale_micro,
+             CASE WHEN d = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(FLOOR((CAST(x AS DOUBLE) - mn) * 255 / d)
+                                   AS BIGINT))
+             END AS qv
+      FROM q
+    )
+    SELECT vec_id, scale_micro,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM qq
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric per-vector int8 quantization — the 4x storage/bandwidth
+    cut every 100 TB embedding pipeline applies before ANN indexing:
+    q_i = floor((v_i - min) * 255 / (max - min)) with the per-vector
+    range as the dequantization scale (emitted in micro-units). The gate
+    hashes the quantized summary (sum/min/max of codes + scale), which
+    pins every code: float32 inputs are cast to DOUBLE before any
+    arithmetic in BOTH engines (float->double is exact; mixed-precision
+    promotion rules are not), and the remaining ops are the same IEEE
+    double sequence in both, so floor() lands identically — the
+    ratio-of-exact-inputs determinism rule applied to floats. Constant
+    vectors (range 0) quantize to all-zero codes by the d=0 guard, not
+    by a 0/0 NaN.
+
+    Plan: a pure projection — per-row higher-order functions, zero
+    exchanges, codegen'd JVM-side; nothing about it changes at any
+    scale.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    q = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.expr("CAST(array_min(embedding) AS DOUBLE)").alias("mn"),
+        F.expr(
+            "CAST(array_max(embedding) AS DOUBLE)"
+            " - CAST(array_min(embedding) AS DOUBLE)"
+        ).alias("d"),
+        "embedding",
+    )
+    qq = q.select(
+        "vec_id",
+        F.expr("CAST(FLOOR(d * 1000000) AS BIGINT)").alias("scale_micro"),
+        F.expr(
+            "CASE WHEN d = 0"
+            " THEN transform(embedding, x -> CAST(0 AS BIGINT))"
+            " ELSE transform(embedding,"
+            " x -> CAST(FLOOR((CAST(x AS DOUBLE) - mn) * 255 / d) AS BIGINT))"
+            " END"
+        ).alias("qv"),
+    )
+    return qq.select(
+        "vec_id",
+        "scale_micro",
+        F.expr("CAST(aggregate(qv, 0L, (a, x) -> a + x) AS BIGINT)").alias("sum_q"),
+        F.expr("CAST(array_min(qv) AS BIGINT)").alias("q_min"),
+        F.expr("CAST(array_max(qv) AS BIGINT)").alias("q_max"),
+    )
