@@ -3172,3 +3172,43 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(array_min(qv) AS BIGINT)").alias("q_min"),
         F.expr("CAST(array_max(qv) AS BIGINT)").alias("q_max"),
     )
+
+
+@register(
+    "dedup_components_star_documents",
+    f"""
+    WITH RECURSIVE {_JACCARD_ALL_PAIRS_CTES},
+    truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM truth
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM truth
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    contraction (Kiveris et al. 2014, operators/graph.py
+    connected_components_star) over the same MinHash pair graph as
+    dedup_components_documents — output-identical by construction (same
+    recursive-closure oracle, same hash), different convergence law:
+    rounds = O(log n) in OBSERVED graph size vs hash-min's O(diameter).
+    Dedup clusters are shallow, so hash-min wins there; a 100 TB
+    arbitrary-topology graph (web graphs, long chains) needs this
+    variant — the diameter-vs-log crossover is pinned on a 200-node path
+    in tests/test_graph.py (star: 6 rounds; hash-min: budget-limited at
+    200).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.graph import connected_components_star
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components_star(edges, docs, "doc_id")

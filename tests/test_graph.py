@@ -196,3 +196,36 @@ def test_label_propagation_star_min_tiebreak(spark):
     assert got[9] == 1
     # leaves see only the center
     assert got[1] == got[2] == got[3] == 9
+
+
+def test_star_components_match_hashmin_and_beat_diameter(spark):
+    from app_insights_generator_spark.operators.dedup import connected_components
+    from app_insights_generator_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # a 200-node path (diameter 199) + a separate triangle + a singleton
+    path = [(i, i + 1) for i in range(200)]
+    tri = [(500, 501), (501, 502), (502, 500)]
+    edges = spark.createDataFrame(path + tri, ["src", "dst"])
+    ids = spark.createDataFrame(
+        [(i,) for i in range(201)] + [(500,), (501,), (502,), (999,)], ["doc_id"]
+    )
+
+    # star converges within 12 rounds on a diameter-199 graph (log-round
+    # law); hash-min at the same budget must FAIL to converge (its rounds
+    # track the diameter) — the crossover claim, measured not asserted
+    got = {
+        r.doc_id: r.component
+        for r in connected_components_star(edges, ids, "doc_id", max_rounds=12).collect()
+    }
+    want = {i: 0 for i in range(201)} | {500: 500, 501: 500, 502: 500, 999: 999}
+    assert got == want
+
+    pairs = edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, ids, "doc_id", max_iterations=12)
