@@ -1621,3 +1621,68 @@ def journey_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regexp_extract_all(journey, 'v+', 0), x -> length(x))), 0) AS BIGINT)"
         ).alias("max_view_run"),
     )
+
+
+# --- Point-in-time (feature-store) multi-feature as-of join --------------------
+
+
+@register(
+    "pit_features_purchases",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_epoch,
+           CAST(ROUND(c.value * 100) AS BIGINT) AS last_click_cents,
+           CAST(ROUND(v.value * 100) AS BIGINT) AS last_view_cents
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def pit_features_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME correctness — the feature-store join: a label spine
+    (purchases) enriched from TWO feature streams (latest click value,
+    latest view value per user at-or-before the label timestamp), each
+    via a backward as-of join. Using the event time of the label row —
+    never 'latest overall' — is what makes training features
+    leakage-free; this is the composition every feature platform
+    (point-in-time join) reduces to, and the oracle is DuckDB's native
+    chained ASOF LEFT JOIN.
+
+    Each feature attach is one union+window pass (operators/joins.py
+    asof_join — one shuffle per feature stream, no range explosion);
+    feature values cross as integer cents.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("last_click_cents"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("last_view_cents"),
+    )
+    step1 = asof_join(
+        spine, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_click_cents"],
+    )
+    step2 = asof_join(
+        step1.select("event_id", "user_id", "ts", "last_click_cents_asof"),
+        views, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_view_cents"],
+    )
+    return step2.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("last_click_cents_asof").alias("last_click_cents"),
+        F.col("last_view_cents_asof").alias("last_view_cents"),
+    )

@@ -3212,3 +3212,64 @@ def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFra
     pairs = D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return connected_components_star(edges, docs, "doc_id")
+
+
+# --- Deterministic negative sampling for contrastive training -------------------
+
+
+@register(
+    "negative_samples_embeddings",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    cand AS (
+      SELECT a.vec_id, a.label AS anchor_label, j.j AS j,
+             (a.vec_id * 2654435761 + j.j * 40503 + 7) % n.n_vecs AS neg_id
+      FROM embeddings a
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    )
+    SELECT c.vec_id, c.j, c.neg_id,
+           CASE WHEN c.neg_id <> c.vec_id AND b.label <> c.anchor_label
+                THEN 1 ELSE 0 END AS is_valid
+    FROM cand c JOIN embeddings b ON b.vec_id = c.neg_id
+    """,
+)
+def negative_samples_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: k=4
+    candidate negatives per anchor from a HASH sequence over the dense
+    id space ((id*Knuth + j*stride + 7) mod N) instead of an RNG — the
+    repo's zero-randomness sampling rule (train/val split, PPS,
+    systematic samplers) applied to the contrastive-pairs shape, so the
+    drawn pairs are reproducible across runs, engines, partitionings,
+    and retries (an RNG-sampled training set is unauditable). Candidates
+    colliding with the anchor or sharing its label are flagged invalid
+    (label lookup via one id-equi-join) rather than silently resampled —
+    the downstream loss masks them, keeping the per-anchor count exact.
+
+    Plan: pure projection + explode + one equi-join on the id (broadcast
+    when the vector table is dim-only; shuffle hash at corpus scale) —
+    no RNG state, no skew (hash sequence is uniform mod N).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    embs = _embs(spark, sf_dir).select("vec_id", "label")
+    n_vecs = embs.count()
+    cand = embs.select(
+        "vec_id",
+        F.col("label").alias("anchor_label"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).select(
+        "vec_id",
+        "anchor_label",
+        "j",
+        F.expr(f"(vec_id * 2654435761 + j * 40503 + 7) % {n_vecs}").alias("neg_id"),
+    )
+    b = embs.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    return cand.join(b, "neg_id").select(
+        "vec_id",
+        "j",
+        "neg_id",
+        F.expr(
+            "CASE WHEN neg_id <> vec_id AND neg_label <> anchor_label"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_valid"),
+    )
