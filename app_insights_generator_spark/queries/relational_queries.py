@@ -2531,3 +2531,88 @@ def label_propagation_nation_trade(spark: SparkSession, sf_dir: str) -> DataFram
     from app_insights_generator_spark.operators.graph import label_propagation
 
     return label_propagation(_nation_trade_edges(spark, sf_dir), iterations=4)
+
+
+# --- SQL scripting (Spark 4 BEGIN..END control flow) ---------------------------
+
+
+@register(
+    "sql_scripting_threshold_orders",
+    """
+    WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+    c AS (
+      SELECT ks.k AS k, 100.0 * (1 << ks.k) AS t,
+             (SELECT COUNT(*) FROM orders
+               WHERE o_totalprice > 100.0 * (1 << ks.k)) AS n
+      FROM ks
+    )
+    SELECT CAST(t AS BIGINT) AS threshold,
+           n AS n_above,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice > t / 2)
+             AS n_above_half
+    FROM c WHERE n < 100 ORDER BY k LIMIT 1
+    """,
+)
+def sql_scripting_threshold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4, SQL/PSM BEGIN..END): a data-dependent
+    WHILE loop — double a price threshold until fewer than 100 orders
+    exceed it — written as a compound statement with DECLAREd variables
+    and a scalar-subquery loop condition, the control-flow surface that
+    previously forced a driver-side Python loop. The doubling stays
+    exact (powers of two in a DOUBLE), and the oracle computes the same
+    fixpoint declaratively: the least k with count(> 100·2^k) < 100.
+
+    Scripting is driver-side control flow around ordinary distributed
+    jobs — each WHILE test is one aggregation job, so the loop adds
+    rounds, never data movement; same posture as the graph fixpoints.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("script_orders_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE v_t DOUBLE DEFAULT 100.0;
+          WHILE (SELECT COUNT(*) FROM script_orders_v WHERE o_totalprice > v_t)
+                >= 100 DO
+            SET v_t = v_t * 2;
+          END WHILE;
+          SELECT CAST(v_t AS BIGINT) AS threshold,
+                 (SELECT COUNT(*) FROM script_orders_v
+                   WHERE o_totalprice > v_t) AS n_above,
+                 (SELECT COUNT(*) FROM script_orders_v
+                   WHERE o_totalprice > v_t / 2) AS n_above_half;
+        END
+        """
+    )
+
+
+@register(
+    "sql_variables_identifier_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_variables_identifier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (DECLARE / SET VAR) + the IDENTIFIER() clause:
+    the table name AND the filter value arrive through typed session
+    variables, with IDENTIFIER() turning the string variable into a
+    relation reference — the injection-safe way to template object names
+    (string-concatenated SQL is the alternative). Complements
+    parameterized_sql_orders (named literal params): variables persist
+    across statements in the session, parameters bind per-call.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("idvar_orders_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE v_tbl STRING DEFAULT 'idvar_orders_v'")
+    spark.sql("DECLARE OR REPLACE VARIABLE v_status STRING DEFAULT 'F'")
+    spark.sql("SET VAR v_status = 'O'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM IDENTIFIER(v_tbl)
+        WHERE o_orderstatus = v_status
+        GROUP BY o_orderpriority
+        """
+    )
