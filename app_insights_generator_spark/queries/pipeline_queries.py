@@ -1159,3 +1159,54 @@ def pysource_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("amount_cents").cast("long").alias("amount_sum"),
     )
+
+
+@register(
+    "dpp_join_orders_years",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+    GROUP BY 1
+    """,
+)
+def dpp_join_orders_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact table is year-partitioned and
+    joined to a dimension whose filter (tag = 'keep') is only known at
+    runtime — static pruning can't help, so Spark injects a
+    dynamicpruningexpression subquery that evaluates the dim filter
+    FIRST and scans only the surviving fact partitions. At 100 TB this
+    is the star-schema workhorse: a selective dim predicate prunes the
+    fact scan without the query author naming partitions. Asserted, not
+    hoped: the executed plan must carry dynamicpruningexpression in the
+    fact scan's PartitionFilters. The oracle states the post-pruning
+    semantics directly (years 1995-1996).
+
+    Complements partitioned_parquet_orders (STATIC pruning: literal
+    predicate on the partition column)."""
+    out = os.path.join(_scratch("dpp_orders"), "orders_by_year")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y in (1995, 1996) else "drop") for y in range(1995, 2002)],
+        "d_year int, tag string",
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact.o_year == dim.d_year
+    ).filter(F.col("tag") == "keep")
+    agg = joined.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("sum_cents"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "dynamic partition pruning did not engage on the fact scan"
+    )
+    return agg.select("o_year", "n_orders", "sum_cents")

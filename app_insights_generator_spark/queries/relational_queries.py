@@ -2616,3 +2616,49 @@ def sql_variables_identifier_orders(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY o_orderpriority
         """
     )
+
+
+# --- Collations (Spark 4 collation-aware string semantics) ----------------------
+
+
+@register(
+    "collation_lcase_group_orders",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS p
+      FROM orders
+    )
+    SELECT lower(p) AS priority, COUNT(*) AS n
+    FROM mixed GROUP BY lower(p)
+    """,
+)
+def collation_lcase_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware grouping (Spark 4, SPARK-46830): priorities are
+    deliberately case-mangled per row, then grouped under a UTF8_LCASE
+    collated type — the engine-level answer to case-insensitive
+    semantics that otherwise scatter lower() calls through every
+    predicate (and break on locale edge cases lower() can't express).
+    The group key's DISPLAY value under a collation is whichever variant
+    the aggregation sees first — partition-order dependent — so the
+    gated output re-canonicalizes with lower() and casts back to a plain
+    STRING; the collation is the grouping mechanism, not the emitted
+    value. The oracle states the same semantics with lower() grouping.
+
+    Collation-aware hashing/comparison happens inside Tungsten — no UDF,
+    no extra pass; at scale this is a property of the shuffle key, free.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.expr(
+            "CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)"
+            " ELSE lower(o_orderpriority) END"
+        ).alias("p")
+    )
+    grouped = mixed.select(
+        F.expr("CAST(p AS STRING COLLATE UTF8_LCASE)").alias("pc")
+    ).groupBy("pc").agg(F.count(F.lit(1)).alias("n"))
+    return grouped.select(
+        F.expr("CAST(lower(pc) AS STRING)").alias("priority"), "n"
+    )
