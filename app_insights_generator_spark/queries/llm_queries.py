@@ -3273,3 +3273,76 @@ def negative_samples_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("is_valid"),
     )
+
+
+# --- Hard-negative mining (top similar, different label) -------------------------
+
+
+@register(
+    "hard_negatives_embeddings",
+    """
+    WITH a AS (SELECT vec_id AS a_id, label AS a_label,
+                      embedding::DOUBLE[] AS av
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS n_id, label AS n_label,
+                 embedding::DOUBLE[] AS nv
+          FROM embeddings),
+    s AS (
+      SELECT a_id, n_id,
+             ROUND(CASE WHEN sqrt(list_dot_product(av, av))
+                             * sqrt(list_dot_product(nv, nv)) > 0
+                   THEN list_dot_product(av, nv)
+                        / (sqrt(list_dot_product(av, av))
+                           * sqrt(list_dot_product(nv, nv)))
+                   ELSE 0.0 END + 1e-9, 6) AS cos_sim
+      FROM a, c
+      WHERE n_id <> a_id AND n_label <> a_label
+    ),
+    r AS (SELECT a_id, n_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a_id
+                                    ORDER BY cos_sim DESC, n_id) AS rn
+          FROM s)
+    SELECT a_id, n_id, cos_sim, rn FROM r WHERE rn <= 3
+    """,
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training: per anchor, the 3
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually move a contrastive loss (random negatives, see
+    negative_samples_embeddings, are mostly easy). Ranking is by the
+    ROUNDED similarity with id tie-break in BOTH engines, so rounding
+    can never reorder across the hash.
+
+    The gated form scans anchors×corpus exactly with a bounded anchor
+    set (20) — cost is anchors·N, the same truth-anchor posture as
+    oracle_exact_cosine_pairs. The 100 TB path swaps the exact scan for
+    the IVF/LSH candidate generation already gated (ann_topk_ivf /
+    similarity_join_lsh) and keeps THIS ranking+label-filter stage
+    unchanged — mining quality then degrades only by ANN recall, which
+    ann_recall_ivf_embeddings measures (4900bp@10).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    embs = _embs(spark, sf_dir)
+    anchors = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    corpus = embs.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("nv"),
+    )
+    s = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter((F.col("n_id") != F.col("a_id")) & (F.col("n_label") != F.col("a_label")))
+        .select(
+            "a_id",
+            "n_id",
+            F.round(S.cosine(F.col("av"), F.col("nv")) + 1e-9, 6).alias("cos_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    )
+    return s.withColumn("rn", rn).filter(F.col("rn") <= 3)
