@@ -3346,3 +3346,103 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     )
     return s.withColumn("rn", rn).filter(F.col("rn") <= 3)
+
+
+# --- Curriculum ordering + tokenizer fertility ----------------------------------
+
+
+@register(
+    "curriculum_order_documents",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND({_quality_score_sql()} + 1e-9, 1) AS q
+      FROM documents
+    ),
+    deciled AS (
+      SELECT doc_id, q,
+             NTILE(10) OVER (ORDER BY q, doc_id) AS decile
+      FROM scored
+    ),
+    pos AS (
+      SELECT doc_id, decile,
+             ROW_NUMBER() OVER (PARTITION BY decile ORDER BY doc_id) AS pos
+      FROM deciled
+    )
+    SELECT doc_id, CAST(decile AS BIGINT) AS decile, pos,
+           (pos - 1) * 10 + (decile - 1) AS curriculum_rank
+    FROM pos
+    WHERE (pos - 1) * 10 + (decile - 1) < 200
+    """,
+)
+def curriculum_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-preserving curriculum order: documents are quality-deciled
+    (NTILE over rounded score with doc_id tie-break — the equidepth
+    discipline) and then ROUND-ROBIN interleaved across deciles, so any
+    prefix of the training order carries the full quality distribution —
+    the property a naive quality-sorted order destroys (the model sees
+    only boilerplate for the first epoch chunk). Rank arithmetic is pure
+    integers; the first 200 slots are gated.
+
+    Plan: one pass to score (scalar expressions), the two windows run on
+    (score, id) pairs — at 100 TB the global NTILE becomes the
+    pre-aggregated-histogram decile assignment that
+    length_percentiles_by_source already demonstrates; the interleave
+    stays a projection.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("q"),
+    )
+    deciled = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("q", "doc_id"))
+    )
+    pos = deciled.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("decile").orderBy("doc_id"))
+    )
+    return pos.select(
+        "doc_id",
+        F.col("decile").cast("long").alias("decile"),
+        "pos",
+        F.expr("(pos - 1) * 10 + (decile - 1)").alias("curriculum_rank"),
+    ).filter(F.col("curriculum_rank") < 200)
+
+
+@register(
+    "tokenizer_fertility_documents",
+    r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) * 10000
+             // CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+             AS fertility_bp
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — subword tokens per whitespace
+    word in basis points, the standard multilingual-tokenizer health
+    metric (high fertility = a language pays more sequence length per
+    word, i.e. gets less context and more compute per sentence). Uses
+    the repo's BPE-ish pre-tokenization (letter runs / digit runs /
+    single symbols) against single-space word splits; exact integer
+    sums + DIV, one aggregation pass, |langs| output rows.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "lang",
+        T.bpe_token_count(F.col("text")).cast("long").alias("b"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("w"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("b").alias("n_bpe"),
+        F.sum("w").alias("n_words"),
+        F.expr("SUM(b) * 10000 DIV SUM(w)").alias("fertility_bp"),
+    )
