@@ -86,8 +86,5 @@ def asof_error_context(purchases: DataFrame, errors: DataFrame) -> DataFrame:
     return (
         purchases.groupBy("user_id")
         .cogroup(errors.groupBy("user_id"))
-        .applyInPandas(
-            lambda left, right: _merge_purchase_errors(left, right),
-            schema=ASOF_CONTEXT_SCHEMA,
-        )
+        .applyInPandas(_merge_purchase_errors, schema=ASOF_CONTEXT_SCHEMA)
     )

@@ -456,11 +456,9 @@ def connected_components_star(
         new_e = _small_star(_large_star(e)).localCheckpoint()
         grew = new_e.exceptAll(e).limit(1).count()
         shrank = e.exceptAll(new_e).limit(1).count()
-        old = e
         e = new_e
         if grew == 0 and shrank == 0:
             break
-        del old
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} rounds"

@@ -3252,16 +3252,21 @@ def negative_samples_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered for the round-7 gate window (post-sweep addition)."""
     embs = _embs(spark, sf_dir).select("vec_id", "label")
-    n_vecs = embs.count()
-    cand = embs.select(
-        "vec_id",
-        F.col("label").alias("anchor_label"),
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
-    ).select(
-        "vec_id",
-        "anchor_label",
-        "j",
-        F.expr(f"(vec_id * 2654435761 + j * 40503 + 7) % {n_vecs}").alias("neg_id"),
+    # lazy twin of the oracle's CROSS JOIN n: no eager driver count() job
+    n = embs.agg(F.count(F.lit(1)).alias("n_vecs"))
+    cand = (
+        embs.select(
+            "vec_id",
+            F.col("label").alias("anchor_label"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "anchor_label",
+            "j",
+            F.expr("(vec_id * 2654435761 + j * 40503 + 7) % n_vecs").alias("neg_id"),
+        )
     )
     b = embs.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
     return cand.join(b, "neg_id").select(

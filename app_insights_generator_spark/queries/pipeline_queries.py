@@ -1144,6 +1144,12 @@ def pysource_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_synthetic_events,
     )
 
+    # Deliberately NOT restored in a finally: the returned DataFrame is
+    # lazy and Spark hard-errors if a pushFilters-defining reader executes
+    # with this conf off, so restoring here would break the caller's
+    # collect. The conf only affects Python sources that opt into
+    # pushdown via .option("pushdown", "true"), so leaving it on is inert
+    # for every other query in the session.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register_synthetic_events(spark)
     feed = (
@@ -1163,11 +1169,10 @@ def pysource_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dpp_join_orders_years",
-    """
+    f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS sum_cents
+           CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
     FROM orders
     WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
     GROUP BY 1
@@ -1201,9 +1206,9 @@ def dpp_join_orders_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tag") == "keep")
     agg = joined.groupBy("o_year").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.expr(
-            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
-        ).alias("sum_cents"),
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+            "sum_cents"
+        ),
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), (

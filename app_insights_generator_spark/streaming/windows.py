@@ -194,48 +194,12 @@ def run_to_memory(
     return sdf.sparkSession.table(name)
 
 
-def clicks_before_errors_stream_outer(
-    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+def _click_error_joined(
+    errors: DataFrame, clicks: DataFrame, watermark: str, how: str
 ) -> DataFrame:
-    """LEFT OUTER watermarked stream-stream join: every error emits, with
-    NULL click columns when no same-user click preceded it within 5
-    minutes. The outer side is the operationally interesting one —
-    "errors with no preceding interaction" is the alerting signal — and
-    it exercises the part of the join state machine the inner join
-    never touches: an unmatched error row is held in state and emitted
-    with NULLs only when the watermark passes its join window (so
-    results trail the watermark; with availableNow over a finite source,
-    errors near the end of the data may stay buffered and unemitted —
-    the correct streaming semantics, asserted in tests rather than
-    papered over)."""
-    err = errors.filter(F.col("event_type") == "error").select(
-        F.col("event_id"), F.col("user_id"), F.col("ts")
-    ).withWatermark("ts", watermark)
-    clk = clicks.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_event_id"),
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("c_ts"),
-    ).withWatermark("c_ts", watermark)
-    cond = (
-        (clk.c_user_id == err.user_id)
-        & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
-        & (clk.c_ts < err.ts)
-    )
-    return err.join(clk, cond, "left_outer").select(
-        "event_id", "user_id", "ts", "c_event_id"
-    )
-
-
-def clicks_errors_stream_full_outer(
-    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
-) -> DataFrame:
-    """FULL OUTER watermarked stream-stream join — the last cell of the
-    stream-stream join matrix (inner / left outer / full outer): rows on
-    EITHER side with no 5-minute counterpart are held in state and
-    emitted NULL-padded when the watermark passes their join window.
-    Full-outer requires a watermark + time bound on BOTH inputs (Spark
-    rejects it otherwise — the state would be unbounded on both sides);
-    same trailing-emission caveat as the left-outer variant."""
+    """Shared builder for the watermarked error-vs-click stream joins: one
+    place owns the filters, watermarks, and the 5-minute window bound so
+    the join-matrix variants can never drift apart."""
     err = (
         errors.filter(F.col("event_type") == "error")
         .select(F.col("event_id"), F.col("user_id"), F.col("ts"))
@@ -255,6 +219,38 @@ def clicks_errors_stream_full_outer(
         & (clk.c_ts >= err.ts - F.expr("INTERVAL 5 MINUTE"))
         & (clk.c_ts < err.ts)
     )
-    return err.join(clk, cond, "full_outer").select(
+    return err.join(clk, cond, how)
+
+
+def clicks_before_errors_stream_outer(
+    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every error emits, with
+    NULL click columns when no same-user click preceded it within 5
+    minutes. The outer side is the operationally interesting one —
+    "errors with no preceding interaction" is the alerting signal — and
+    it exercises the part of the join state machine the inner join
+    never touches: an unmatched error row is held in state and emitted
+    with NULLs only when the watermark passes its join window (so
+    results trail the watermark; with availableNow over a finite source,
+    errors near the end of the data may stay buffered and unemitted —
+    the correct streaming semantics, asserted in tests rather than
+    papered over)."""
+    return _click_error_joined(errors, clicks, watermark, "left_outer").select(
+        "event_id", "user_id", "ts", "c_event_id"
+    )
+
+
+def clicks_errors_stream_full_outer(
+    errors: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — the last cell of the
+    stream-stream join matrix (inner / left outer / full outer): rows on
+    EITHER side with no 5-minute counterpart are held in state and
+    emitted NULL-padded when the watermark passes their join window.
+    Full-outer requires a watermark + time bound on BOTH inputs (Spark
+    rejects it otherwise — the state would be unbounded on both sides);
+    same trailing-emission caveat as the left-outer variant."""
+    return _click_error_joined(errors, clicks, watermark, "full_outer").select(
         "event_id", "user_id", "c_event_id", "c_user_id"
     )
