@@ -372,3 +372,57 @@ def test_ks_drift_preaggregates_before_global_window(spark, sf_dir):
     # executed plans print top-down: the Window consuming the aggregate
     # appears ABOVE it in the string
     assert win_pos < agg_pos, plan
+
+
+def test_skyline_frontier_broadcast_no_cartesian(spark, sf_dir):
+    """The frontier joins back onto part as a broadcast hash join; the
+    global window runs on the tier table, never the fact scan."""
+    plan = _plan(spark, sf_dir, "skyline_parts_price_size")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_markov_single_sequence_shuffle_then_tiny_window(spark, sf_dir):
+    """One per-user window shuffle + one matrix groupBy; the row-total
+    window runs over the |types|^2 matrix (appears above the final
+    aggregate in the printed plan)."""
+    plan = _plan(spark, sf_dir, "markov_transitions_events")
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_spans_one_window_no_python(spark, sf_dir):
+    """The chunker is a prefix-sum window + JVM explode: no Python
+    evaluation anywhere, exactly one Window node, and the explode
+    (Generate) sits above it."""
+    plan = _plan(spark, sf_dir, "chunk_spans_documents")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "Generate" in plan, plan
+
+
+def test_frequent_pairs_no_fact_self_join(spark, sf_dir):
+    """Basket form: pairs come from per-order arrays (Generate above the
+    basket aggregate), never a lineitem self-join."""
+    plan = _plan(spark, sf_dir, "frequent_part_pairs_lineitem")
+    assert "Generate" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_pmi_marginals_broadcast(spark, sf_dir):
+    """Marginals and the grand total re-aggregate the count table and
+    return as broadcasts — the corpus is scanned once, joins are all
+    broadcast-side."""
+    plan = _plan(spark, sf_dir, "pmi_collocations_documents")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_quantize_embeddings_pure_projection(spark, sf_dir):
+    """int8 quantization is a zero-exchange projection: higher-order
+    functions only, no shuffle, no Python."""
+    plan = _plan(spark, sf_dir, "quantize_embeddings_int8")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
