@@ -1046,3 +1046,72 @@ def acf_daily_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(n_pairs * syy - sy * sy AS DOUBLE))"
         ).alias("acf"),
     )
+
+
+# --- Deterministic Poisson bootstrap ------------------------------------------
+
+
+def _poisson_w(u: str) -> str:
+    """Poisson(1) inverse CDF over a uniform int in [0,10000) — thresholds
+    are round(CDF*10000); identical text both engines."""
+    return (
+        f"CASE WHEN {u} < 3679 THEN 0 WHEN {u} < 7358 THEN 1"
+        f" WHEN {u} < 9197 THEN 2 WHEN {u} < 9810 THEN 3"
+        f" WHEN {u} < 9963 THEN 4 WHEN {u} < 9994 THEN 5"
+        f" WHEN {u} < 9999 THEN 6 ELSE 7 END"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        _sha_bucket_sql,
+    )
+
+    u = _sha_bucket_sql("o_orderkey * 64 + j.j", 10000)
+    return f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS j),
+    w AS (
+      SELECT j.j AS replicate, {_poisson_w(u)} AS w,
+             {_x.sql_cents('o_totalprice')} AS cents
+      FROM orders, reps j
+    )
+    SELECT replicate,
+           CAST(SUM(w) AS BIGINT) AS n_sampled,
+           CAST(SUM(w * cents) AS BIGINT) AS boot_sum_cents
+    FROM w GROUP BY replicate
+    """
+
+
+@register("poisson_bootstrap_orders", _bootstrap_oracle())
+def poisson_bootstrap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) for the total-
+    revenue sampling distribution, with ZERO randomness: each (row,
+    replicate) draws its Poisson(1) resample weight from a sha-bucket
+    uniform through the inverse CDF — the repo's deterministic-sampling
+    rule extended to resampling, so confidence intervals are
+    reproducible across engines, partitionings, and reruns. 32
+    replicates emit exact integer (count, cents) sums; percentiles of
+    those 32 numbers are the CI downstream.
+
+    This is THE estimator for CIs at 100 TB: unlike classic bootstrap
+    (which needs N draws WITH replacement = a global shuffle per
+    replicate), Poisson weights are row-local — one scan computes all B
+    replicates with a 32x explode and a groupBy, map-side combinable,
+    no shuffle of the fact table at all.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    u = "(CAST(conv(substring(sha2(CAST(o_orderkey * 64 + j AS STRING), 256), 1, 4), 16, 10) AS INT) % 10000)"
+    w = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        F.col("o_totalprice"),
+        F.col("o_orderkey"),
+    ).select(
+        F.col("j").alias("replicate"),
+        F.expr(_poisson_w(u)).alias("w"),
+        _x.cents("o_totalprice").alias("cents"),
+    )
+    return w.groupBy("replicate").agg(
+        F.sum("w").cast("long").alias("n_sampled"),
+        F.expr("CAST(SUM(w * cents) AS BIGINT)").alias("boot_sum_cents"),
+    )
