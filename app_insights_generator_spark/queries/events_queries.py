@@ -1686,3 +1686,130 @@ def pit_features_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click_cents_asof").alias("last_click_cents"),
         F.col("last_view_cents_asof").alias("last_view_cents"),
     )
+
+
+# --- Time-series bars: OHLC + time-weighted average ----------------------------
+
+
+@register(
+    "ohlc_hourly_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                                ORDER BY epoch_us(ts), event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, hour_idx,
+           MAX(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           MAX(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+           COUNT(*) AS n_events
+    FROM base GROUP BY event_type, hour_idx
+    """,
+)
+def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event type, hour) — the time-series
+    downsampling shape every monitoring/market pipeline emits: open and
+    close picked by deterministic (ts, event_id) endpoint ranking (first/
+    last alone are partition-order dependent in Spark — the same trap as
+    collect_list), high/low/volume as plain aggregates, values in exact
+    integer cents. One window shuffle on (type, hour) feeding the
+    groupBy on the same key — AQE reuses the partitioning, so the bars
+    cost one exchange.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        _us(F.col("ts")).alias("us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    ).withColumn("hour_idx", F.expr("us DIV 3600000000"))
+    by_hour = Window.partitionBy("event_type", "hour_idx")
+    base = ev.select(
+        "event_type",
+        "hour_idx",
+        "cents",
+        F.row_number().over(by_hour.orderBy("us", "event_id")).alias("rn_open"),
+        F.row_number()
+        .over(by_hour.orderBy(F.desc("us"), F.desc("event_id")))
+        .alias("rn_close"),
+    )
+    return base.groupBy("event_type", "hour_idx").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("cents"))).alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "twap_daily_user_events",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+             epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, day_idx, cents,
+             COALESCE(LEAD(us) OVER (PARTITION BY user_id, day_idx
+                                     ORDER BY us, event_id),
+                      (day_idx + 1) * 86400000000) - us AS w_us
+      FROM base
+    )
+    SELECT user_id, day_idx,
+           CAST(SUM(w_us) AS BIGINT) AS held_us,
+           CAST(SUM(w_us * cents) AS BIGINT) AS weighted_cents_us,
+           CAST(SUM(w_us * cents) AS DOUBLE) / CAST(SUM(w_us) AS BIGINT)
+             AS twap_cents
+    FROM seg GROUP BY user_id, day_idx
+    """,
+)
+def twap_daily_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average value per user-day over an irregular event
+    stream — each observation holds until the next one (step
+    interpolation, closing at the day boundary), so a value that stood
+    for 6 hours outweighs a flurry of 1-second ticks: the correct
+    average for irregularly-sampled state (plain AVG is sampling-rate
+    biased). Weights are exact integer microseconds from one LEAD
+    window; the numerator/denominator sums stay BIGINT (max day-span ×
+    cents ≈ 8.6e15 per user-day) and the emitted ratio is a single IEEE
+    division of the two exact sums.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    base = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        _us(F.col("ts")).alias("us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    ).withColumn("day_idx", F.expr("us DIV 86400000000"))
+    nxt = Window.partitionBy("user_id", "day_idx").orderBy("us", "event_id")
+    seg = base.select(
+        "user_id",
+        "day_idx",
+        "cents",
+        (
+            F.coalesce(
+                F.lead("us").over(nxt), (F.col("day_idx") + 1) * 86_400_000_000
+            )
+            - F.col("us")
+        ).alias("w_us"),
+    )
+    return seg.groupBy("user_id", "day_idx").agg(
+        F.sum("w_us").cast("long").alias("held_us"),
+        F.expr("CAST(SUM(w_us * cents) AS BIGINT)").alias("weighted_cents_us"),
+        F.expr(
+            "CAST(SUM(w_us * cents) AS DOUBLE) / CAST(SUM(w_us) AS BIGINT)"
+        ).alias("twap_cents"),
+    )
