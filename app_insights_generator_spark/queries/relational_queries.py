@@ -2662,3 +2662,42 @@ def collation_lcase_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         F.expr("CAST(lower(pc) AS STRING)").alias("priority"), "n"
     )
+
+
+# --- SQL table-valued function (CREATE FUNCTION ... RETURNS TABLE) ---------------
+
+
+@register(
+    "sql_table_function_orders",
+    f"""
+    SELECT {_x.sql_cents('o_totalprice')} // 5000000 * 5000000 AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sql_table_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE-VALUED FUNCTION (CREATE FUNCTION ... RETURNS TABLE,
+    Spark 4): a parameterized price-histogram relation invoked FROM the
+    function — the catalog-level reusable-view-with-arguments the scalar
+    SQL UDF (sql_udf_revenue_lineitem) can't express. The body is
+    ordinary SQL over a view, so the planner inlines it: the invocation
+    plans exactly like the underlying aggregate (no UDF boundary, full
+    codegen). Bucket arithmetic is exact integer cents; the oracle is
+    the inlined body at the same argument.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tvf_orders_v")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_buckets(width BIGINT)
+        RETURNS TABLE(bucket BIGINT, n_orders BIGINT, sum_cents BIGINT)
+        RETURN SELECT {_x.sql_cents('o_totalprice')} DIV width * width AS bucket,
+                      COUNT(*) AS n_orders,
+                      CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+               FROM tvf_orders_v
+               GROUP BY 1
+        """
+    )
+    return spark.sql("SELECT * FROM price_buckets(CAST(5000000 AS BIGINT))")
