@@ -2701,3 +2701,76 @@ def sql_table_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM price_buckets(CAST(5000000 AS BIGINT))")
+
+
+# --- Entity resolution end-to-end (block -> verify -> cluster -> canonical) ------
+
+
+@register(
+    "entity_resolution_parts",
+    """
+    WITH RECURSIVE p AS (SELECT p_partkey, p_brand, p_name FROM part),
+    truth AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND a.p_name <> b.p_name
+        AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM truth
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM truth
+    ),
+    walk(node, comp) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comps AS (SELECT node, MIN(comp) AS canonical FROM walk GROUP BY node)
+    SELECT canonical, COUNT(*) AS n_members,
+           CAST(SUM(node) AS BIGINT) AS member_key_sum
+    FROM comps GROUP BY canonical HAVING COUNT(*) >= 2
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END, composed entirely from gated stages:
+    blocked candidate generation (brand key + lossless length band) ->
+    edit-distance verify (levenshtein <= 2) -> transitive clustering
+    (hash-min connected components) -> min-key canonical per duplicate
+    cluster. The text-record sibling of image_dedup_canonical: the
+    standard MDM/dedup workload a reference user would otherwise bolt
+    together by hand, with the oracle recomputing the closure via a
+    recursive CTE. Emits per-cluster membership summaries (clusters of
+    >= 2), which pin every cluster assignment through the key sum.
+
+    Scale posture inherited from the stages: blocking bounds the
+    verify's pair space, components is one shuffle per round on a
+    shallow graph, and the final rollup is cluster-count sized.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.dedup import connected_components
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2)
+            & (F.col("a.p_name") != F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b"))
+    )
+    comps = connected_components(pairs, p, "p_partkey")
+    return (
+        comps.groupBy(F.col("component").alias("canonical"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("p_partkey").cast("long").alias("member_key_sum"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
