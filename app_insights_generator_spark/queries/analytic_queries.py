@@ -1115,3 +1115,101 @@ def poisson_bootstrap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("n_sampled"),
         F.expr("CAST(SUM(w * cents) AS BIGINT)").alias("boot_sum_cents"),
     )
+
+
+# --- Diagonal Mahalanobis outliers ---------------------------------------------
+
+
+def _mahal_term(x: str, s: str, q: str) -> str:
+    """One column's ((x-mean)^2 / variance) with mean/var from exact sums;
+    the SAME text runs in Spark (F.expr) and DuckDB, so every IEEE op
+    matches."""
+    m = f"(CAST({s} AS DOUBLE) / n)"
+    return (
+        f"((CAST({x} AS DOUBLE) - {m}) * (CAST({x} AS DOUBLE) - {m})"
+        f" / ({q} / n - {m} * {m}))"
+    )
+
+
+_MAHAL_SCORE = (
+    "ROUND("
+    + " + ".join(
+        _mahal_term(x, s, q)
+        for x, s, q in [
+            ("q", "s_q", "qq_q"),
+            ("pc", "s_pc", "qq_pc"),
+            ("db", "s_db", "qq_db"),
+            ("tb", "s_tb", "qq_tb"),
+        ]
+    )
+    + " + 1e-9, 6)"
+)
+
+_MAHAL_X = """
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS db,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tb
+      FROM lineitem
+"""
+
+_MAHAL_MOM = """
+      SELECT COUNT(*) AS n,
+             CAST(SUM(q) AS BIGINT) AS s_q,
+             CAST(SUM(CAST(q AS DECIMAL(18,0)) * q) AS DOUBLE) AS qq_q,
+             CAST(SUM(pc) AS BIGINT) AS s_pc,
+             CAST(SUM(CAST(pc AS DECIMAL(18,0)) * pc) AS DOUBLE) AS qq_pc,
+             CAST(SUM(db) AS BIGINT) AS s_db,
+             CAST(SUM(CAST(db AS DECIMAL(18,0)) * db) AS DOUBLE) AS qq_db,
+             CAST(SUM(tb) AS BIGINT) AS s_tb,
+             CAST(SUM(CAST(tb AS DECIMAL(18,0)) * tb) AS DOUBLE) AS qq_tb
+      FROM x
+"""
+
+
+@register(
+    "mahalanobis_outliers_lineitem",
+    f"""
+    WITH x AS ({_MAHAL_X}),
+    mom AS ({_MAHAL_MOM})
+    SELECT l_orderkey, l_linenumber, {_MAHAL_SCORE} AS m2
+    FROM x, mom
+    ORDER BY m2 DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def mahalanobis_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier scan: diagonal Mahalanobis distance over the
+    four numeric lineitem measures — the first stats question asked of
+    any new fact table ("which rows are weird across ALL columns at
+    once", where per-column z-scores miss jointly-odd rows). Moments are
+    EXACT: integer sums for the means, DECIMAL(38) sums for the squares
+    (cents² × 600k rows ≈ 6e19 overflows int64 at sf0.1 — the ACF lesson
+    applied before the driver finds it), and the per-row score is built
+    from ONE expression string shared verbatim by F.expr and the oracle,
+    so every IEEE operation matches by construction. Rounded score +
+    full-key tie-break makes the top-20 stable.
+
+    Plan: one aggregation pass for the 1-row moment table, broadcast
+    cross join back, TakeOrderedAndProject for the top-k — two scans
+    total, no shuffle of the fact table.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS q",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc",
+        "CAST(ROUND(l_discount * 100) AS BIGINT) AS db",
+        "CAST(ROUND(l_tax * 100) AS BIGINT) AS tb",
+    )
+    x.createOrReplaceTempView("x")
+    mom = spark.sql(_MAHAL_MOM)
+    return (
+        x.crossJoin(F.broadcast(mom))
+        .selectExpr("l_orderkey", "l_linenumber", f"{_MAHAL_SCORE} AS m2")
+        .orderBy(F.desc("m2"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
