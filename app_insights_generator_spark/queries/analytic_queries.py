@@ -1205,8 +1205,8 @@ def mahalanobis_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         "CAST(ROUND(l_discount * 100) AS BIGINT) AS db",
         "CAST(ROUND(l_tax * 100) AS BIGINT) AS tb",
     )
-    x.createOrReplaceTempView("x")
-    mom = spark.sql(_MAHAL_MOM)
+    x.createOrReplaceTempView("mahal_x_v")
+    mom = spark.sql(_MAHAL_MOM.replace("FROM x", "FROM mahal_x_v"))
     return (
         x.crossJoin(F.broadcast(mom))
         .selectExpr("l_orderkey", "l_linenumber", f"{_MAHAL_SCORE} AS m2")
