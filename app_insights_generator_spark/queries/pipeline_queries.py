@@ -1215,3 +1215,49 @@ def dpp_join_orders_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dynamic partition pruning did not engage on the fact scan"
     )
     return agg.select("o_year", "n_orders", "sum_cents")
+
+
+@register(
+    "dynamic_partition_overwrite_orders",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN {_x.sql_cents('o_totalprice')} * 2
+                         ELSE {_x.sql_cents('o_totalprice')} END) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def dynamic_partition_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (partitionOverwriteMode=dynamic): the
+    partition-restatement pattern — a correction job rewrites ONLY the
+    partitions it produces rows for ('P' gets doubled prices) while
+    every other partition's files stay untouched; static overwrite mode
+    would have wiped the whole table root. This is how 100 TB
+    Hive-layout tables take late corrections without a full rewrite
+    (and without a table format). The read-back aggregate gates the
+    merged state: F/O untouched, P restated — so both the overwrite
+    selectivity and the non-destruction of sibling partitions hash.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    out = os.path.join(_scratch("dynpart_orders"), "orders_by_status")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _x.cents("o_totalprice").alias("cents")
+    )
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    restated = o.filter(F.col("o_orderstatus") == "P").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    (
+        restated.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
