@@ -54,6 +54,27 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 # fix, incremental BPE trainer, jsonl append sink, mp4 multi-track/
 # mdhd-v1 bounds). The back stays padded with r-green rows
 # (re-confirmation is free signal).
+#
+# ROUND-7 ROTATION CHECKLIST (post-sweep r06 additions, all oracle-green
+# at sf0.01 AND sf0.1 locally but never driver-sampled — rotate these to
+# the window head in round 7, dropping r-green padding from the back):
+#   video_scene_changes_mp4, pipe_syntax_orders_monthly,
+#   image_patchify_features, image_dedup_canonical, audio_decimate_wav,
+#   cogroup_purchase_error_asof_events, skyline_parts_price_size,
+#   markov_transitions_events, acf_daily_revenue_orders,
+#   pmi_collocations_documents, frequent_part_pairs_lineitem,
+#   journey_patterns_events, arrow_adaptive_histogram_documents,
+#   label_propagation_nation_trade, pysource_pushdown_events,
+#   chunk_spans_documents, quantize_embeddings_int8,
+#   dedup_components_star_documents, pit_features_purchases,
+#   negative_samples_embeddings, sql_scripting_threshold_orders,
+#   sql_variables_identifier_orders, dpp_join_orders_years,
+#   collation_lcase_group_orders, hard_negatives_embeddings,
+#   curriculum_order_documents, tokenizer_fertility_documents,
+#   poisson_bootstrap_orders, ohlc_hourly_events,
+#   twap_daily_user_events, sql_table_function_orders,
+#   entity_resolution_parts, mahalanobis_outliers_lineitem,
+#   dynamic_partition_overwrite_orders
 _GATE_PRIORITY = [
     # (a) r05 reds — oracle HUGEINT casts landed, must sample green
     "schema_evolution_mergeschema",
