@@ -426,3 +426,34 @@ def test_quantize_embeddings_pure_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quantize_embeddings_int8")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_poisson_bootstrap_no_fact_shuffle(spark, sf_dir):
+    """All 32 replicates come from one scan + explode + one aggregation
+    exchange on the 32-key replicate column — never a per-replicate
+    shuffle of orders (the reason Poisson beats classic bootstrap)."""
+    plan = _plan(spark, sf_dir, "poisson_bootstrap_orders")
+    assert "Generate" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    """Endpoint windows and the bar aggregate share the (type, hour)
+    partitioning: at most the one hash exchange plus window sorts."""
+    plan = _plan(spark, sf_dir, "ohlc_hourly_events")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_twap_single_exchange(spark, sf_dir):
+    """LEAD window and the user-day aggregate share one partitioning."""
+    plan = _plan(spark, sf_dir, "twap_daily_user_events")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_mahalanobis_broadcast_moments_topk(spark, sf_dir):
+    """The 1-row moment table broadcasts back and the top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "mahalanobis_outliers_lineitem")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
