@@ -425,6 +425,7 @@ def connected_components_star(
     ids: DataFrame,
     id_col: str,
     max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -452,12 +453,14 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    for rounds in range(1, max_rounds + 1):
         new_e = _small_star(_large_star(e)).localCheckpoint()
         grew = new_e.exceptAll(e).limit(1).count()
         shrank = e.exceptAll(new_e).limit(1).count()
         e = new_e
         if grew == 0 and shrank == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
     else:
         raise RuntimeError(

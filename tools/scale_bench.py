@@ -646,6 +646,36 @@ def bench_cogroup(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_starcc(spark, scales: list[int]) -> list[dict]:
+    """Star connected components: rounds-to-converge vs PATH length
+    (diameter). Claim: O(log n) rounds independent of diameter, where
+    hash-min needs diameter rounds."""
+    from app_insights_generator_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rows = []
+    for s in scales:
+        n = 100 * s
+        edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+        ids = spark.createDataFrame([(i,) for i in range(n + 1)], ["doc_id"])
+        stats: dict = {}
+        t0 = time.time()
+        labels = connected_components_star(edges, ids, "doc_id", max_rounds=25, stats=stats)
+        ok = labels.agg(F.max("component")).first()[0] == 0
+        dt = time.time() - t0
+        rows.append(
+            {
+                "path_len": n,
+                "diameter": n,
+                "star_rounds": stats.get("rounds"),
+                "one_component": int(ok),
+                "starcc_s": round(dt, 2),
+            }
+        )
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
@@ -708,6 +738,9 @@ def main() -> None:
     if want("cogroup"):
         print("\n## cogrouped as-of merge wall-clock vs events\n")
         print(md_table(bench_cogroup(spark, scales)))
+    if want("starcc"):
+        print("\n## star connected components: rounds vs path diameter\n")
+        print(md_table(bench_starcc(spark, scales)))
 
 
 if __name__ == "__main__":
