@@ -1070,11 +1070,12 @@ def _bootstrap_oracle() -> str:
     u = _sha_bucket_sql("o_orderkey * 64 + j.j", 10000)
     return f"""
     WITH reps AS (SELECT unnest(range(0, 32)) AS j),
-    w AS (
-      SELECT j.j AS replicate, {_poisson_w(u)} AS w,
+    u AS (
+      SELECT j.j AS replicate, {u} AS u,
              {_x.sql_cents('o_totalprice')} AS cents
       FROM orders, reps j
-    )
+    ),
+    w AS (SELECT replicate, {_poisson_w('u')} AS w, cents FROM u)
     SELECT replicate,
            CAST(SUM(w) AS BIGINT) AS n_sampled,
            CAST(SUM(w * cents) AS BIGINT) AS boot_sum_cents
@@ -1101,6 +1102,9 @@ def poisson_bootstrap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered for the round-7 gate window (post-sweep addition)."""
     o = _t(spark, sf_dir, "orders")
+    # bucket computed ONCE as a column, then the CASE reads it — one sha
+    # per (row, replicate) instead of one per CASE branch (no reliance on
+    # cross-branch CSE in either engine)
     u = "(CAST(conv(substring(sha2(CAST(o_orderkey * 64 + j AS STRING), 256), 1, 4), 16, 10) AS INT) % 10000)"
     w = o.select(
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
@@ -1108,8 +1112,12 @@ def poisson_bootstrap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey"),
     ).select(
         F.col("j").alias("replicate"),
-        F.expr(_poisson_w(u)).alias("w"),
+        F.expr(u).alias("u"),
         _x.cents("o_totalprice").alias("cents"),
+    ).select(
+        "replicate",
+        F.expr(_poisson_w("u")).alias("w"),
+        "cents",
     )
     return w.groupBy("replicate").agg(
         F.sum("w").cast("long").alias("n_sampled"),

@@ -2715,7 +2715,6 @@ def sql_table_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p a JOIN p b
         ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
-        AND a.p_name <> b.p_name
         AND levenshtein(a.p_name, b.p_name) <= 2
     ),
     edges AS (
@@ -2739,7 +2738,10 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked candidate generation (brand key + lossless length band) ->
     edit-distance verify (levenshtein <= 2) -> transitive clustering
     (hash-min connected components) -> min-key canonical per duplicate
-    cluster. The text-record sibling of image_dedup_canonical: the
+    cluster — byte-identical names included (unlike
+    fuzzy_join_part_names, whose not-equal filter is correct for
+    "fuzzy" but would drop ER's most certain matches). The text-record
+    sibling of image_dedup_canonical: the
     standard MDM/dedup workload a reference user would otherwise bolt
     together by hand, with the oracle recomputing the closure via a
     recursive CTE. Emits per-cluster membership summaries (clusters of
@@ -2759,8 +2761,7 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2)
-            & (F.col("a.p_name") != F.col("b.p_name")),
+            & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2),
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
         .select(F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b"))

@@ -390,6 +390,9 @@ def test_markov_single_sequence_shuffle_then_tiny_window(spark, sf_dir):
     win_pos = plan.find("Window")
     agg_pos = plan.rfind("HashAggregate")
     assert win_pos != -1 and agg_pos != -1
+    # the row-total Window consumes the matrix aggregate, so it prints
+    # ABOVE the deepest (fact-side partial) HashAggregate
+    assert win_pos < agg_pos, plan
     assert "CartesianProduct" not in plan, plan
 
 

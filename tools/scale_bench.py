@@ -683,7 +683,7 @@ def main() -> None:
         "--only",
         default=None,
         help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,"
-        "incremental,sssp,bfs,prefix_join,dhash",
+        "incremental,sssp,bfs,prefix_join,dhash,lpa,chunk,cogroup,starcc",
     )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
