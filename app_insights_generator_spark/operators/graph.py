@@ -475,3 +475,74 @@ def connected_components_star(
             F.coalesce("component", F.col("node")).alias("component"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999) -> [node, hub, authority] in integer
+    fixed-point: authority(v) = Σ hub(u) over in-edges, hub(u) =
+    Σ authority(v) over out-edges, each renormalized to total mass
+    ``scale`` per half-step (s * scale DIV total — exact integer, so the
+    recurrence unrolls into SQL like pagerank's). Fixed iteration count,
+    no driver state beyond the loop counter; one shuffle per half-step
+    (edges join scores on one side, sum per other side).
+
+    The mutually-recursive twin of pagerank's single-score recurrence —
+    together they cover both classic link-analysis formulations.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: empty edge list")
+    hub = nodes.select("node", F.lit(scale // n).cast("long").alias("s"))
+    auth = None
+    for _ in range(iterations):
+        raw_auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        auth = _renorm(nodes, raw_auth, scale)
+        raw_hub = (
+            e.join(auth.withColumnRenamed("node", "dst").withColumnRenamed("s", "a"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hub = _renorm(nodes, raw_hub, scale)
+    return (
+        nodes.join(hub.withColumnRenamed("s", "hub"), "node", "left")
+        .join(auth.withColumnRenamed("s", "authority"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+        )
+    )
+
+
+def _renorm(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
+    """Integer renormalization to total mass ``scale``: s = raw * scale
+    DIV Σraw (Σraw > 0 whenever the graph has any edge)."""
+    total = raw.agg(F.sum("raw").alias("t"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            F.expr("coalesce(raw, 0L) * CAST(%d AS BIGINT) DIV t" % scale)
+            .cast("long")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )

@@ -2775,3 +2775,69 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# --- iterative graph: HITS hubs & authorities -----------------------------------
+
+
+def _hits_oracle(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled-iteration SQL twin of operators/graph.py hits: per
+    half-step, an edge-join sum then integer renormalization to total
+    mass ``scale`` (COALESCE + CAST before the divide — DuckDB SUMs to
+    HUGEINT, the r05 red class)."""
+
+    def renorm(tag: str, raw: str) -> str:
+        return (
+            f"{tag}_t AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM {raw}),\n"
+            f"{tag} AS (SELECT nodes.node,"
+            f" CAST(COALESCE(r.raw, 0) AS BIGINT) * {scale} // t AS s"
+            f" FROM nodes LEFT JOIN {raw} r ON r.node = nodes.node, {tag}_t)"
+        )
+
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "meta AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"h0 AS (SELECT node, {scale} // n AS s FROM nodes, meta)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i}_raw AS (
+      SELECT e.dst AS node, CAST(SUM(h{i - 1}.s) AS BIGINT) AS raw
+      FROM edges e JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(renorm(f"a{i}", f"a{i}_raw"))
+        ctes.append(
+            f"""h{i}_raw AS (
+      SELECT e.src AS node, CAST(SUM(a{i}.s) AS BIGINT) AS raw
+      FROM edges e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(renorm(f"h{i}", f"h{i}_raw"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT nodes.node AS node,
+           CAST(COALESCE(h{iterations}.s, 0) AS BIGINT) AS hub,
+           CAST(COALESCE(a{iterations}.s, 0) AS BIGINT) AS authority
+    FROM nodes
+    LEFT JOIN h{iterations} ON h{iterations}.node = nodes.node
+    LEFT JOIN a{iterations} ON a{iterations}.node = nodes.node"""
+    )
+
+
+@register("hits_nation_trade", _hits_oracle())
+def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the nation trade graph (3 iterations,
+    integer fixed-point with per-half-step renormalization to 1e6 total
+    mass) — the mutually-recursive link-analysis twin of
+    pagerank_nation_trade: customer nations that BUY broadly are hubs,
+    supplier nations BOUGHT from broadly are authorities. Every step is
+    exact integer arithmetic (edge-join sum, then raw*scale DIV total),
+    so the unrolled-CTE oracle matches bit-for-bit; one shuffle per
+    half-step, driver state none (operators/graph.py hits).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.graph import hits
+
+    return hits(_nation_trade_edges(spark, sf_dir), iterations=3)
