@@ -229,3 +229,16 @@ def test_star_components_match_hashmin_and_beat_diameter(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, ids, "doc_id", max_iterations=12)
+
+
+def test_hits_star_graph_semantics(spark):
+    from app_insights_generator_spark.operators.graph import hits
+
+    # star pointing IN: 1,2,3 -> 0. Node 0 is the only authority; the
+    # three spokes split all hub mass equally.
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], ["src", "dst"])
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iterations=3).collect()}
+    assert got[0][1] == 1_000_000 and got[0][0] == 0
+    for n in (1, 2, 3):
+        assert got[n][1] == 0
+        assert abs(got[n][0] - 333_333) <= 1  # integer renorm floor
