@@ -39,22 +39,12 @@ _USEC_PER_SEC = 1_000_000
 _WINDOW_US = 3_600 * _USEC_PER_SEC
 
 
-def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
-    """For each purchase row: seconds since the user's most recent error
-    at-or-before it (NULL if none) and the count of errors in the
-    inclusive [ts - 1h, ts] window. Pure integer microsecond arithmetic
-    so the DuckDB oracle (epoch_us + ``//``) matches bit-for-bit."""
-    if purchases.empty:
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series(dtype="int64"),
-                "event_id": pd.Series(dtype="int64"),
-                "gap_s": pd.Series(dtype="Int64"),
-                "errors_1h": pd.Series(dtype="int64"),
-            }
-        )
-    p_us = purchases["ts_us"].to_numpy(dtype="int64")
-    e_us = np.sort(errors["ts_us"].to_numpy(dtype="int64")) if len(errors) else np.empty(0, dtype="int64")
+def _asof_arrays(p_us: "np.ndarray", e_us: "np.ndarray"):
+    """Pure-numpy core shared by the pandas and arrow merges: for sorted
+    error times e_us, per purchase time -> (gap seconds, has-prior mask,
+    trailing-hour count). Integer microsecond arithmetic so the DuckDB
+    oracle (epoch_us + ``//``) matches bit-for-bit."""
+    e_us = np.sort(e_us)
     # idx = #errors with ts <= purchase ts (side='right' keeps equality);
     # lo  = first error index >= ts - 1h (side='left' keeps equality).
     idx = np.searchsorted(e_us, p_us, side="right")
@@ -64,14 +54,67 @@ def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.
         gap = (p_us - e_us[np.maximum(idx - 1, 0)]) // _USEC_PER_SEC
     else:  # no errors for this key: every gap is NULL
         gap = np.zeros(len(p_us), dtype="int64")
-    gap_col = pd.array(np.where(has_prior, gap, 0), dtype="Int64")
+    return np.where(has_prior, gap, 0), has_prior, (idx - lo).astype("int64")
+
+
+def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
+    """For each purchase row: seconds since the user's most recent error
+    at-or-before it (NULL if none) and the count of errors in the
+    inclusive [ts - 1h, ts] window."""
+    if purchases.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "gap_s": pd.Series(dtype="Int64"),
+                "errors_1h": pd.Series(dtype="int64"),
+            }
+        )
+    gap, has_prior, n1h = _asof_arrays(
+        purchases["ts_us"].to_numpy(dtype="int64"),
+        errors["ts_us"].to_numpy(dtype="int64"),
+    )
+    gap_col = pd.array(gap, dtype="Int64")
     gap_col[~has_prior] = pd.NA
     return pd.DataFrame(
         {
             "user_id": purchases["user_id"].to_numpy(dtype="int64"),
             "event_id": purchases["event_id"].to_numpy(dtype="int64"),
             "gap_s": gap_col,
-            "errors_1h": (idx - lo).astype("int64"),
+            "errors_1h": n1h,
+        }
+    )
+
+
+def _merge_purchase_errors_arrow(purchases, errors):
+    """Arrow-native twin of :func:`_merge_purchase_errors`
+    (cogroup().applyInArrow): the group crosses as pyarrow Tables, the
+    numpy core reads the Arrow buffers directly (zero pandas
+    materialization), and NULL gaps travel as an Arrow validity mask."""
+    import pyarrow as pa
+
+    if purchases.num_rows == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+                "errors_1h": pa.array([], pa.int64()),
+            }
+        )
+    p_us = purchases.column("ts_us").combine_chunks().to_numpy()
+    e_us = (
+        errors.column("ts_us").combine_chunks().to_numpy()
+        if errors.num_rows
+        else np.empty(0, dtype="int64")
+    )
+    gap, has_prior, n1h = _asof_arrays(p_us, e_us)
+    return pa.table(
+        {
+            "user_id": purchases.column("user_id").combine_chunks(),
+            "event_id": purchases.column("event_id").combine_chunks(),
+            "gap_s": pa.array(gap, pa.int64(), mask=~has_prior),
+            "errors_1h": pa.array(n1h, pa.int64()),
         }
     )
 
@@ -87,4 +130,17 @@ def asof_error_context(purchases: DataFrame, errors: DataFrame) -> DataFrame:
         purchases.groupBy("user_id")
         .cogroup(errors.groupBy("user_id"))
         .applyInPandas(_merge_purchase_errors, schema=ASOF_CONTEXT_SCHEMA)
+    )
+
+
+def asof_error_context_arrow(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """Arrow-native variant of :func:`asof_error_context` via
+    cogroup().applyInArrow — same inputs, same output, one
+    serialization layer cheaper (no pandas Block construction per
+    group); result equality is pinned in tests/test_cogroup.py and the
+    per-round delta is measured in bench.py."""
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInArrow(_merge_purchase_errors_arrow, schema=ASOF_CONTEXT_SCHEMA)
     )

@@ -38,7 +38,31 @@ from app_insights_generator_spark.queries.llm_queries import (  # noqa: E402
 # query registry (its correctness twin similarity_join_lsh_embeddings is
 # driver-gated with the same parameters; the raw pair set has no SQL
 # oracle) but it IS the scale path worth timing.
-_EXTRA = {"similarity_join_lsh_production": similarity_join_lsh_production}
+def _cogroup_asof_arrow(spark, sf_dir):
+    """Bench-local arrow twin of cogroup_purchase_error_asof_events (the
+    registered pandas query IS the gated one; this measures the
+    applyInArrow serialization savings per round)."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.cogroup import (
+        asof_error_context_arrow,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    return asof_error_context_arrow(purchases, errors)
+
+
+_EXTRA = {
+    "similarity_join_lsh_production": similarity_join_lsh_production,
+    "cogroup_asof_arrow": _cogroup_asof_arrow,
+}
 
 HEADLINE = [
     "insights_sweep_lineitem",        # native grouping-sets sweep (M3)
@@ -67,6 +91,7 @@ HEADLINE = [
     "bucketed_join_orders_lineitem",
     "udtf_chunk_documents",
     "cogroup_purchase_error_asof_events",  # round-6: pandas cogroup throughput
+    "cogroup_asof_arrow",                  # bench-local: applyInArrow twin
     "chunk_spans_documents",               # round-6: LM block chunker
 ]
 
