@@ -86,3 +86,47 @@ def test_cogroup_asof_matches_bruteforce(spark, purchases, errors):
         for r in asof_error_context(p_df, e_df).collect()
     }
     assert got == _brute_asof(purchases, errors)
+
+
+doc = st.tuples(
+    st.sampled_from(["s1", "s2"]),
+    st.integers(min_value=0, max_value=40),  # n_tokens (0 -> excluded)
+)
+
+
+@given(docs=st.lists(doc, min_size=1, max_size=20))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_spans_partition_the_stream(spark, docs, tmp_path_factory):
+    """Invariants of the LM block chunker on arbitrary corpora: per
+    source, the spans exactly tile each document's tokens (sum of
+    hi-lo == n_tokens), every span lies inside its 128-token block, and
+    consecutive blocks of one document abut."""
+    import os
+
+    from app_insights_generator_spark.queries import QUERIES
+
+    d = str(tmp_path_factory.mktemp("chunkprop"))
+    text = lambda n: " ".join(["w"] * n)  # noqa: E731
+    rows = [(i, text(n), "en", src, n) for i, (src, n) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    out = QUERIES["chunk_spans_documents"](spark, d).collect()
+    by_doc: dict = {}
+    for r in out:
+        assert 0 <= r.lo < r.hi <= 128, r
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, (src, n) in enumerate(docs):
+        spans = by_doc.get(i, [])
+        # the split-on-space token convention (shared with
+        # pack_documents_token_budget) counts empty text as ONE token
+        n_tok = max(n, 1)
+        assert sum(r.hi - r.lo for r in spans) == n_tok
+        spans.sort(key=lambda r: r.block_id)
+        for a, b in zip(spans, spans[1:]):
+            assert b.block_id == a.block_id + 1 and a.hi == 128 and b.lo == 0
