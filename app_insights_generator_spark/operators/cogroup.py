@@ -119,6 +119,26 @@ def _merge_purchase_errors_arrow(purchases, errors):
     )
 
 
+def purchase_error_streams(spark, sf_dir: str):
+    """Shared input prep for the as-of merge (gated query, bench twin, and
+    the pandas-vs-arrow parity test all call this, so they can never
+    drift onto different inputs): events split into the purchase spine
+    (user_id, event_id, ts_us) and the error stream (user_id, ts_us),
+    timestamps as unix_micros BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    return purchases, errors
+
+
 def asof_error_context(purchases: DataFrame, errors: DataFrame) -> DataFrame:
     """Cogroup two per-user event streams and merge them as-of.
 

@@ -505,8 +505,13 @@ def hits(
     n = nodes.count()
     if n == 0:
         raise ValueError("hits: empty edge list")
+    if scale // n == 0:
+        # initial mass would floor to 0 everywhere -> first renorm total is
+        # 0 and the engines diverge (Spark DIV NULL-coalesces, SQL errors);
+        # fail fast instead (the memory rule: guard every integer divide).
+        raise ValueError(f"hits: scale {scale} too small for {n} nodes")
     hub = nodes.select("node", F.lit(scale // n).cast("long").alias("s"))
-    auth = None
+    auth = hub  # iterations=0 degenerates to the uniform initial scores
     for _ in range(iterations):
         raw_auth = (
             e.join(hub.withColumnRenamed("node", "src"), "src")

@@ -1475,13 +1475,12 @@ def cogroup_purchase_error_asof_events(spark: SparkSession, sf_dir: str) -> Data
     a key meet in one Python function.
 
     Registered for the round-7 gate window (post-sweep addition)."""
-    from app_insights_generator_spark.operators.cogroup import asof_error_context
-
-    ev = _events(spark, sf_dir).withColumn("ts_us", _us(F.col("ts")))
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts_us"
+    from app_insights_generator_spark.operators.cogroup import (
+        asof_error_context,
+        purchase_error_streams,
     )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+
+    purchases, errors = purchase_error_streams(spark, sf_dir)
     return asof_error_context(purchases, errors)
 
 

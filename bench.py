@@ -34,31 +34,23 @@ from app_insights_generator_spark.queries.llm_queries import (  # noqa: E402
     similarity_join_lsh_production,
 )
 
+def _cogroup_asof_arrow(spark, sf_dir):
+    """Bench-local arrow twin of cogroup_purchase_error_asof_events (the
+    registered pandas query IS the gated one; this measures the
+    applyInArrow serialization savings per round). Inputs come from the
+    SAME shared builder as the gated query and the parity test."""
+    from app_insights_generator_spark.operators.cogroup import (
+        asof_error_context_arrow,
+        purchase_error_streams,
+    )
+
+    return asof_error_context_arrow(*purchase_error_streams(spark, sf_dir))
+
+
 # Bench-only callables: the raw banded-LSH join is deliberately NOT in the
 # query registry (its correctness twin similarity_join_lsh_embeddings is
 # driver-gated with the same parameters; the raw pair set has no SQL
 # oracle) but it IS the scale path worth timing.
-def _cogroup_asof_arrow(spark, sf_dir):
-    """Bench-local arrow twin of cogroup_purchase_error_asof_events (the
-    registered pandas query IS the gated one; this measures the
-    applyInArrow serialization savings per round)."""
-    from pyspark.sql import functions as F
-
-    from app_insights_generator_spark.operators.cogroup import (
-        asof_error_context_arrow,
-    )
-    from app_insights_generator_spark.sources import load_table
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts_us"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
-    return asof_error_context_arrow(purchases, errors)
-
-
 _EXTRA = {
     "similarity_join_lsh_production": similarity_join_lsh_production,
     "cogroup_asof_arrow": _cogroup_asof_arrow,

@@ -59,20 +59,12 @@ def test_user_without_errors(result):
 
 
 def test_arrow_variant_matches_pandas(spark, sf_dir):
-    from pyspark.sql import functions as F
-
     from app_insights_generator_spark.operators.cogroup import (
         asof_error_context_arrow,
+        purchase_error_streams,
     )
-    from app_insights_generator_spark.sources import load_table
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts_us"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    purchases, errors = purchase_error_streams(spark, sf_dir)
     a = sorted(map(tuple, asof_error_context(purchases, errors).collect()))
     b = sorted(map(tuple, asof_error_context_arrow(purchases, errors).collect()))
     assert a == b and len(a) > 0

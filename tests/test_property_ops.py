@@ -90,7 +90,7 @@ def test_cogroup_asof_matches_bruteforce(spark, purchases, errors):
 
 doc = st.tuples(
     st.sampled_from(["s1", "s2"]),
-    st.integers(min_value=0, max_value=40),  # n_tokens (0 -> excluded)
+    st.integers(min_value=0, max_value=40),  # n_tokens (0 -> one empty token)
 )
 
 
