@@ -3451,3 +3451,118 @@ def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("w").alias("n_words"),
         F.expr("SUM(b) * 10000 DIV SUM(w)").alias("fertility_bp"),
     )
+
+
+# --- Product quantization (PQ) codes ---------------------------------------------
+
+_PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 4
+
+
+def _pq_sub_ctes(s: int) -> str:
+    """One subspace's namespaced unrolled k-means chain (same recurrence
+    as _km_iter_cte, prefixed s{s}_): slice dims [16s+1, 16s+16], k=4
+    codewords, 2 Lloyd iterations, init = k lowest vids."""
+    lo, hi = _PQ_SUBDIM * s + 1, _PQ_SUBDIM * (s + 1)
+    p = f"s{s}_"
+    out = [
+        f"{p}e AS (SELECT vid, d, v FROM eall WHERE d BETWEEN {lo} AND {hi})",
+        f"""{p}init AS (
+      SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid
+      FROM (SELECT DISTINCT vid FROM {p}e ORDER BY vid LIMIT {_PQ_K}))""",
+        f"{p}c0 AS (SELECT i.cid, e.d, e.v FROM {p}e e JOIN {p}init i USING (vid))",
+    ]
+    for i in (1, 2):
+        out.append(
+            f"""{p}d{i} AS (
+      SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+      FROM {p}e e JOIN {p}c{i - 1} c USING (d) GROUP BY 1, 2),
+    {p}a{i} AS (
+      SELECT vid, cid, dist FROM (
+        SELECT vid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM {p}d{i}) WHERE rn = 1),
+    {p}c{i} AS (
+      SELECT a.cid, e.d, CAST(SUM(e.v) AS BIGINT) // COUNT(*) AS v
+      FROM {p}e e JOIN {p}a{i} a USING (vid) GROUP BY 1, 2)"""
+        )
+    return ",\n    ".join(out)
+
+
+@register(
+    "pq_codes_embeddings",
+    f"""
+    WITH eall AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    {_pq_sub_ctes(0)},
+    {_pq_sub_ctes(1)},
+    {_pq_sub_ctes(2)},
+    {_pq_sub_ctes(3)}
+    SELECT s0_a2.vid AS vec_id,
+           s0_a2.cid AS code0, s1_a2.cid AS code1,
+           s2_a2.cid AS code2, s3_a2.cid AS code3,
+           CAST(s0_a2.dist + s1_a2.dist + s2_a2.dist + s3_a2.dist AS BIGINT)
+             AS q_dist
+    FROM s0_a2 JOIN s1_a2 USING (vid) JOIN s2_a2 USING (vid)
+    JOIN s3_a2 USING (vid)
+    """,
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION (Jégou et al. 2011) — the compression behind
+    billion-scale ANN: the 64-dim space splits into 4 independent
+    16-dim subspaces, each learns its own k-means codebook (here k=4
+    for a gateable toy codebook; production uses 256 = one byte per
+    subspace), and every vector is stored as its 4-tuple of codeword
+    ids plus the exact integer quantization distortion. Everything
+    reuses the ENGINE-EXACT distributed Lloyd's machinery
+    (operators/similarity.py kmeans_fixed_point) run once per subspace
+    over sliced vectors, so the full PQ fit + assignment unrolls into
+    chained SQL CTEs (four namespaced copies of the
+    kmeans_clusters_embeddings oracle) and hashes bit-for-bit.
+
+    Scale: the 4 subspace fits are independent (pipeline-able); per fit
+    the cost is the kmeans broadcast-join recurrence on a 16-dim slice
+    — a quarter of the full-space work each. Storage story: 64 floats
+    -> 4 small ints (with int8/scale in quantize_embeddings_int8, the
+    other half of the compression toolkit); ADC search then scans
+    codes, not vectors.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    embs = _embs(spark, sf_dir)
+    parts = []
+    for s in range(_PQ_M):
+        sliced = embs.select(
+            "vec_id",
+            F.expr(
+                f"slice(embedding, {_PQ_SUBDIM * s + 1}, {_PQ_SUBDIM})"
+            ).alias("sub"),
+        )
+        assign, _cent = kmeans_fixed_point(
+            sliced, "vec_id", "sub", k=_PQ_K, n_iter=2,
+            scale=_KM_SCALE, offset=_KM_OFF,
+        )
+        parts.append(
+            assign.select(
+                F.col("vid"),
+                F.col("cid").alias(f"code{s}"),
+                F.col("dist").alias(f"_d{s}"),
+            )
+        )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, "vid")
+    return joined.select(
+        F.col("vid").alias("vec_id"),
+        "code0",
+        "code1",
+        "code2",
+        "code3",
+        F.expr("CAST(_d0 + _d1 + _d2 + _d3 AS BIGINT)").alias("q_dist"),
+    )
