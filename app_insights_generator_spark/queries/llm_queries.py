@@ -3566,3 +3566,143 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code3",
         F.expr("CAST(_d0 + _d1 + _d2 + _d3 AS BIGINT)").alias("q_dist"),
     )
+
+
+@register(
+    "pq_adc_search_embeddings",
+    f"""
+    WITH eall AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    {_pq_sub_ctes(0)},
+    {_pq_sub_ctes(1)},
+    {_pq_sub_ctes(2)},
+    {_pq_sub_ctes(3)},
+    q AS (SELECT d, v FROM eall WHERE vid = 0),
+    lut0 AS (SELECT c.cid, SUM((c.v - q.v) * (c.v - q.v)) AS ld
+             FROM s0_c2 c JOIN q USING (d) GROUP BY c.cid),
+    lut1 AS (SELECT c.cid, SUM((c.v - q.v) * (c.v - q.v)) AS ld
+             FROM s1_c2 c JOIN q USING (d) GROUP BY c.cid),
+    lut2 AS (SELECT c.cid, SUM((c.v - q.v) * (c.v - q.v)) AS ld
+             FROM s2_c2 c JOIN q USING (d) GROUP BY c.cid),
+    lut3 AS (SELECT c.cid, SUM((c.v - q.v) * (c.v - q.v)) AS ld
+             FROM s3_c2 c JOIN q USING (d) GROUP BY c.cid),
+    adc AS (
+      SELECT a0.vid,
+             CAST(l0.ld + l1.ld + l2.ld + l3.ld AS BIGINT) AS adc_dist
+      FROM s0_a2 a0 JOIN s1_a2 a1 USING (vid)
+      JOIN s2_a2 a2x USING (vid) JOIN s3_a2 a3 USING (vid)
+      JOIN lut0 l0 ON l0.cid = a0.cid
+      JOIN lut1 l1 ON l1.cid = a1.cid
+      JOIN lut2 l2 ON l2.cid = a2x.cid
+      JOIN lut3 l3 ON l3.cid = a3.cid
+    ),
+    exact AS (
+      SELECT e.vid, CAST(SUM((e.v - q.v) * (e.v - q.v)) AS BIGINT) AS exact_dist
+      FROM eall e JOIN q USING (d) GROUP BY e.vid
+    ),
+    ranked AS (
+      SELECT exact.vid, exact_dist, adc_dist,
+             ROW_NUMBER() OVER (ORDER BY exact_dist, exact.vid) AS exact_rank,
+             ROW_NUMBER() OVER (ORDER BY adc_dist, exact.vid) AS adc_rank
+      FROM exact JOIN adc ON adc.vid = exact.vid
+    )
+    SELECT vid AS vec_id, exact_dist, adc_dist, exact_rank, adc_rank
+    FROM ranked WHERE exact_rank <= 10
+    """,
+)
+def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search — the OTHER half of product quantization: a query
+    builds one tiny lookup table per subspace (distance from its slice
+    to each codeword, 4x4 entries here), and every corpus vector's
+    approximate distance is just the sum of 4 LUT entries selected by
+    its codes — no vector math at scan time, which is why PQ serves
+    billion-vector ANN. Gated exactly: the exact top-10 (quantized
+    integer distances, the truth anchor) rides with each neighbor's ADC
+    distance and ADC rank, so codebooks, codes, LUTs, and both rankings
+    all hash bit-for-bit; the exact-vs-ADC rank gap IS the measured
+    quantization cost of the toy 2-bit codebooks.
+
+    Plan: the subspace fits reuse kmeans_fixed_point; LUTs are
+    centroid-table-sized (broadcast); the scan side touches only the
+    code tuples. The exact side is the deliberate O(n) truth anchor
+    (same posture as cosine_topk/ann_recall).
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    from app_insights_generator_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    embs = _embs(spark, sf_dir)
+    code_cols, lut_tables = [], []
+    for s in range(_PQ_M):
+        sliced = embs.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {_PQ_SUBDIM * s + 1}, {_PQ_SUBDIM})").alias(
+                "sub"
+            ),
+        )
+        assign, cent = kmeans_fixed_point(
+            sliced, "vec_id", "sub", k=_PQ_K, n_iter=2,
+            scale=_KM_SCALE, offset=_KM_OFF,
+        )
+        code_cols.append(assign.select("vid", F.col("cid").alias(f"c{s}")))
+        qslice = (
+            sliced.filter(F.col("vec_id") == 0)
+            .select(
+                F.posexplode(
+                    F.expr(
+                        f"transform(cast(sub AS array<double>), "
+                        f"x -> CAST(floor(x * {_KM_SCALE}) AS LONG) + {_KM_OFF})"
+                    )
+                ).alias("d", "qv")
+            )
+        )
+        lut = (
+            cent.join(F.broadcast(qslice), "d")
+            .groupBy("cid")
+            .agg(F.sum(F.expr("(v - qv) * (v - qv)")).alias(f"ld{s}"))
+            .withColumnRenamed("cid", f"c{s}")
+        )
+        lut_tables.append(lut)
+    codes = code_cols[0]
+    for c in code_cols[1:]:
+        codes = codes.join(c, "vid")
+    adc = codes
+    for s, lut in enumerate(lut_tables):
+        adc = adc.join(F.broadcast(lut), f"c{s}")
+    adc = adc.select(
+        "vid", F.expr("CAST(ld0 + ld1 + ld2 + ld3 AS BIGINT)").alias("adc_dist")
+    )
+    e_all = embs.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform(cast(embedding AS array<double>), "
+                f"x -> CAST(floor(x * {_KM_SCALE}) AS LONG) + {_KM_OFF})"
+            )
+        ).alias("d", "v"),
+    )
+    q_all = e_all.filter(F.col("vid") == 0).select("d", F.col("v").alias("qv"))
+    exact = (
+        e_all.join(F.broadcast(q_all), "d")
+        .groupBy("vid")
+        .agg(F.sum(F.expr("(v - qv) * (v - qv)")).cast("long").alias("exact_dist"))
+    )
+    ranked = exact.join(adc, "vid").select(
+        "vid",
+        "exact_dist",
+        "adc_dist",
+        F.row_number().over(Window.orderBy("exact_dist", "vid")).alias("exact_rank"),
+        F.row_number().over(Window.orderBy("adc_dist", "vid")).alias("adc_rank"),
+    )
+    return ranked.filter(F.col("exact_rank") <= 10).select(
+        F.col("vid").alias("vec_id"),
+        "exact_dist",
+        "adc_dist",
+        "exact_rank",
+        "adc_rank",
+    )
