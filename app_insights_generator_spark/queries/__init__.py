@@ -75,7 +75,8 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 #   twap_daily_user_events, sql_table_function_orders,
 #   entity_resolution_parts, mahalanobis_outliers_lineitem,
 #   dynamic_partition_overwrite_orders, hits_nation_trade,
-#   pq_codes_embeddings, pq_adc_search_embeddings
+#   pq_codes_embeddings, pq_adc_search_embeddings,
+#   mixture_temperature_documents
 _GATE_PRIORITY = [
     # (a) r05 reds — oracle HUGEINT casts landed, must sample green
     "schema_evolution_mergeschema",

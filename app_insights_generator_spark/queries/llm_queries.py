@@ -3706,3 +3706,65 @@ def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_rank",
         "adc_rank",
     )
+
+
+# --- Temperature-scaled mixture weights ------------------------------------------
+
+
+@register(
+    "mixture_temperature_documents",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isqrt_t
+      FROM t
+    ),
+    tot AS (SELECT CAST(SUM(isqrt_t) AS BIGINT) AS z,
+                   CAST(SUM(n_tokens) AS BIGINT) AS nz FROM s)
+    SELECT lang, n_tokens,
+           n_tokens * 10000 // nz AS natural_bp,
+           isqrt_t * 10000 // z AS temp_bp
+    FROM s, tot
+    """,
+)
+def mixture_temperature_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled sampling weights (alpha = 0.5, the XLM-R /
+    multilingual-pretraining formula w_l ∝ n_l^alpha): low-resource
+    languages are upsampled relative to their natural token share
+    without drowning high-resource ones — emitted next to the natural
+    (alpha=1) share so the rebalancing is visible per language.
+    Exactness: n^0.5 goes through FLOOR(SQRT(double)) — sqrt is
+    IEEE-correctly-rounded and floor lands both engines on the same
+    BIGINT — after which every share is an integer DIV over
+    order-independent integer sums (no summing of irrational doubles,
+    whose partition order would flip the hash). Complements
+    mixture_weights_documents (uniform rebalance).
+
+    One aggregation pass to |langs| rows; everything after is a
+    broadcast of a 1-row total.
+
+    Registered for the round-7 gate window (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("long")).alias(
+            "n_tokens"
+        )
+    )
+    s = t.withColumn(
+        "isqrt_t",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"),
+    )
+    tot = s.agg(
+        F.sum("isqrt_t").alias("z"), F.sum("n_tokens").alias("nz")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.expr("n_tokens * 10000 DIV nz").alias("natural_bp"),
+        F.expr("isqrt_t * 10000 DIV z").alias("temp_bp"),
+    )
