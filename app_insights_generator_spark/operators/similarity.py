@@ -413,6 +413,54 @@ def pca_fit(embs: DataFrame, vec_col: str = "embedding") -> tuple:
 # --- Distributed fixed-point k-means (Lloyd's, engine-exact) -----------------
 
 
+def quantized_long_form(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+) -> DataFrame:
+    """The fixed-point quantization used by every engine-exact vector op:
+    (vid, d, v) long form with v = floor(x*scale) + offset — ONE home for
+    the scheme so k-means, PQ codes, LUTs, and exact-distance anchors can
+    never quantize differently (review r06 item: the expression was
+    copy-pasted at three sites)."""
+    return embs.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform(cast({vec_col} AS array<double>), "
+                f"x -> CAST(floor(x * {scale}) AS LONG) + {offset})"
+            )
+        ).alias("d", "v"),
+    )
+
+
+def assign_to_centroids(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """One assignment half-step: argmin squared distance (ties -> min cid)
+    of every (vid, d, v) vector against a centroid table [cid, d, v] ->
+    [vid, cid, dist]. Used as the FINAL re-assignment that makes PQ codes
+    consistent with the returned (post-update) codebook — kmeans'
+    in-loop assignment is vs the PREVIOUS centroids by construction."""
+    dist = (
+        e.join(
+            F.broadcast(cent.select("cid", "d", F.col("v").alias("cv"))), "d"
+        )
+        .groupBy("vid", "cid")
+        .agg(
+            F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias(
+                "dist"
+            )
+        )
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid", "dist")
+    )
+
+
 def kmeans_fixed_point(
     embs: DataFrame,
     id_col: str = "vec_id",
@@ -454,15 +502,7 @@ def kmeans_fixed_point(
     of those is the one quantity that would need DECIMAL at extreme
     scale (the gate keeps inertia per-cluster at ~1e17).
     """
-    e = embs.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(
-            F.expr(
-                f"transform(cast({vec_col} AS array<double>), "
-                f"x -> CAST(floor(x * {scale}) AS LONG) + {offset})"
-            )
-        ).alias("d", "v"),
-    )
+    e = quantized_long_form(embs, id_col, vec_col, scale, offset)
     e = e.localCheckpoint() if checkpoint else e
 
     init = (

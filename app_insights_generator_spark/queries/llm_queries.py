@@ -2058,24 +2058,40 @@ def length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_SCALE, _KM_OFF, _KM_K = 1_000_000, 1_000_000, 4
 
 
-def _km_iter_cte(i: int) -> str:
-    """One unrolled Lloyd iteration: distances vs c{i-1} -> argmin
-    assignment a{i} -> floor-mean centroid table c{i}."""
+def _km_iter_cte(i: int, p: str = "", src: str = "e") -> str:
+    """One unrolled Lloyd iteration: distances vs {p}c{i-1} -> argmin
+    assignment {p}a{i} -> floor-mean centroid table {p}c{i}. The prefix/
+    source parameters let the PQ oracles reuse THIS recurrence verbatim
+    per subspace instead of carrying a divergent copy (r06 review)."""
     return f"""
-    d{i} AS (
+    {p}d{i} AS (
       SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
-      FROM e JOIN c{i - 1} c USING (d) GROUP BY 1, 2
+      FROM {src} e JOIN {p}c{i - 1} c USING (d) GROUP BY 1, 2
     ),
-    a{i} AS (
+    {p}a{i} AS (
       SELECT vid, cid, dist FROM (
         SELECT vid, cid, dist,
                ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
-        FROM d{i}) WHERE rn = 1
+        FROM {p}d{i}) WHERE rn = 1
     ),
-    c{i} AS (
+    {p}c{i} AS (
       SELECT a.cid, e.d, CAST(SUM(e.v) AS BIGINT) // COUNT(*) AS v
-      FROM e JOIN a{i} a USING (vid) GROUP BY 1, 2
+      FROM {src} e JOIN {p}a{i} a USING (vid) GROUP BY 1, 2
     )"""
+
+
+def _km_final_assign_cte(p: str, src: str, cent: str) -> str:
+    """FINAL re-assignment vs the post-update centroid table -> {p}af —
+    the half-step that makes emitted codes consistent with the codebook
+    they index (kmeans' in-loop assignment is vs the PREVIOUS centroids
+    by construction; Spark twin: similarity.assign_to_centroids)."""
+    return f"""{p}af AS (
+      SELECT vid, cid, dist FROM (
+        SELECT vid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+              FROM {src} e JOIN {cent} c USING (d) GROUP BY 1, 2))
+      WHERE rn = 1)"""
 
 
 @register(
@@ -3459,9 +3475,11 @@ _PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 4
 
 
 def _pq_sub_ctes(s: int) -> str:
-    """One subspace's namespaced unrolled k-means chain (same recurrence
-    as _km_iter_cte, prefixed s{s}_): slice dims [16s+1, 16s+16], k=4
-    codewords, 2 Lloyd iterations, init = k lowest vids."""
+    """One subspace's namespaced unrolled k-means chain (the EXACT
+    _km_iter_cte recurrence, prefixed s{s}_): slice dims [16s+1, 16s+16],
+    k=4 codewords, 2 Lloyd iterations, init = k lowest vids, plus the
+    FINAL re-assignment {p}af vs the post-update codebook so emitted
+    codes index the codebook they ship with."""
     lo, hi = _PQ_SUBDIM * s + 1, _PQ_SUBDIM * (s + 1)
     p = f"s{s}_"
     out = [
@@ -3470,21 +3488,10 @@ def _pq_sub_ctes(s: int) -> str:
       SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid
       FROM (SELECT DISTINCT vid FROM {p}e ORDER BY vid LIMIT {_PQ_K}))""",
         f"{p}c0 AS (SELECT i.cid, e.d, e.v FROM {p}e e JOIN {p}init i USING (vid))",
+        _km_iter_cte(1, p, f"{p}e"),
+        _km_iter_cte(2, p, f"{p}e"),
+        _km_final_assign_cte(p, f"{p}e", f"{p}c2"),
     ]
-    for i in (1, 2):
-        out.append(
-            f"""{p}d{i} AS (
-      SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
-      FROM {p}e e JOIN {p}c{i - 1} c USING (d) GROUP BY 1, 2),
-    {p}a{i} AS (
-      SELECT vid, cid, dist FROM (
-        SELECT vid, cid, dist,
-               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
-        FROM {p}d{i}) WHERE rn = 1),
-    {p}c{i} AS (
-      SELECT a.cid, e.d, CAST(SUM(e.v) AS BIGINT) // COUNT(*) AS v
-      FROM {p}e e JOIN {p}a{i} a USING (vid) GROUP BY 1, 2)"""
-        )
     return ",\n    ".join(out)
 
 
@@ -3501,13 +3508,13 @@ def _pq_sub_ctes(s: int) -> str:
     {_pq_sub_ctes(1)},
     {_pq_sub_ctes(2)},
     {_pq_sub_ctes(3)}
-    SELECT s0_a2.vid AS vec_id,
-           s0_a2.cid AS code0, s1_a2.cid AS code1,
-           s2_a2.cid AS code2, s3_a2.cid AS code3,
-           CAST(s0_a2.dist + s1_a2.dist + s2_a2.dist + s3_a2.dist AS BIGINT)
+    SELECT s0_af.vid AS vec_id,
+           s0_af.cid AS code0, s1_af.cid AS code1,
+           s2_af.cid AS code2, s3_af.cid AS code3,
+           CAST(s0_af.dist + s1_af.dist + s2_af.dist + s3_af.dist AS BIGINT)
              AS q_dist
-    FROM s0_a2 JOIN s1_a2 USING (vid) JOIN s2_a2 USING (vid)
-    JOIN s3_a2 USING (vid)
+    FROM s0_af JOIN s1_af USING (vid) JOIN s2_af USING (vid)
+    JOIN s3_af USING (vid)
     """,
 )
 def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3532,7 +3539,9 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered for the round-7 gate window (post-sweep addition)."""
     from app_insights_generator_spark.operators.similarity import (
+        assign_to_centroids,
         kmeans_fixed_point,
+        quantized_long_form,
     )
 
     embs = _embs(spark, sf_dir)
@@ -3544,12 +3553,19 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"slice(embedding, {_PQ_SUBDIM * s + 1}, {_PQ_SUBDIM})"
             ).alias("sub"),
         )
-        assign, _cent = kmeans_fixed_point(
+        _assign, cent = kmeans_fixed_point(
             sliced, "vec_id", "sub", k=_PQ_K, n_iter=2,
             scale=_KM_SCALE, offset=_KM_OFF,
         )
+        # FINAL re-assignment vs the post-update codebook: the codes must
+        # index the codebook they ship with (kmeans' in-loop assignment
+        # is vs the previous centroids — r06 review finding)
+        codes = assign_to_centroids(
+            quantized_long_form(sliced, "vec_id", "sub", _KM_SCALE, _KM_OFF),
+            cent,
+        )
         parts.append(
-            assign.select(
+            codes.select(
                 F.col("vid"),
                 F.col("cid").alias(f"code{s}"),
                 F.col("dist").alias(f"_d{s}"),
@@ -3593,8 +3609,8 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc AS (
       SELECT a0.vid,
              CAST(l0.ld + l1.ld + l2.ld + l3.ld AS BIGINT) AS adc_dist
-      FROM s0_a2 a0 JOIN s1_a2 a1 USING (vid)
-      JOIN s2_a2 a2x USING (vid) JOIN s3_a2 a3 USING (vid)
+      FROM s0_af a0 JOIN s1_af a1 USING (vid)
+      JOIN s2_af a2x USING (vid) JOIN s3_af a3 USING (vid)
       JOIN lut0 l0 ON l0.cid = a0.cid
       JOIN lut1 l1 ON l1.cid = a1.cid
       JOIN lut2 l2 ON l2.cid = a2x.cid
@@ -3602,7 +3618,9 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact AS (
       SELECT e.vid, CAST(SUM((e.v - q.v) * (e.v - q.v)) AS BIGINT) AS exact_dist
-      FROM eall e JOIN q USING (d) GROUP BY e.vid
+      FROM eall e JOIN q USING (d)
+      WHERE e.vid <> 0  -- the query itself is not a neighbor candidate
+      GROUP BY e.vid
     ),
     ranked AS (
       SELECT exact.vid, exact_dist, adc_dist,
@@ -3633,7 +3651,9 @@ def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered for the round-7 gate window (post-sweep addition)."""
     from app_insights_generator_spark.operators.similarity import (
+        assign_to_centroids,
         kmeans_fixed_point,
+        quantized_long_form,
     )
 
     embs = _embs(spark, sf_dir)
@@ -3645,21 +3665,20 @@ def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sub"
             ),
         )
-        assign, cent = kmeans_fixed_point(
+        _assign, cent = kmeans_fixed_point(
             sliced, "vec_id", "sub", k=_PQ_K, n_iter=2,
             scale=_KM_SCALE, offset=_KM_OFF,
         )
-        code_cols.append(assign.select("vid", F.col("cid").alias(f"c{s}")))
+        codes_s = assign_to_centroids(
+            quantized_long_form(sliced, "vec_id", "sub", _KM_SCALE, _KM_OFF),
+            cent,
+        )
+        code_cols.append(codes_s.select("vid", F.col("cid").alias(f"c{s}")))
         qslice = (
-            sliced.filter(F.col("vec_id") == 0)
-            .select(
-                F.posexplode(
-                    F.expr(
-                        f"transform(cast(sub AS array<double>), "
-                        f"x -> CAST(floor(x * {_KM_SCALE}) AS LONG) + {_KM_OFF})"
-                    )
-                ).alias("d", "qv")
-            )
+            quantized_long_form(
+                sliced.filter(F.col("vec_id") == 0), "vec_id", "sub",
+                _KM_SCALE, _KM_OFF,
+            ).select("d", F.col("v").alias("qv"))
         )
         lut = (
             cent.join(F.broadcast(qslice), "d")
@@ -3677,18 +3696,11 @@ def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = adc.select(
         "vid", F.expr("CAST(ld0 + ld1 + ld2 + ld3 AS BIGINT)").alias("adc_dist")
     )
-    e_all = embs.select(
-        F.col("vec_id").alias("vid"),
-        F.posexplode(
-            F.expr(
-                f"transform(cast(embedding AS array<double>), "
-                f"x -> CAST(floor(x * {_KM_SCALE}) AS LONG) + {_KM_OFF})"
-            )
-        ).alias("d", "v"),
-    )
+    e_all = quantized_long_form(embs, "vec_id", "embedding", _KM_SCALE, _KM_OFF)
     q_all = e_all.filter(F.col("vid") == 0).select("d", F.col("v").alias("qv"))
     exact = (
-        e_all.join(F.broadcast(q_all), "d")
+        e_all.filter(F.col("vid") != 0)  # the query is not a candidate
+        .join(F.broadcast(q_all), "d")
         .groupBy("vid")
         .agg(F.sum(F.expr("(v - qv) * (v - qv)")).cast("long").alias("exact_dist"))
     )
@@ -3716,7 +3728,8 @@ def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT lang,
-             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x != ''))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
     ),
     s AS (
@@ -3751,9 +3764,7 @@ def mixture_temperature_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     Registered for the round-7 gate window (post-sweep addition)."""
     docs = _docs(spark, sf_dir)
     t = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split(F.trim(F.col("text")), " ")).cast("long")).alias(
-            "n_tokens"
-        )
+        F.sum(F.size(T.tokens(F.col("text"))).cast("long")).alias("n_tokens")
     )
     s = t.withColumn(
         "isqrt_t",
