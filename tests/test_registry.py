@@ -41,13 +41,29 @@ def _duckdb_with_views():
     return con
 
 
-# DuckDB types the driver's pandas fetch coerces to float64: an integer sum
-# 7500 renders "7500.0" and hash-mismatches Spark's "7500" with rows AND
-# schema still matching. This single defect class produced SIX driver reds
-# across r03–r05 (key_sum / n_missing_year / bin_id / id_sum / fill_ratio
-# co-symptom), invisible to fetchall()-based local checks. DESCRIBE is a
-# bind-only operation, so this covers all oracles in ~seconds.
+# Final-column types the driver's fetch path cannot gate. Two defect
+# classes, seven reds across r03–r06, every one invisible to fetchall()-
+# based local checks:
+#   (1) HUGEINT/UHUGEINT — pandas fetch coerces to float64, so an integer
+#       sum 7500 renders "7500.0" and hash-mismatches Spark's "7500" with
+#       rows AND schema still matching (six reds, r03–r05).
+#   (2) non-scalar finals (list/struct/map) — the driver's canonicalizer
+#       lexsorts every column via pandas Categorical/factorize, which
+#       raises `TypeError: unhashable type: 'list'` on list cells
+#       (inverted_index_documents, r06). DuckDB renders these types with
+#       `[]` / `STRUCT(` / `MAP(` in DESCRIBE output.
+# DESCRIBE is a bind-only operation, so this covers all oracles in ~seconds.
 _DRIVER_UNSAFE = {"HUGEINT", "UHUGEINT"}
+
+
+def _driver_unsafe(duck_type: str) -> bool:
+    ty = duck_type.upper()
+    return (
+        ty in _DRIVER_UNSAFE
+        or "[]" in ty
+        or ty.startswith("STRUCT(")
+        or ty.startswith("MAP(")
+    )
 
 
 def test_no_oracle_emits_driver_unsafe_types():
@@ -59,12 +75,13 @@ def test_no_oracle_emits_driver_unsafe_types():
         except Exception as e:  # noqa: BLE001
             bad[name] = f"DESCRIBE failed: {e}"[:200]
             continue
-        unsafe = [(c, ty) for c, ty, *_ in cols if ty in _DRIVER_UNSAFE]
+        unsafe = [(c, ty) for c, ty, *_ in cols if _driver_unsafe(ty)]
         if unsafe:
             bad[name] = unsafe
     assert not bad, (
-        "oracle final columns the driver's pandas fetch renders as float — "
-        f"CAST(... AS BIGINT): {bad}"
+        "oracle final columns the driver's fetch/canonicalizer cannot gate — "
+        "CAST HUGEINT sums to BIGINT; render arrays/structs/maps as strings "
+        f"(array_to_string / to_json): {bad}"
     )
 
 
@@ -76,4 +93,18 @@ def test_unsafe_type_detector_catches_uncast_sum():
     cols = con.execute(
         "DESCRIBE SELECT SUM(r_regionkey) AS s FROM region"
     ).fetchall()
-    assert any(ty in _DRIVER_UNSAFE for _, ty, *_ in cols)
+    assert any(_driver_unsafe(ty) for _, ty, *_ in cols)
+
+
+def test_unsafe_type_detector_catches_nonscalar_finals():
+    """Self-test for defect class (2): injected list / struct / map final
+    columns must all be flagged — the driver's pandas canonicalizer dies
+    on any of them (r06 `unhashable type: 'list'` red)."""
+    con = _duckdb_with_views()
+    cols = con.execute(
+        "DESCRIBE SELECT list(r_regionkey) AS l, "
+        "{'k': r_name} AS s, MAP([r_name], [r_regionkey]) AS m "
+        "FROM region GROUP BY r_name, r_regionkey"
+    ).fetchall()
+    flagged = [c for c, ty, *_ in cols if _driver_unsafe(ty)]
+    assert sorted(flagged) == ["l", "m", "s"], cols

@@ -44,16 +44,50 @@ def _canon(v) -> str:
     return str(v)
 
 
-#: DuckDB output types the driver's numpy-family fetch silently coerces to
-#: float64 — an integer 7500 then renders "7500.0" and hash-mismatches
-#: Spark's "7500" with rows+schema still matching (the exact r03–r05 red
-#: signature). A HUGEINT final column is therefore an oracle BUG here.
+#: DuckDB output types the driver's fetch path cannot gate — two defect
+#: classes, seven reds across r03–r06, all invisible to fetchall():
+#:   (1) HUGEINT/UHUGEINT: the numpy-family fetch silently coerces to
+#:       float64 — an integer 7500 then renders "7500.0" and hash-
+#:       mismatches Spark's "7500" with rows+schema still matching (the
+#:       exact r03–r05 red signature).
+#:   (2) non-scalar finals (list/struct/map, DESCRIBE renders `[]` /
+#:       `STRUCT(` / `MAP(`): the driver's canonicalizer lexsorts every
+#:       column via pandas Categorical/factorize, which raises
+#:       `TypeError: unhashable type: 'list'` on such cells (the r06
+#:       inverted_index_documents red).
 #: (Calibration: nullable BIGINT columns are SAFE — fetchnumpy returns a
 #: masked int64 array, and r05 driver-green queries like scd2/asof have
 #: such columns — while precisely the four HUGEINT queries were red. A
 #: plain pandas .df() replica is therefore TOO strict: it coerces
 #: nullable int64 to float64 and false-flags driver-green queries.)
 _DRIVER_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def _driver_unsafe_type(duck_type: str) -> bool:
+    ty = duck_type.upper()
+    return (
+        ty in _DRIVER_UNSAFE_TYPES
+        or "[]" in ty
+        or ty.startswith("STRUCT(")
+        or ty.startswith("MAP(")
+    )
+
+
+def _driver_lexsort_check(cols: list[str], rows: list[tuple]) -> str | None:
+    """Replicate the driver's pandas canonicalization (sort_values over all
+    columns -> Categorical -> factorize) so its crash class reproduces
+    locally: returns an error string if pandas cannot canonicalize the
+    result (e.g. `unhashable type: 'list'` on array cells), else None."""
+    import pandas as pd
+
+    if not cols:
+        return None
+    try:
+        df = pd.DataFrame(rows, columns=cols)
+        df.sort_values(by=sorted(cols), kind="mergesort")
+    except Exception as e:  # noqa: BLE001
+        return f"driver pandas canonicalizer would crash: {type(e).__name__}: {e}"
+    return None
 
 
 def _numpy_rows(rel, dtypes: dict[str, str]) -> tuple[list[str], list[tuple]]:
@@ -169,12 +203,17 @@ def main() -> int:
             }
         except Exception:  # noqa: BLE001 — DESCRIBE quirks never block the gate
             dtypes = {}
-        unsafe = [c for c, ty in dtypes.items() if ty in _DRIVER_UNSAFE_TYPES]
+        unsafe = [c for c, ty in dtypes.items() if _driver_unsafe_type(ty)]
         if unsafe:
             problems.append(
-                f"oracle {_DRIVER_UNSAFE_TYPES} final column(s) {unsafe}: the "
-                "driver's pandas fetch renders these float — CAST(... AS BIGINT)"
+                f"oracle driver-unsafe final column(s) {unsafe}: HUGEINT "
+                "renders float on the driver's pandas fetch (CAST AS BIGINT) "
+                "and list/struct/map cells crash its canonicalizer (render "
+                "as string: array_to_string / to_json)"
             )
+        lexsort_err = _driver_lexsort_check(dcols, drows)
+        if lexsort_err:
+            problems.append(lexsort_err)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
