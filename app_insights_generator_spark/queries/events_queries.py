@@ -1459,15 +1459,23 @@ def cumulative_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def cogroup_purchase_error_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cogroup().applyInPandas (SPARK-27463): per-user sorted-merge of the
-    purchase stream against the error stream — for every purchase, the
-    as-of gap (seconds since the user's most recent error, NULL if none)
-    and the error count in the inclusive trailing hour. The two sides are
-    pre-filtered to single event types BEFORE the cogroup (stream
-    splitting), so each Python group is one user's slice of one type,
-    and the merge is numpy searchsorted, not a row loop — see
-    operators/cogroup.py for the 100 TB skew notes. Timestamps cross the
-    Arrow boundary as unix_micros BIGINTs, never datetime objects.
+    """Cogrouped two-stream per-key as-of merge via cogroup().applyInArrow
+    (SPARK-40307): per-user sorted-merge of the purchase stream against
+    the error stream — for every purchase, the as-of gap (seconds since
+    the user's most recent error, NULL if none) and the error count in
+    the inclusive trailing hour. The two sides are pre-filtered to single
+    event types BEFORE the cogroup (stream splitting), so each Python
+    group is one user's slice of one type, and the merge is numpy
+    searchsorted, not a row loop — see operators/cogroup.py for the
+    100 TB skew notes. Timestamps cross the Arrow boundary as unix_micros
+    BIGINTs, never datetime objects.
+
+    The arrow form is the gated/production path: BENCH_r06 measured the
+    applyInPandas twin at 3.8x the wall-clock (4.49s vs 0.92s at sf0.1)
+    for bit-identical output — pure per-group pandas Block construction
+    overhead. The pandas form (asof_error_context) stays as the
+    API-coverage twin: equality-pinned in tests/test_cogroup.py and
+    timed by bench.py per round.
 
     The oracle expresses the same semantics as correlated scalar
     subqueries (DuckDB decorrelates both); the Spark side is the
@@ -1476,12 +1484,12 @@ def cogroup_purchase_error_asof_events(spark: SparkSession, sf_dir: str) -> Data
 
     Registered for the round-7 gate window (post-sweep addition)."""
     from app_insights_generator_spark.operators.cogroup import (
-        asof_error_context,
+        asof_error_context_arrow,
         purchase_error_streams,
     )
 
     purchases, errors = purchase_error_streams(spark, sf_dir)
-    return asof_error_context(purchases, errors)
+    return asof_error_context_arrow(purchases, errors)
 
 
 # --- Markov transition matrix over per-user event sequences -------------------

@@ -34,17 +34,19 @@ from app_insights_generator_spark.queries.llm_queries import (  # noqa: E402
     similarity_join_lsh_production,
 )
 
-def _cogroup_asof_arrow(spark, sf_dir):
-    """Bench-local arrow twin of cogroup_purchase_error_asof_events (the
-    registered pandas query IS the gated one; this measures the
-    applyInArrow serialization savings per round). Inputs come from the
-    SAME shared builder as the gated query and the parity test."""
+def _cogroup_asof_pandas(spark, sf_dir):
+    """Bench-local pandas twin of cogroup_purchase_error_asof_events (the
+    registered/gated query is the applyInArrow form since round 7 — the
+    pandas form measured 3.8x slower for identical output, BENCH_r06);
+    this keeps the applyInPandas API covered and its per-round overhead
+    measured. Inputs come from the SAME shared builder as the gated
+    query and the parity test."""
     from app_insights_generator_spark.operators.cogroup import (
-        asof_error_context_arrow,
+        asof_error_context,
         purchase_error_streams,
     )
 
-    return asof_error_context_arrow(*purchase_error_streams(spark, sf_dir))
+    return asof_error_context(*purchase_error_streams(spark, sf_dir))
 
 
 # Bench-only callables: the raw banded-LSH join is deliberately NOT in the
@@ -53,7 +55,7 @@ def _cogroup_asof_arrow(spark, sf_dir):
 # oracle) but it IS the scale path worth timing.
 _EXTRA = {
     "similarity_join_lsh_production": similarity_join_lsh_production,
-    "cogroup_asof_arrow": _cogroup_asof_arrow,
+    "cogroup_asof_pandas": _cogroup_asof_pandas,
 }
 
 HEADLINE = [
@@ -82,8 +84,8 @@ HEADLINE = [
 
     "bucketed_join_orders_lineitem",
     "udtf_chunk_documents",
-    "cogroup_purchase_error_asof_events",  # round-6: pandas cogroup throughput
-    "cogroup_asof_arrow",                  # bench-local: applyInArrow twin
+    "cogroup_purchase_error_asof_events",  # round-7: gated applyInArrow merge
+    "cogroup_asof_pandas",                 # bench-local: applyInPandas twin
     "chunk_spans_documents",               # round-6: LM block chunker
 ]
 
