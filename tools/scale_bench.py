@@ -676,6 +676,63 @@ def bench_starcc(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_sweep(spark, scales: list[int]) -> list[dict]:
+    """Headline insight-sweep family above sf0.1 (VERDICT r06 item 7): the
+    100 TB extrapolation for the Apriori wide sweep rested on a single
+    sf0.1 point; this replicates lineitem Nx (orderkeys offset, low-card
+    column DISTRIBUTIONS unchanged — so the lattice and its distinct-tuple
+    bound stay fixed while raw volume grows) and times the native
+    grouping-sets sweep and the Apriori wide sweep at each size, plus the
+    distinct-tuple count that bounds every post-pre-agg Expand. Claim:
+    wall-clock tracks the ONE raw-data pass (linear in rows); everything
+    after the pre-aggregation is volume-independent."""
+    from app_insights_generator_spark.queries.insights_queries import (
+        WIDE_CFG,
+        _lineitem_wide_base,
+        insights_sweep_lineitem,
+        insights_sweep_lineitem_wide,
+    )
+
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"sweep_x{s}")
+        replicate_dir = os.path.join(path, "lineitem.parquet")
+        base = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        n = base.count()
+        parts = [
+            base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 6_000_000))
+            for i in range(s)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(replicate_dir)
+
+        n_tuples = (
+            _lineitem_wide_base(spark, path).select(*WIDE_CFG.agg_cols).distinct().count()
+        )
+        t0 = time.time()
+        insights_sweep_lineitem(spark, path).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_native = time.time() - t0
+        t0 = time.time()
+        insights_sweep_lineitem_wide(spark, path).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_wide = time.time() - t0
+        rows.append(
+            {
+                "scale_vs_sf0.1": s,
+                "lineitem_rows": n * s,
+                "distinct_tuples": n_tuples,
+                "native_sweep_s": round(t_native, 2),
+                "apriori_wide_s": round(t_wide, 2),
+            }
+        )
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")
@@ -683,7 +740,7 @@ def main() -> None:
         "--only",
         default=None,
         help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,"
-        "incremental,sssp,bfs,prefix_join,dhash,lpa,chunk,cogroup,starcc",
+        "incremental,sssp,bfs,prefix_join,dhash,lpa,chunk,cogroup,starcc,sweep",
     )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
@@ -741,6 +798,9 @@ def main() -> None:
     if want("starcc"):
         print("\n## star connected components: rounds vs path diameter\n")
         print(md_table(bench_starcc(spark, scales)))
+    if want("sweep"):
+        print("\n## insight sweep family above sf0.1 (fixed lattice, Nx rows)\n")
+        print(md_table(bench_sweep(spark, scales)))
 
 
 if __name__ == "__main__":
