@@ -28,23 +28,33 @@ def main() -> int:
     ap.add_argument("--first", type=int, default=50)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None, metavar="PATH")
+    ap.add_argument(
+        "-k",
+        default=None,
+        help="comma-separated name filters passed through to check_oracle "
+        "— targeted fresh-session sweeps of specific queries (e.g. a "
+        "post-sweep addition) instead of the window prefix",
+    )
     args = ap.parse_args()
 
     tmpdir = tempfile.mkdtemp(prefix="gate_sweep_")
     runs: list[dict] = []
     for i in range(args.runs):
         path = os.path.join(tmpdir, f"run_{i}.json")
+        cmd = [
+            sys.executable,
+            os.path.join(HERE, "check_oracle.py"),
+            "--sf",
+            args.sf,
+            "--first",
+            str(args.first),
+            "--json",
+            path,
+        ]
+        if args.k:
+            cmd += ["-k", args.k]
         proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(HERE, "check_oracle.py"),
-                "--sf",
-                args.sf,
-                "--first",
-                str(args.first),
-                "--json",
-                path,
-            ],
+            cmd,
             capture_output=True,
             text=True,
         )
