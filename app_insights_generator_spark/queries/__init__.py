@@ -104,6 +104,8 @@ _GATE_PRIORITY = [
     "pq_codes_embeddings",
     "pq_adc_search_embeddings",
     "mixture_temperature_documents",
+    # (b2) round-7 mid-round additions
+    "weighted_reservoir_sample_documents",
     # (c) r-green padding, oracle-refactor re-confirmations first
     "shard_shuffle_documents",
     "multimodal_features",
@@ -114,7 +116,6 @@ _GATE_PRIORITY = [
     "q1_pricing_summary",
     "insights_sweep_lineitem_wide_lowcard",
     "bm25_documents",
-    "pagerank_nation_trade",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -707,6 +707,80 @@ def systematic_weighted_sample_documents(
     )
 
 
+# --- Weighted reservoir sampling (Efraimidis-Spirakis A-ES) -------------------
+
+
+@register(
+    "weighted_reservoir_sample_documents",
+    f"""
+    WITH h AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             {sql_hex_to_int("substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12)", 12)}
+               AS h48
+      FROM documents WHERE n_chars > 0
+    ),
+    k AS (
+      SELECT doc_id, weight,
+             ln((h48 + 1.0) / 281474976710656.0) / weight AS lnkey
+      FROM h
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY lnkey DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, weight
+    FROM k
+    ORDER BY lnkey DESC, doc_id
+    LIMIT 20
+    """,
+)
+def weighted_reservoir_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted reservoir sampling, the one-pass top-k formulation
+    (Efraimidis & Spirakis 2006, A-ES): each document draws a key
+    u^(1/w) — equivalently ln(u)/w, compared in log space to avoid
+    underflow — and the sample is the k largest keys. Heavier documents
+    get stochastically larger keys, so inclusion probability is the
+    weighted one, yet selection needs NO coordination: any worker can
+    score its rows independently and only k candidates per partition
+    survive to the driver.
+
+    Determinism: u is not rand() but the 48-bit sha256 prefix of doc_id
+    mapped to (0,1] — the same reproducibility discipline as
+    train_val_test_split / shard_shuffle, so the sample is identical
+    across engines, reruns, and cluster sizes, and the oracle replays it
+    exactly. The float lnkey exists only for ORDERING (never emitted);
+    with corpus-scale key gaps a last-ulp libm divergence between
+    engines cannot reorder ranks.
+
+    Scale: ORDER BY lnkey LIMIT k compiles to TakeOrderedAndProject —
+    per-partition top-k then a k*n_partitions driver merge, NO global
+    sort, no shuffle of the corpus (plan-guarded in tests/test_plans.py).
+    This is the complement of systematic_weighted_sample_documents: PPS
+    picks a size-proportional panel with a cumulative window; A-ES
+    answers 'give me k weighted-random docs' in one embarrassingly
+    parallel pass.
+
+    Reference parity: no counterpart (main.py has no sampling surface);
+    SURVEY §2.3 sampling-family extension.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h48 = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 12), 16, 10
+    ).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (F.log((h48 + F.lit(1.0)) / F.lit(281474976710656.0)) / F.col("n_chars"))
+        .alias("lnkey"),
+    )
+    top = keyed.orderBy(F.desc("lnkey"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("lnkey"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "weight"
+    )
+
+
 # --- LM pretraining chunker: global token stream -> fixed blocks ---------------
 
 _CHUNK_BLOCK = 128

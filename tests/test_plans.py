@@ -460,3 +460,12 @@ def test_mahalanobis_broadcast_moments_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mahalanobis_outliers_lineitem")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_reservoir_takeordered_no_global_sort(spark, sf_dir):
+    """A-ES top-k must compile to TakeOrderedAndProject (per-partition
+    top-k, driver merge of k*partitions rows) — a rangepartitioning
+    exchange would mean the corpus is globally sorted for 20 rows."""
+    plan = _plan(spark, sf_dir, "weighted_reservoir_sample_documents")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
