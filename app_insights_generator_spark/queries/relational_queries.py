@@ -1467,6 +1467,138 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivm_join_view_orders",
+    """
+    WITH j AS (
+      SELECT n.n_name, o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS c
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    ),
+    b AS (
+      SELECT n_name, CAST(SUM(c) AS BIGINT) AS base_cents,
+             COUNT(*) AS base_orders
+      FROM j WHERE o_orderkey % 10 != 7 GROUP BY n_name
+    ),
+    d AS (
+      SELECT n_name, CAST(SUM(c) AS BIGINT) AS delta_cents,
+             COUNT(*) AS delta_orders
+      FROM j WHERE o_orderkey % 10 = 7 GROUP BY n_name
+    ),
+    m AS (
+      SELECT COALESCE(b.n_name, d.n_name) AS n_name,
+             COALESCE(base_cents, 0) AS base_cents,
+             COALESCE(delta_cents, 0) AS delta_cents,
+             COALESCE(base_cents, 0) + COALESCE(delta_cents, 0) AS total_cents,
+             COALESCE(base_orders, 0) + COALESCE(delta_orders, 0) AS n_orders
+      FROM b FULL OUTER JOIN d USING (n_name)
+    ),
+    r AS (
+      SELECT n_name, CAST(SUM(c) AS BIGINT) AS rc, COUNT(*) AS rn
+      FROM j GROUP BY n_name
+    )
+    SELECT m.n_name, m.base_cents, m.delta_cents, m.total_cents, m.n_orders,
+           (m.total_cents = r.rc AND m.n_orders = r.rn) AS matches_recompute
+    FROM m JOIN r ON m.n_name = r.n_name
+    """,
+)
+def ivm_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by delta propagation: the
+    materialized view V = (orders JOIN customer JOIN nation) grouped by
+    nation is refreshed for a new order batch as V' = V merge
+    state(delta-orders JOIN dims) — the classic delta rule
+    d(O join C) = dO join C when only the fact side changes. The base
+    state is never re-joined or re-scanned: refresh cost is
+    O(|delta| + |groups|), the step up from incremental_agg_orders
+    (scan-level IVM) to join-level IVM.
+
+    Plan: the delta batch is small by nature, so its join is
+    BROADCAST (delta broadcast against the customer dim — at 100 TB the
+    dim stays partitioned and only the batch moves); the base-side join
+    runs once when the view is first built (here simulated in the same
+    query so the gate can check the merge). matches_recompute
+    re-derives the view from scratch and compares — the query is its
+    own audit, and the driver hash pins that every group matches.
+
+    Money is exact integer cents (BIGINT finals; see _exact.py rules).
+
+    Reference parity: no counterpart (main.py has no joins); §2.6
+    engine-extension surface alongside incremental_agg_orders.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    from app_insights_generator_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dims = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    keys = ["n_name"]
+    measures = {
+        "sum_cents": ("sum", cents),
+        "n_orders": ("count", None),
+    }
+
+    def joined(side: DataFrame, broadcast_fact: bool) -> DataFrame:
+        fact = F.broadcast(side) if broadcast_fact else side
+        return fact.join(dims, fact.o_custkey == dims.c_custkey)
+
+    base = agg_state(
+        joined(orders.filter(F.expr("o_orderkey % 10 != 7")), False),
+        keys,
+        measures,
+    )
+    delta = agg_state(
+        joined(orders.filter(F.expr("o_orderkey % 10 = 7")), True),
+        keys,
+        measures,
+    )
+    maintained = merge_states([base, delta], keys, measures).select(
+        "n_name",
+        F.col("sum_cents").alias("total_cents"),
+        "n_orders",
+    )
+    base_named = base.select(
+        "n_name",
+        F.col("sum_cents").alias("base_cents"),
+        F.col("n_orders").alias("base_orders"),
+    )
+    recompute = (
+        joined(orders, False)
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).cast("long").alias("rc"),
+            F.count(F.lit(1)).alias("rn"),
+        )
+    )
+    return (
+        maintained.join(base_named, "n_name", "left")
+        .join(recompute, "n_name")
+        .select(
+            "n_name",
+            F.coalesce("base_cents", F.lit(0)).cast("long").alias("base_cents"),
+            (F.col("total_cents") - F.coalesce("base_cents", F.lit(0)))
+            .cast("long")
+            .alias("delta_cents"),
+            F.col("total_cents").cast("long"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (
+                (F.col("total_cents") == F.col("rc"))
+                & (F.col("n_orders") == F.col("rn"))
+            ).alias("matches_recompute"),
+        )
+    )
+
+
 _WEIGHTED_EDGES_SQL = """
   SELECT cn.n_name AS src, sn.n_name AS dst,
          COUNT(DISTINCT s.s_suppkey) AS w

@@ -469,3 +469,12 @@ def test_weighted_reservoir_takeordered_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_reservoir_sample_documents")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ivm_join_view_broadcasts_fact_dim_joins(spark, sf_dir):
+    """Every fact-dim join in the IVM view (base build, delta refresh,
+    recompute audit) must broadcast — a SortMergeJoin on a fact-dim edge
+    would shuffle the fact table for a dim lookup. SMJ is tolerated only
+    between the tiny aggregated state tables."""
+    plan = _plan(spark, sf_dir, "ivm_join_view_orders")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
