@@ -107,6 +107,7 @@ _GATE_PRIORITY = [
     # (b2) round-7 mid-round additions
     "weighted_reservoir_sample_documents",
     "ivm_join_view_orders",
+    "join_key_skew_profile_orders",
     # (c) r-green padding, oracle-refactor re-confirmations first
     "shard_shuffle_documents",
     "multimodal_features",
@@ -115,7 +116,6 @@ _GATE_PRIORITY = [
     "systematic_weighted_sample_documents",
     "train_val_test_split_documents",
     "q1_pricing_summary",
-    "insights_sweep_lineitem_wide_lowcard",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -1468,6 +1468,103 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_key_skew_profile_orders",
+    """
+    WITH f AS (
+      SELECT o_custkey, COUNT(*) AS freq FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM f
+    ),
+    p AS (
+      SELECT CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN freq END) AS BIGINT)
+               AS p50_freq,
+             CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN freq END)
+               AS BIGINT) AS p99_freq
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(freq) AS BIGINT) AS n_rows,
+             CAST(MAX(freq) AS BIGINT) AS max_freq
+      FROM f
+    )
+    SELECT s.n_keys, s.n_rows, s.max_freq, p.p50_freq, p.p99_freq,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f, p
+             WHERE freq > 5 * p.p50_freq) AS n_hot_keys,
+           CAST(s.max_freq * 10000 // s.n_rows AS BIGINT) AS top1_share_bp
+    FROM s, p
+    """,
+)
+def join_key_skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the 'should I salt this join?' diagnostic
+    a 100 TB pipeline runs BEFORE shuffling on a key: per-key frequency
+    distribution of orders.o_custkey reduced to the skew-decision
+    numbers (distinct keys, max/p50/p99 frequency, hot-key count above
+    the 5x-median rule AQE's skew-join uses as its factor default, and
+    the top-1 key's share in basis points). A p99/p50 ratio near 1 means
+    hash partitioning balances; a fat top1_share_bp means one reducer
+    owns that fraction of the shuffle no matter how many tasks exist —
+    the exact situation operators/skew.py's salted paths cure.
+
+    Scale: one map-side-combined groupBy collapses the fact table to the
+    per-key count table (bounded by the dim cardinality, not fact rows);
+    the exact rank-based percentiles then run on that bounded table, so
+    the global window never sees raw volume. All finals are exact
+    integers (frequencies and basis points — drift-proof).
+
+    Reference parity: no counterpart; §2.6 engine-diagnostics extension
+    alongside table_checksum / schema_drift.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy("freq", "o_custkey")
+    r = f.select(
+        "freq",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    p = r.agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("freq")))
+        .cast("long")
+        .alias("p50_freq"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("freq"))
+        )
+        .cast("long")
+        .alias("p99_freq"),
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.max("freq").cast("long").alias("max_freq"),
+    )
+    hot = (
+        f.crossJoin(F.broadcast(p))
+        .filter(F.col("freq") > 5 * F.col("p50_freq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hot_keys"))
+    )
+    return (
+        s.crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            "n_hot_keys",
+            F.expr("CAST(max_freq * 10000 DIV n_rows AS BIGINT)").alias(
+                "top1_share_bp"
+            ),
+        )
+    )
+
+
+@register(
     "ivm_join_view_orders",
     """
     WITH j AS (
