@@ -108,6 +108,7 @@ _GATE_PRIORITY = [
     "weighted_reservoir_sample_documents",
     "ivm_join_view_orders",
     "join_key_skew_profile_orders",
+    "grid_colocation_customer_supplier",
     # (c) r-green padding, oracle-refactor re-confirmations first
     "shard_shuffle_documents",
     "multimodal_features",
@@ -115,7 +116,6 @@ _GATE_PRIORITY = [
     "stratified_sample_documents",
     "systematic_weighted_sample_documents",
     "train_val_test_split_documents",
-    "q1_pricing_summary",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -1467,6 +1467,126 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_sql(x: str, y: str, bits: int, div: str) -> str:
+    """Bit-interleaved (Morton / z-order) cell id as pure integer
+    arithmetic — even bit positions from ``x``, odd from ``y`` — written
+    with DIV/% so the SAME construction runs on Spark (div='DIV') and
+    DuckDB (div='//'). Interleaving makes lexicographic cell order a
+    space-filling curve: neighbors in the plane stay near each other in
+    the sort, which is what z-order data layout exploits for min/max
+    file skipping on two correlated dimensions."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_GRID_X = "((CAST(ROUND({bal} * 100) AS BIGINT) + 100000) {div} 20000)"
+
+
+@register(
+    "grid_colocation_customer_supplier",
+    f"""
+    WITH cc AS (
+      SELECT {_GRID_X.format(bal='c_acctbal', div='//')} AS x,
+             CAST(c_nationkey AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT {_GRID_X.format(bal='s_acctbal', div='//')} AS x,
+             CAST(s_nationkey AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT sc.x + dx.d AS x, sc.y + dy.d AS y,
+             CAST(SUM(sc.n_supp) AS BIGINT) AS n_supp_nbhd
+      FROM sc, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+      GROUP BY 1, 2
+    )
+    SELECT {_morton_sql('cc.x', 'cc.y', 6, '//')} AS morton_cell,
+           cc.x AS x_grid, cc.y AS y_grid, cc.n_cust,
+           COALESCE(sc.n_supp, 0) AS n_supp,
+           cc.n_cust * COALESCE(nb.n_supp_nbhd, 0) AS n_nearby_pairs
+    FROM cc
+    LEFT JOIN sc ON cc.x = sc.x AND cc.y = sc.y
+    LEFT JOIN nb ON cc.x = nb.x AND cc.y = nb.y
+    """,
+)
+def grid_colocation_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grid-cell co-location join — the scalable spatial-join pattern:
+    bucket both sides onto an integer grid (x from account balance in
+    exact integer cents, y the nation key), aggregate each side to
+    per-cell COUNTS first, replicate the supplier counts to their 3x3
+    neighbor cells, and join counts to counts. The output is, per
+    occupied customer cell, the same-cell supplier count and the number
+    of (customer, supplier) pairs within Chebyshev grid distance 1 —
+    computed WITHOUT ever materializing a pair (aggregate-then-join:
+    the join input is bounded by occupied cells, not row pairs, which
+    is what makes a proximity join survive 100 TB; the naive form is
+    the theta join the oracle can afford at gate scale only because
+    its input is tiny). The 9-way neighbor replication happens on the
+    pre-aggregated cell table — 9x a bounded table, not 9x the data.
+
+    Each cell also carries its Morton (z-order) id — even bits x, odd
+    bits y, pure DIV/% arithmetic identical on both engines — the
+    space-filling-curve key a 100 TB layout would SORT BY so that 2-D
+    proximity becomes 1-D file locality (min/max skipping prunes both
+    dimensions at once; sources/writers.py zorder twin).
+
+    Reference parity: no counterpart (main.py has no joins); §2.2
+    join-family extension (the spatial sibling of the banded/bucketed
+    similarity joins).
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def cells(df: DataFrame, bal: str, nat: str, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.expr(_GRID_X.format(bal=bal, div="DIV")).alias("x"),
+                F.col(nat).cast("long").alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    cc = cells(cust, "c_acctbal", "c_nationkey", "n_cust")
+    sc = cells(supp, "s_acctbal", "s_nationkey", "n_supp")
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], ["dx", "dy"]
+    )
+    nb = (
+        sc.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("x") + F.col("dx")).alias("x"),
+            (F.col("y") + F.col("dy")).alias("y"),
+            "n_supp",
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("n_supp").cast("long").alias("n_supp_nbhd"))
+    )
+    return (
+        cc.join(sc, ["x", "y"], "left")
+        .join(nb, ["x", "y"], "left")
+        .select(
+            F.expr(_morton_sql("x", "y", 6, "DIV")).alias("morton_cell"),
+            F.col("x").alias("x_grid"),
+            F.col("y").alias("y_grid"),
+            "n_cust",
+            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+            (F.col("n_cust") * F.coalesce("n_supp_nbhd", F.lit(0)))
+            .cast("long")
+            .alias("n_nearby_pairs"),
+        )
+    )
+
+
 @register(
     "join_key_skew_profile_orders",
     """

@@ -157,3 +157,69 @@ def test_interval_overlap_join_matches_bruteforce_property(spark):
             ).collect()
         }
         assert got == truth, f"width={width}: {len(got)} vs {len(truth)}"
+
+
+def test_grid_colocation_counts_match_naive_theta_join(spark, sf_dir):
+    """The aggregate-then-join co-location counts must equal the naive
+    per-pair theta join (|dx|<=1 AND |dy|<=1) — the scalable form may
+    never drop or double-count a neighbor pair. Run at sf0.001 where the
+    quadratic naive form is free."""
+    from app_insights_generator_spark.queries.relational_queries import (
+        _GRID_X,
+        grid_colocation_customer_supplier,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.x_grid, r.y_grid): r.n_nearby_pairs
+        for r in grid_colocation_customer_supplier(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.expr(_GRID_X.format(bal="c_acctbal", div="DIV")).alias("cx"),
+        F.col("c_nationkey").cast("long").alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.expr(_GRID_X.format(bal="s_acctbal", div="DIV")).alias("sx"),
+        F.col("s_nationkey").cast("long").alias("sy"),
+    )
+    naive = (
+        cust.crossJoin(supp)
+        .filter(
+            (F.abs(F.col("cx") - F.col("sx")) <= 1)
+            & (F.abs(F.col("cy") - F.col("sy")) <= 1)
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    truth = {(r.cx, r.cy): r.n for r in naive.collect()}
+    for cell, n in truth.items():
+        assert got.get(cell) == n, (cell, got.get(cell), n)
+    for cell, n in got.items():
+        if n:
+            assert truth.get(cell) == n, (cell, n)
+
+
+def test_morton_cell_is_bit_interleave(spark):
+    """Morton id must equal the reference bit-interleave for every cell in
+    the 6-bit range."""
+    from app_insights_generator_spark.queries.relational_queries import _morton_sql
+
+    from pyspark.sql import functions as F
+
+    def py_morton(x: int, y: int) -> int:
+        m = 0
+        for i in range(6):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    df = (
+        spark.range(64)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("y")))
+        .select("x", "y", F.expr(_morton_sql("x", "y", 6, "DIV")).alias("m"))
+    )
+    for r in df.collect():
+        assert r.m == py_morton(r.x, r.y), (r.x, r.y, r.m)
