@@ -109,13 +109,13 @@ _GATE_PRIORITY = [
     "ivm_join_view_orders",
     "join_key_skew_profile_orders",
     "grid_colocation_customer_supplier",
+    "sql_group_by_all_orders",
     # (c) r-green padding, oracle-refactor re-confirmations first
     "shard_shuffle_documents",
     "multimodal_features",
     "multimodal_resize",
     "stratified_sample_documents",
     "systematic_weighted_sample_documents",
-    "train_val_test_split_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

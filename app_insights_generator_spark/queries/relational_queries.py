@@ -2720,6 +2720,42 @@ def pipe_syntax_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_group_by_all_orders",
+    f"""
+    SELECT o_orderstatus,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+           COUNT(*) AS n_orders,
+           CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_group_by_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+, SPARK-41231): the grouping
+    key list is inferred as every non-aggregate select item — the
+    analyzer sugar both engines implement with identical inference
+    rules, so the SAME query text runs on Spark and DuckDB (this oracle
+    IS the Spark SQL, modulo nothing). Purely API surface: the resolved
+    plan is the explicit two-key aggregate.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gba_orders_v")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+               COUNT(*) AS n_orders,
+               CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS sum_cents
+        FROM gba_orders_v
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 # --- Skyline / Pareto frontier ------------------------------------------------
 
 
