@@ -110,12 +110,15 @@ _GATE_PRIORITY = [
     "join_key_skew_profile_orders",
     "grid_colocation_customer_supplier",
     "sql_group_by_all_orders",
+    "target_encoding_orders",
+    "feature_hashing_documents",
+    "ewma_daily_revenue_orders",
     # (c) r-green padding, oracle-refactor re-confirmations first
+    # (the _sha_bucket_sql refactor keeps driver coverage through
+    # poisson_bootstrap_orders above; the _MEDIA_CTE refactor through
+    # multimodal_features)
     "shard_shuffle_documents",
     "multimodal_features",
-    "multimodal_resize",
-    "stratified_sample_documents",
-    "systematic_weighted_sample_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -1048,6 +1048,93 @@ def acf_daily_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Truncated-kernel EWMA smoothing of the daily-revenue series ---------------
+
+#: ppm weights of a truncated (8-lag) EWMA kernel, alpha = 0.3: exact
+#: integer literals computed ONCE here and inlined into both engines'
+#: SQL, so the smoothing is pure int64 arithmetic with zero float drift.
+_EWMA_W = [round(0.3 * 0.7**j * 1_000_000) for j in range(8)]
+_EWMA_WSUM = sum(_EWMA_W)
+
+
+def _ewma_expr() -> str:
+    """SUM_j w_j * lag_j(rev), renormalized by the used-weight mass —
+    identical text on Spark and DuckDB (LAG + integer ops only)."""
+    terms = " + ".join(
+        f"{w} * l{j}" if j else f"{w} * rev" for j, w in enumerate(_EWMA_W)
+    )
+    return f"({terms})"
+
+
+@register(
+    "ewma_daily_revenue_orders",
+    f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_idx,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT day_idx, rev,
+             {', '.join(f'LAG(rev, {j}) OVER (ORDER BY day_idx) AS l{j}' for j in range(1, 8))},
+             ROW_NUMBER() OVER (ORDER BY day_idx) AS rn
+      FROM d
+    )
+    SELECT day_idx, rev AS revenue_cents,
+           CAST({_ewma_expr()} // {_EWMA_WSUM} AS BIGINT) AS ewma_cents
+    FROM l WHERE rn >= 8
+    """,
+)
+def ewma_daily_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue with a
+    truncated 8-lag kernel: weights alpha*(1-alpha)^j (alpha = 0.3) are
+    precomputed ppm INTEGER literals inlined into both engines, and the
+    smoothed value is sum(w_j * lag_j) DIV sum(w_j) — renormalized by
+    the used-weight mass, pure int64, drift-proof. This is the FIR
+    (truncated linear filter) formulation — the complement of
+    ewma_user_values, which folds the exact IIR recursion with a
+    higher-order aggregate over collected arrays: the FIR form keeps the
+    series AS ROWS (no per-key array materialization, so a hot series
+    cannot blow executor memory) at the cost of the <6%-mass dropped
+    tail, and stays integer-exact where the fold is float. The FIRST 7
+    rows (incomplete kernel) are excluded rather than silently biased.
+    Lags are positional over the observed days (gap days shift the
+    kernel, the observation-time EWMA convention; the calendar-join form
+    is acf_daily_revenue_orders' pairing).
+
+    Plan: one map-side-combined shuffle reduces orders to the ~2,400-row
+    daily series; the window runs on that bounded series, so the global
+    ORDER BY never sees raw volume (same posture as ACF). At 100 TB with
+    many series, PARTITION BY series_id replaces the global window.
+
+    Reference parity: no counterpart; §2.6 time-series extension
+    alongside acf/seasonal/mean_shift.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_idx")
+    ).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias("rev")
+    )
+    w = Window.orderBy("day_idx")
+    lagged = d.select(
+        "day_idx",
+        "rev",
+        *[F.lag("rev", j).over(w).alias(f"l{j}") for j in range(1, 8)],
+        F.row_number().over(w).alias("rn"),
+    )
+    return lagged.filter(F.col("rn") >= 8).select(
+        "day_idx",
+        F.col("rev").alias("revenue_cents"),
+        F.expr(f"CAST({_ewma_expr()} DIV {_EWMA_WSUM} AS BIGINT)").alias(
+            "ewma_cents"
+        ),
+    )
+
+
 # --- Deterministic Poisson bootstrap ------------------------------------------
 
 

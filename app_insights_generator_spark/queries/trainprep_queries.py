@@ -707,6 +707,166 @@ def systematic_weighted_sample_documents(
     )
 
 
+# --- Feature hashing (the hashing trick) ---------------------------------------
+
+
+@register(
+    "feature_hashing_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x != '')) AS term
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             {sql_hex_to_int("substring(md5(term), 1, 4)", 4)} % 64 AS bucket,
+             1 - 2 * ({sql_hex_to_int("substring(md5(term), 5, 1)", 1)} % 2)
+               AS sign
+      FROM tok
+    ),
+    v AS (
+      SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM h GROUP BY doc_id, bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weight) AS BIGINT) AS net_weight,
+           CAST(SUM(ABS(weight)) AS BIGINT) AS l1_weight
+    FROM v GROUP BY bucket
+    """,
+)
+def feature_hashing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): every
+    token maps to one of 64 buckets by md5, with a +/-1 sign from an
+    independent hash digit so collisions cancel in expectation — the
+    fixed-width, vocabulary-free featurization that needs NO dictionary
+    build, no vocab broadcast, and no second pass, which is exactly why
+    it scales to 100 TB text where a learned vocabulary is itself a big-
+    data problem. Per-(doc, bucket) signed weights are the sparse
+    feature vectors; the gate pins the corpus-level per-bucket profile
+    (docs touching the bucket, net signed weight, L1 mass) so every
+    per-doc weight participates in the hash via the sums.
+
+    Tokenization is byte-identical to inverted_index_documents
+    (lower + whitespace collapse + split); bucket and sign replay on
+    DuckDB through the same md5 digits.
+
+    Plan: explode -> two keyed integer aggregations, UDF-free; the
+    (doc, bucket) grouping is the same shuffle key family as the
+    inverted index, map-side combined.
+
+    Reference parity: no counterpart; §2.3 training-feature extension.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    from app_insights_generator_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(T.normalized_text(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    md5 = F.md5("term")
+    h = tok.select(
+        "doc_id",
+        (F.conv(F.substring(md5, 1, 4), 16, 10).cast("long") % 64).alias(
+            "bucket"
+        ),
+        (
+            F.lit(1)
+            - 2 * (F.conv(F.substring(md5, 5, 1), 16, 10).cast("long") % 2)
+        ).alias("sign"),
+    )
+    v = h.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("weight")
+    )
+    return v.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("net_weight"),
+        F.sum(F.abs("weight")).cast("long").alias("l1_weight"),
+    )
+
+
+# --- Leave-one-out target encoding (ML feature prep) --------------------------
+
+
+@register(
+    "target_encoding_orders",
+    """
+    WITH x AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority,
+             CAST(SUM(c) AS BIGINT) AS sum_c,
+             COUNT(*) AS n
+      FROM x GROUP BY o_orderpriority
+    )
+    SELECT x.o_orderkey, x.o_orderpriority,
+           CAST(g.sum_c - x.c AS BIGINT) AS loo_num_cents,
+           CAST(g.n - 1 AS BIGINT) AS loo_den,
+           CAST(g.sum_c - x.c AS DOUBLE) / (g.n - 1) AS loo_mean_cents
+    FROM x JOIN g USING (o_orderpriority)
+    WHERE g.n > 1
+    """,
+)
+def target_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular training data: each order's priority
+    is encoded as the mean order value of every OTHER order with that
+    priority, (sum - x) / (n - 1), which removes the row's own target
+    from its feature (the leakage the naive group-mean encoding has).
+
+    Exactness: numerator and denominator are exact integers (cents sum
+    minus the row's own cents; count minus one) and the mean is their
+    single IEEE division — the two-exact-ints-divided discipline of
+    queries/_exact.py, drift-proof across engines.
+
+    Plan: aggregate-then-BROADCAST-join, deliberately NOT a window over
+    the raw rows — a window partitioned by a 5-value category would
+    funnel 100 TB through 5 reducer tasks, while the group-stats table
+    is 5 rows broadcast back over an embarrassingly parallel map join
+    (plan-guarded: BroadcastHashJoin, zero window exchanges on the fact
+    side).
+
+    Reference parity: no counterpart; §2.3 training-feature extension
+    alongside pit_features_purchases.
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    g = x.groupBy("o_orderpriority").agg(
+        F.sum("c").cast("long").alias("sum_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        x.join(F.broadcast(g), "o_orderpriority")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("sum_c") - F.col("c")).cast("long").alias("loo_num_cents"),
+            (F.col("n") - 1).cast("long").alias("loo_den"),
+            (
+                (F.col("sum_c") - F.col("c")).cast("double")
+                / (F.col("n") - 1)
+            ).alias("loo_mean_cents"),
+        )
+    )
+
+
 # --- Weighted reservoir sampling (Efraimidis-Spirakis A-ES) -------------------
 
 
