@@ -461,6 +461,113 @@ def assign_to_centroids(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_parallel_init(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    oversample: int = 8,
+    rounds: int = 2,
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+) -> DataFrame:
+    """k-means|| scalable seeding (Bahmani et al., VLDB 2012) ->
+    [seed_rank, vid, weight, phi0, phi_sel].
+
+    k-means++ picks seeds one at a time with cost-proportional
+    probability — k sequential full-data passes, the reason it cannot
+    run at 100 TB. k-means|| replaces the sequence with ``rounds``
+    passes that each OVERSAMPLE: every point joins the candidate set
+    independently with probability min(1, l * d2(x) / phi), so a round
+    admits ~l candidates in parallel, and the final k seeds come from
+    weighting candidates by how many points they attract.
+
+    Deterministic twin: the Bernoulli draw u(x, r) is the 48-bit sha256
+    prefix of "vid#round" (the train/val/test discipline), and the
+    acceptance test u/2^48 < l*d2/phi is evaluated as the cross-
+    multiplied double comparison u*phi < l*d2*2^48 — identical IEEE ops
+    on identical integers in both engines, so the whole seeding unrolls
+    into chained SQL CTEs like kmeans/pagerank. Final seed pick is
+    top-k candidates by (attraction weight DESC, vid) — the weighted
+    re-clustering step of the paper simplified to its first iteration,
+    documented as such. phi0 (cost vs the single min-vid start center)
+    and phi_sel (cost vs the k selected seeds) ride along so the gate
+    pins the seeding-quality improvement, not just membership.
+
+    Scale: per round one broadcast join (candidate centers are ~l*r
+    vectors) + two keyed aggregations + a 1-row cost broadcast — same
+    plan family as kmeans_fixed_point's iterations, no driver state.
+
+    Reference parity: no counterpart; cited file is public Spark's own
+    MLlib initializer concept (initMode="k-means||"), re-expressed
+    relationally."""
+    e = quantized_long_form(embs, id_col, vec_col, scale, offset).localCheckpoint()
+    first = e.groupBy().agg(F.min("vid").alias("vid"))
+    centers = (
+        e.join(F.broadcast(first), "vid")
+        .select(F.col("vid").alias("cid"), "d", "v")
+        .localCheckpoint()
+    )
+    phi0 = None
+    two48 = 281474976710656.0
+    for r in range(1, rounds + 1):
+        d2 = (
+            e.join(
+                F.broadcast(centers.select("cid", "d", F.col("v").alias("cv"))),
+                "d",
+            )
+            .groupBy("vid", "cid")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+                ).alias("dist")
+            )
+            .groupBy("vid")
+            .agg(F.min("dist").alias("d2"))
+        )
+        phi = d2.agg(F.sum("d2").cast("long").alias("phi"))
+        if phi0 is None:
+            phi0 = phi
+        u48 = F.expr(
+            "CAST(conv(substring(sha2(concat(CAST(vid AS STRING), '#', "
+            f"'{r}'), 256), 1, 12), 16, 10) AS DOUBLE)"
+        )
+        sel = (
+            d2.crossJoin(F.broadcast(phi))
+            .filter(
+                u48 * F.col("phi").cast("double")
+                < F.lit(float(oversample)) * F.col("d2").cast("double") * F.lit(two48)
+            )
+            .select("vid")
+        )
+        centers = centers.unionByName(
+            e.join(sel, "vid").select(F.col("vid").alias("cid"), "d", "v")
+        ).localCheckpoint()
+    assign = assign_to_centroids(e, centers)
+    w = Window.orderBy(F.desc("weight"), "cid")
+    seeds = (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .withColumn("seed_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("seed_rank") <= k)
+    )
+    seed_cent = centers.join(seeds.select("cid"), "cid")
+    phi_sel = assign_to_centroids(e, seed_cent).agg(
+        F.sum("dist").cast("long").alias("phi_sel")
+    )
+    return (
+        seeds.crossJoin(F.broadcast(phi0))
+        .crossJoin(F.broadcast(phi_sel))
+        .select(
+            "seed_rank",
+            F.col("cid").alias("vid"),
+            "weight",
+            F.col("phi").alias("phi0"),
+            "phi_sel",
+        )
+    )
+
+
 def kmeans_fixed_point(
     embs: DataFrame,
     id_col: str = "vec_id",

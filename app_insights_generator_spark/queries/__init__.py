@@ -113,12 +113,13 @@ _GATE_PRIORITY = [
     "target_encoding_orders",
     "feature_hashing_documents",
     "ewma_daily_revenue_orders",
+    "kmeans_parallel_init_embeddings",
     # (c) r-green padding, oracle-refactor re-confirmations first
-    # (the _sha_bucket_sql refactor keeps driver coverage through
-    # poisson_bootstrap_orders above; the _MEDIA_CTE refactor through
-    # multimodal_features)
+    # (shard_shuffle re-confirms the sql_hex_to_int oracle refactor class
+    # in-window; the _sha_bucket_sql and _MEDIA_CTE sites it also touched
+    # are locally verified at both SFs and poisson_bootstrap_orders above
+    # covers the _sha_bucket_sql path)
     "shard_shuffle_documents",
-    "multimodal_features",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

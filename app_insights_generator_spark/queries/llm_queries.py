@@ -2110,6 +2110,127 @@ def _km_final_assign_cte(p: str, src: str, cent: str) -> str:
       WHERE rn = 1)"""
 
 
+def _kpp_u48(r: int) -> str:
+    """Deterministic Bernoulli draw for k-means|| round r: 48-bit sha256
+    prefix of 'vid#r' as a double (DuckDB side; the Spark twin is
+    conv(substring(sha2(...)))."""
+    return (
+        "CAST("
+        + sql_hex_to_int(
+            f"substring(sha256(CONCAT(CAST(vid AS VARCHAR), '#', '{r}')), 1, 12)",
+            12,
+        )
+        + " AS DOUBLE)"
+    )
+
+
+def _kpp_round(r: int, l: int) -> str:
+    """One unrolled k-means|| oversampling round: min squared distance to
+    the current candidate set kc{r-1} -> total cost -> cross-multiplied
+    double acceptance test -> candidate union kc{r}."""
+    return f"""
+    kd{r} AS (
+      SELECT vid, MIN(dist) AS d2 FROM (
+        SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+        FROM e JOIN kc{r - 1} c USING (d) GROUP BY 1, 2)
+      GROUP BY vid
+    ),
+    kphi{r} AS (SELECT CAST(SUM(d2) AS BIGINT) AS phi FROM kd{r}),
+    ks{r} AS (
+      SELECT vid FROM kd{r}, kphi{r}
+      WHERE {_kpp_u48(r)} * CAST(phi AS DOUBLE)
+            < {l}.0 * CAST(d2 AS DOUBLE) * 281474976710656.0
+    ),
+    kc{r} AS (
+      SELECT * FROM kc{r - 1}
+      UNION ALL
+      SELECT e.vid AS cid, e.d, e.v FROM e JOIN ks{r} USING (vid)
+    )"""
+
+
+@register(
+    "kmeans_parallel_init_embeddings",
+    f"""
+    WITH e AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    kc0 AS (
+      SELECT vid AS cid, d, v FROM e WHERE vid = (SELECT MIN(vid) FROM e)
+    ),
+    {_kpp_round(1, 8)},
+    {_kpp_round(2, 8)},
+    af AS (
+      SELECT vid, cid, dist FROM (
+        SELECT vid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+              FROM e JOIN kc2 c USING (d) GROUP BY 1, 2))
+      WHERE rn = 1
+    ),
+    seeds AS (
+      SELECT cid, weight,
+             CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, cid) AS BIGINT)
+               AS seed_rank
+      FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM af GROUP BY cid)
+      QUALIFY seed_rank <= {_KM_K}
+    ),
+    fa AS (
+      SELECT vid, dist FROM (
+        SELECT vid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vid, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+              FROM e JOIN (SELECT c.* FROM kc2 c JOIN seeds USING (cid)) c
+                       USING (d)
+              GROUP BY 1, 2))
+      WHERE rn = 1
+    ),
+    fphi AS (SELECT CAST(SUM(dist) AS BIGINT) AS phi_sel FROM fa)
+    SELECT seeds.seed_rank, seeds.cid AS vid, seeds.weight,
+           kphi1.phi AS phi0, fphi.phi_sel
+    FROM seeds, kphi1, fphi
+    """,
+)
+def kmeans_parallel_init_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means|| scalable seeding (operators/similarity.py
+    kmeans_parallel_init): 2 oversampling rounds at l = 8 over the
+    embedding corpus, candidates weighted by attraction, top-4 seeds by
+    (weight, vid). Every Bernoulli draw is the sha256 prefix of
+    'vid#round' and the acceptance test is the cross-multiplied double
+    comparison, so the oracle unrolls the whole stochastic-looking
+    algorithm into exact chained CTEs — the same discipline as kmeans /
+    pagerank. Gate witness: each seed's rank, id and weight PLUS the
+    corpus cost before (phi0, single start center) and after (phi_sel,
+    the k seeds) — the seeding-quality claim itself is hash-pinned.
+
+    Completes the clustering family: kmeans_fixed_point is the
+    distributed Lloyd refinement, this is the distributed INIT that
+    replaces k-means++'s k sequential passes with O(rounds) passes
+    (public Spark MLlib ships the same algorithm as initMode
+    'k-means||'; re-expressed here as pure relational algebra).
+
+    Registered for the round-7 gate window (mid-round addition)."""
+    from app_insights_generator_spark.operators.similarity import (
+        kmeans_parallel_init,
+    )
+
+    return kmeans_parallel_init(
+        _embs(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=_KM_K,
+        oversample=8,
+        rounds=2,
+        scale=_KM_SCALE,
+        offset=_KM_OFF,
+    )
+
+
 @register(
     "kmeans_clusters_embeddings",
     f"""
