@@ -674,3 +674,117 @@ def jaccard_join_prefix_filter(
     pinned = pairs.localCheckpoint(eager=True)
     sh.unpersist()
     return pinned
+
+
+def winnowing_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    window of w consecutive gram hashes, and SELECT the minimum hash of
+    each window. The selected set is a position-robust ~2/(w+1)-density
+    fingerprint with the winnowing guarantee: any shared substring of
+    at least w+k-1 tokens yields at least one shared fingerprint, so
+    cross-document overlap detection never misses long clones while
+    storing only a small fraction of the gram hashes.
+
+    Output per document: ``[doc_id, n_grams, n_windows, n_selected,
+    density_bp, shared_sel]`` — all integers (density in basis points of
+    windows; ``shared_sel`` = how many of this document's selected
+    fingerprints are selected by >=1 OTHER document, the plagiarism /
+    clone signal). Documents shorter than k tokens have zero grams and
+    all-zero stats.
+
+    Plan/scale: deliberately RELATIONAL, not array-side — the sliding
+    minimum is ``MIN(h) OVER (PARTITION BY doc ORDER BY pos ROWS w-1
+    PRECEDING)`` over exploded (doc, pos, md5) gram rows. The array
+    formulation (transform(j -> array_min(slice(grams, j, w)))) reads
+    nicer but Catalyst inlines the gram-building transform into the
+    window lambda and re-evaluates it per element — O(m^2) md5 calls per
+    document, measured 16x slower at sf0.01. Here every md5 is computed
+    exactly once, the one shuffle is keyed on doc_id (fine-grained, no
+    skew class), and the exchange is reused across the stats / share
+    branches. Window end positions i in [LEAST(w, m), m] reproduce the
+    clamped-window semantics exactly: full windows j = i-w+1 for m >= w,
+    one partial all-gram window when 1 <= m < w.
+
+    The hash is md5 of the space-joined gram, compared LEXICOGRAPHICALLY
+    as hex text — identical total order in Spark and DuckDB, so window
+    minima (and therefore the whole selected set) are engine-exact with
+    no float or integer-width class at all.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.greatest(F.size("toks") - k + 1, F.lit(0)).alias("m"),
+    )
+    g = (
+        base.filter(F.col("m") >= 1)
+        .select(
+            "doc_id",
+            "m",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "m",
+            "i",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    kept = g.select(
+        "doc_id", "m", "i", F.min("h").over(wspec).alias("wmin")
+    ).filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
+    stats = kept.groupBy("doc_id").agg(
+        F.any_value(F.col("m")).cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.countDistinct("wmin").cast("long").alias("n_selected"),
+    )
+    sel = kept.select("doc_id", "wmin").distinct()
+    # sel is distinct per doc, so count(*) per hash == number of docs
+    # selecting it; >=2 means shared with at least one other document.
+    shared_h = (
+        sel.groupBy("wmin")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    shared = (
+        sel.join(shared_h.select("wmin"), "wmin")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_sel"))
+    )
+    return (
+        base.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_windows, 0) = 0 THEN 0"
+                " ELSE n_selected * 10000 DIV n_windows END AS LONG)"
+            ).alias("density_bp"),
+            F.coalesce(F.col("shared_sel"), F.lit(0))
+            .cast("long")
+            .alias("shared_sel"),
+        )
+    )

@@ -3916,3 +3916,147 @@ def mixture_temperature_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("n_tokens * 10000 DIV nz").alias("natural_bp"),
         F.expr("isqrt_t * 10000 DIV z").alias("temp_bp"),
     )
+
+
+# --- Winnowing fingerprints (MOSS) --------------------------------------------
+
+
+@register(
+    "winnowing_fingerprints_documents",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             GREATEST(len(toks) - 3, 0) AS m,
+             CASE WHEN len(toks) >= 4
+                  THEN list_transform(range(1, len(toks) - 3 + 1),
+                         i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+                  ELSE [] END AS grams
+      FROM base
+    ),
+    s AS (
+      SELECT doc_id, m,
+             GREATEST(m - 3, CASE WHEN m >= 1 THEN 1 ELSE 0 END) AS n_windows,
+             CASE WHEN m >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, GREATEST(m - 3, 1) + 1),
+                         j -> list_aggregate(list_slice(grams, j, j + 3), 'min')))
+                  ELSE [] END AS sel
+      FROM g
+    ),
+    ex AS (SELECT doc_id, unnest(sel) AS h FROM s),
+    dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+    sh AS (SELECT e.doc_id, COUNT(*) AS shared_sel
+           FROM ex e JOIN dup USING (h) GROUP BY e.doc_id)
+    SELECT s.doc_id,
+           CAST(m AS BIGINT) AS n_grams,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(len(sel) AS BIGINT) AS n_selected,
+           CAST(CASE WHEN n_windows = 0 THEN 0
+                ELSE len(sel) * 10000 // n_windows END AS BIGINT) AS density_bp,
+           CAST(COALESCE(sh.shared_sel, 0) AS BIGINT) AS shared_sel
+    FROM s LEFT JOIN sh USING (doc_id)
+    """,
+)
+def winnowing_fingerprints_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing fingerprint selection (operators/dedup.py
+    winnowing_stats; Schleimer-Wilkerson-Aiken 2003, the MOSS document
+    fingerprinting algorithm): 4-token gram md5 hashes, window w=4
+    minima, per-document selected-set stats plus the cross-corpus
+    shared-fingerprint count. Completes the fingerprinting family next
+    to fingerprint_documents (whole-doc md5), fingerprint_rolling
+    (Karp-Rabin) and duplicate_spans (every duplicated window): winnowing
+    keeps the GUARANTEED-coverage sparse subset (~2/(w+1) density; any
+    shared run of w+k-1 tokens shares a fingerprint), which is what an
+    index at 100 TB can actually store.
+
+    The Spark side is relational (exploded gram rows + sliding window
+    MIN — see winnowing_stats for why the array formulation loses 16x to
+    lambda inlining); the oracle keeps the array formulation, which is
+    exactly equivalent and fast in DuckDB. Everything emitted is an
+    integer and the hash order is lexicographic hex — no drift classes.
+
+    Reference parity: no counterpart; §2.3 dedup/fingerprint extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    from app_insights_generator_spark.operators.dedup import winnowing_stats
+
+    return winnowing_stats(_docs(spark, sf_dir), "doc_id", "text", k=4, w=4)
+
+
+# --- n-gram novelty decay (corpus curation ordering signal) --------------------
+
+
+@register(
+    "ngram_novelty_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')) END)
+               AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    fst AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g),
+    per AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_new
+      FROM ex e JOIN fst f USING (g)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_new * 10000 // n_grams AS BIGINT) AS novelty_bp
+    FROM per
+    """,
+)
+def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in canonical corpus order (doc_id):
+    of a document's distinct 3-gram shingles, how many appear for the
+    FIRST time in the corpus at this document. The novelty-decay curve
+    is the curation signal behind dedup-aware data valuation — late
+    documents full of already-seen n-grams add little lexical coverage
+    and are the first candidates to drop or downsample; it is also the
+    growth diagnostic (Heaps' law) a corpus report tracks across
+    versions. Shares its shingle definition (and edge cases) with the
+    Jaccard dedup family, so 'novel' means exactly 'would not have hit
+    the dedup index'.
+
+    Plan: one explode of DISTINCT per-doc shingles, one groupBy(gram)
+    for the global first-occurrence (MIN doc_id — associative, exact),
+    one keyed join back, one groupBy(doc). All counts integers, ratio in
+    basis points by integer DIV — no drift classes. At 100 TB the gram
+    table is the same shuffle the MinHash index already pays; no new
+    scale cost class.
+
+    Reference parity: no counterpart; §2.3 curation-analytics extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(T.shingles(F.col("text"), 3)).alias("grams"),
+    )
+    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    fst = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = ex.join(fst, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        ).alias("n_new"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.expr("CAST(n_new * 10000 DIV n_grams AS LONG)").alias("novelty_bp"),
+    )

@@ -325,3 +325,66 @@ def test_prefix_filter_boundary_thresholds(spark):
         ).collect()
     }
     assert at_033 == {(1, 2), (1, 3), (2, 3)}
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+
+
+def _naive_winnow(text: str, k: int = 4, w: int = 4):
+    """Reference winnowing: k-token md5 grams, clamped w-windows, min per
+    window (lexicographic hex), distinct selected set."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    m = max(len(toks) - k + 1, 0)
+    grams = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(m)
+    ]
+    if m == 0:
+        return 0, 0, set()
+    starts = range(max(m - w + 1, 1))
+    sel = {min(grams[j : j + w]) for j in starts}
+    return m, len(list(starts)), sel
+
+
+def test_winnowing_matches_naive(spark):
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "the quick brown fox jumps over the lazy dog by the river"),
+        (4, "short doc"),          # < k tokens -> all zeros
+        (5, ""),                    # empty -> all zeros
+        (6, "a b c d"),             # exactly k tokens -> 1 gram, 1 window
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r.doc_id: r for r in D.winnowing_stats(df, "doc_id", "text").collect()}
+    sels = {i: _naive_winnow(t) for i, t in corpus}
+    for i, t in corpus:
+        m, nw, sel = sels[i]
+        r = got[i]
+        assert (r.n_grams, r.n_windows, r.n_selected) == (m, nw, len(sel))
+        shared = sum(
+            1 for h in sel if any(h in s for j, (_, _, s) in sels.items() if j != i)
+        )
+        assert r.shared_sel == shared
+        assert r.density_bp == (len(sel) * 10000 // nw if nw else 0)
+
+
+def test_winnowing_guarantee_long_clone_shares_fingerprint(spark):
+    """Schleimer et al. theorem: any shared token run of >= w+k-1 tokens
+    produces at least one shared selected fingerprint (here w+k-1 = 7)."""
+    clone = "alpha beta gamma delta epsilon zeta eta"  # 7 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {clone}"),
+            (2, f"{clone} and a completely different suffix tail"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in D.winnowing_stats(df, "doc_id", "text").collect()}
+    assert got[1].shared_sel >= 1
+    assert got[2].shared_sel >= 1
+    assert got[3].shared_sel == 0

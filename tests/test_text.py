@@ -228,3 +228,28 @@ def test_c4_line_profile_rules(spark):
     assert rows[3].n_sentences == 5
     assert rows[4].n_lines == 1 and rows[4].n_kept_lines == 0
     assert rows[5].n_kept_lines == 0 and rows[5].kept_chars == 0
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    """Corpus-level conservation: every distinct gram is 'new' in exactly
+    one document, so sum(n_new) == global distinct gram count; the
+    lowest doc_id is all-new by construction."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.text import shingles
+    from app_insights_generator_spark.queries.llm_queries import (
+        ngram_novelty_documents,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    out = ngram_novelty_documents(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        docs.select(F.explode(F.array_distinct(shingles(F.col("text"), 3))))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new for r in out) == n_distinct
+    first = min(out, key=lambda r: r.doc_id)
+    assert first.n_new == first.n_grams and first.novelty_bp == 10000
+    assert all(0 <= r.novelty_bp <= 10000 for r in out)
