@@ -654,3 +654,70 @@ def kmeans_fixed_point(
         if checkpoint:
             cent = cent.localCheckpoint()
     return assign, cent
+
+
+def semdedup_flags(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    sign_dims: tuple[int, ...] = (1, 22, 43),
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that never compares across clusters — partition the
+    embedding space, compute pairwise cosine ONLY within each cluster,
+    and drop every vector that has a >= ``threshold`` neighbor with a
+    smaller id (the deterministic stand-in for the paper's keep-one-
+    representative rule). Output: ``[vec_id, cluster, is_dup]``.
+
+    Clustering here is a fixed HYPERPLANE-SIGN partition — bit b of the
+    cluster id is the sign of embedding dimension ``sign_dims[b]`` —
+    i.e. an axis-aligned random-projection code. It is deterministic,
+    engine-exact (a float's sign has no drift class), and needs no
+    training pass; the paper's k-means partition drops in unchanged
+    (assign_to_centroids / kmeans_fixed_point produce the same
+    [id, cluster] shape) when cluster balance matters.
+
+    Scale: the whole point of SemDeDup — candidate generation is
+    sum-of-squared-CLUSTER-sizes, not corpus², and the cluster count
+    grows with the corpus (the paper uses k ~ sqrt(n); here 2^|dims|,
+    so add sign dims as the corpus grows) keeping per-cluster work
+    bounded. One shuffle keys both join sides on the cluster id; skewed
+    clusters are AQE skew-join territory, and the fix is one more sign
+    bit. The within-cluster pair set is a strict SUBSET of the exact
+    all-pairs set that oracle_exact_cosine_pairs already hash-anchors
+    at the same threshold, so the float-boundary class is inherited
+    solved, not re-risked."""
+    cluster = F.lit(0)
+    nb = len(sign_dims)
+    for b, d in enumerate(sign_dims):
+        cluster = cluster + F.when(
+            F.element_at(F.col(vec_col), d) >= 0, F.lit(1 << (nb - 1 - b))
+        ).otherwise(F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        cluster.cast("int").alias("_cl"),
+    )
+    a, b_ = base.alias("a"), base.alias("b")
+    denom = F.col("a._n") * F.col("b._n")
+    sim = F.when(denom > 0, dot(F.col("a._v"), F.col("b._v")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    dups = (
+        a.join(
+            b_,
+            (F.col("a._cl") == F.col("b._cl")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("b._id").alias("_dup_id"))
+        .distinct()
+    )
+    return base.join(
+        dups, base["_id"] == dups["_dup_id"], "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").alias("cluster"),
+        F.col("_dup_id").isNotNull().alias("is_dup"),
+    )

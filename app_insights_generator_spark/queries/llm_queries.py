@@ -4060,3 +4060,50 @@ def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         F.expr("CAST(n_new * 10000 DIV n_grams AS LONG)").alias("novelty_bp"),
     )
+
+
+# --- SemDeDup: cluster-partitioned semantic dedup ------------------------------
+
+
+@register(
+    "semdedup_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS n,
+             (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[22] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[43] >= 0 THEN 1 ELSE 0 END) AS cl
+      FROM embeddings
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE a.n * b.n > 0
+        AND list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.3
+    )
+    SELECT v.vec_id,
+           CAST(cl AS INT) AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM v LEFT JOIN dups d ON d.vec_id = v.vec_id
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/similarity.py
+    semdedup_flags; Abbas et al. 2023): hyperplane-sign clusters from
+    dimensions (1, 22, 43), within-cluster cosine >= 0.3 against a
+    smaller-id neighbor marks a semantic duplicate. This is the
+    SCALE-PATH twin of dedup_embedding_cosine_embeddings: same verdict
+    semantics, but candidate pairs are bounded by cluster size instead
+    of corpus² (the pair set is a strict subset of the exact all-pairs
+    set the oracle_exact_cosine_pairs gate already hash-anchors at the
+    same threshold, so no new float-boundary class).
+
+    Reference parity: no counterpart; §2.3 dedup-family extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    return S.semdedup_flags(
+        _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3
+    )

