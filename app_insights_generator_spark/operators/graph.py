@@ -551,3 +551,80 @@ def _renorm(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source: str | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) -> [node, rank]:
+    identical recurrence to :func:`pagerank` except ALL teleport mass
+    returns to the single ``source`` node (default: lexicographically
+    smallest src, the bfs_depths convention), so rank measures
+    PROXIMITY TO THE SOURCE rather than global centrality — the
+    similarity/recommendation form of the algorithm (seed expansion,
+    related-entity ranking).
+
+    rank_0(v)   = scale if v = source else 0
+    rank_i+1(v) = [v = source] * (100-d)*scale DIV 100
+                  + d * SUM_{u->v} (rank_i(u) DIV outdeg(u)) DIV 100
+
+    Same integer fixed-point discipline as pagerank: floor division at
+    the same points, exact associative sums, bit-identical to the
+    unrolled-CTE SQL twin; same one-shuffle-per-round plan with
+    localCheckpoint lineage truncation. Nodes the walk never reaches
+    hold rank 0 (emitted, not dropped — the gate witnesses them)."""
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if source is None:
+        source = edges.agg(F.min(src)).first()[0]
+    if source is None:
+        raise ValueError("personalized_pagerank: empty edge list")
+    outdeg = edges.groupBy(F.col(src).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_odeg")
+    )
+    is_src = F.col("node") == F.lit(source)
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        "node",
+        F.when(is_src, F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).join(
+        outdeg, "_src"
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank DIV _odeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(is_src, F.lit(teleport)).otherwise(F.lit(0))
+                    + F.expr(f"{damping_pct} * coalesce(_s, 0L) DIV 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

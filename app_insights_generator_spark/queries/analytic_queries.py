@@ -1308,3 +1308,95 @@ def mahalanobis_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("m2"), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+# --- CUSUM changepoint detection over the daily-revenue series ------------------
+
+
+@register(
+    "cusum_changepoint_orders",
+    f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_idx,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) // 10000 AS x
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS total FROM daily),
+    c AS (
+      SELECT day_idx,
+             CAST(SUM(x) OVER (ORDER BY day_idx
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (ORDER BY day_idx) AS BIGINT) AS i
+      FROM daily
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(n_days * cum - i * total) DESC,
+                                   day_idx) AS BIGINT) AS rank,
+           day_idx,
+           CAST(n_days * cum - i * total AS BIGINT) AS cusum_scaled
+    FROM c, m
+    ORDER BY rank
+    LIMIT 10
+    """,
+)
+def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) on the daily order-revenue
+    series: the cumulative sum of mean-deviations S_i = sum_{j<=i}(x_j -
+    mu) peaks in magnitude at the most likely level-shift point — the
+    top-10 |S| days are the changepoint candidates a monitoring pipeline
+    alerts on. Exactness: S_i is emitted SCALED BY n_days (n*cum_i -
+    i*total), which clears the division mu = total/n — every value is
+    pure int64 arithmetic, argmax/ordering are unchanged (positive
+    constant factor), and there is no float anywhere in the query.
+
+    int64 headroom: x is hundreds-of-dollars units (the acf discipline);
+    n_days*cum <= ~5e11 at sf0.1 and grows ~10x per 10x SF plus slowly
+    in n_days — ~sf100 before DECIMAL(38) moments are needed (documented
+    cliff, same family as mahalanobis).
+
+    Plan: ONE shuffle aggregates orders to the ~2,400-row daily series
+    (map-side combine); the global-order window then runs on a table
+    whose size is bounded by the DATE RANGE, not the row count — at
+    100 TB it is still ~2,400 rows, so the single-partition window is
+    not a scale hazard here (contrast systematic_weighted_sample, where
+    the window input grows with the corpus and the per-shard form is
+    the production path).
+
+    Reference parity: no counterpart; §2.3 time-series extension
+    alongside acf/ewma/mean_shift (mean_shift finds the best SPLIT by
+    between-variance; CUSUM tracks the running deviation path and is
+    the sequential-monitoring form).
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_idx")
+    ).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) DIV 10000").alias(
+            "x"
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    wcum = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "day_idx",
+        F.sum("x").over(wcum).cast("long").alias("cum"),
+        F.row_number().over(Window.orderBy("day_idx")).cast("long").alias("i"),
+    ).crossJoin(F.broadcast(m))
+    scored = c.select(
+        "day_idx",
+        F.expr("CAST(n_days * cum - i * total AS BIGINT)").alias("cusum_scaled"),
+    )
+    top = scored.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "day_idx"
+    ).limit(10)
+    wr = Window.orderBy(F.abs(F.col("cusum_scaled")).desc(), "day_idx")
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "day_idx",
+        "cusum_scaled",
+    )

@@ -3226,3 +3226,56 @@ def hits_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from app_insights_generator_spark.operators.graph import hits
 
     return hits(_nation_trade_edges(spark, sf_dir), iterations=3)
+
+
+def _ppr_oracle(iterations: int = 5, damping: int = 85, scale: int = 1_000_000) -> str:
+    """Unrolled-iteration SQL twin of operators/graph.py
+    personalized_pagerank — the _pagerank_oracle recurrence with the
+    teleport term concentrated at the source node (MIN(src))."""
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "sel AS (SELECT MIN(src) AS s FROM edges)",
+        "outdeg AS (SELECT src AS _src, COUNT(*) AS odeg FROM edges GROUP BY src)",
+        f"""r0 AS (SELECT node,
+             CASE WHEN node = (SELECT s FROM sel) THEN {scale} ELSE 0 END AS rank
+           FROM nodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.node,
+             CASE WHEN nodes.node = (SELECT s FROM sel)
+                  THEN {(100 - damping) * scale // 100} ELSE 0 END
+             + {damping} * COALESCE(c.s, 0) // 100 AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, SUM(r{i - 1}.rank // o.odeg) AS s
+        FROM edges e
+        JOIN outdeg o ON e.src = o._src
+        JOIN r{i - 1} ON r{i - 1}.node = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
+    )
+
+
+@register("ppr_nation_trade", _ppr_oracle())
+def ppr_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the nation
+    trade graph, seeded at the lexicographically-smallest source nation
+    (operators/graph.py personalized_pagerank): rank = proximity to the
+    seed, the related-entity / recommendation form of PageRank, vs the
+    global-centrality form pagerank_nation_trade gates. Same integer
+    fixed-point recurrence (floor division at identical points), so the
+    5-iteration unrolled-CTE oracle matches bit-for-bit; same
+    one-shuffle-per-round plan; the edge derivation (distinct over the
+    6-table TPC-H Q7 join) is the scale-bearing part.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    from app_insights_generator_spark.operators.graph import personalized_pagerank
+
+    edges = _nation_trade_edges(spark, sf_dir)
+    return personalized_pagerank(edges, iterations=5)

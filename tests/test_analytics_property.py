@@ -199,3 +199,45 @@ def test_retention_matches_python_oracle(spark, rows):
         for r in QUERIES["retention_cohorts_events"](spark, scratch).collect()
     }
     assert got == {k: len(v) for k, v in expect.items()}
+
+
+def test_cusum_matches_naive(spark, sf_dir):
+    """The scaled CUSUM path must equal n*cumsum - i*total recomputed
+    driver-side from the same daily series, and the emitted top-10 must
+    be the true top-10 by |S| with the date tie-break."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.analytic_queries import (
+        cusum_changepoint_orders,
+    )
+    from app_insights_generator_spark.queries import _exact as _x
+    from app_insights_generator_spark.sources import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx")
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) DIV 10000"
+            ).alias("x")
+        )
+        .orderBy("day_idx")
+        .collect()
+    )
+    n = len(daily)
+    total = sum(r.x for r in daily)
+    cum = 0
+    s = []
+    for i, r in enumerate(daily, start=1):
+        cum += r.x
+        s.append((r.day_idx, n * cum - i * total))
+    expect = sorted(s, key=lambda t: (-abs(t[1]), t[0]))[:10]
+    got = [
+        (r.day_idx, r.cusum_scaled)
+        for r in cusum_changepoint_orders(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == expect

@@ -242,3 +242,37 @@ def test_hits_star_graph_semantics(spark):
     for n in (1, 2, 3):
         assert got[n][1] == 0
         assert abs(got[n][0] - 333_333) <= 1  # integer renorm floor
+
+
+def test_personalized_pagerank_naive_equivalence(spark):
+    """Bit-exact vs a driver-side integer replica on a hand graph, and
+    PPR-specific shape: source holds the most rank, untouched distant
+    nodes get 0."""
+    from app_insights_generator_spark.operators.graph import personalized_pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("d", "e"),  # component the walk from 'a' never reaches
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in personalized_pagerank(df, iterations=5).collect()}
+
+    # naive replica
+    scale, d = 1_000_000, 85
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    src0 = min(s for s, _ in edges)
+    rank = {n: scale if n == src0 else 0 for n in nodes}
+    tele = (100 - d) * scale // 100
+    for _ in range(5):
+        contrib = {n: 0 for n in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] // out[s]
+        rank = {
+            n: (tele if n == src0 else 0) + d * contrib[n] // 100 for n in nodes
+        }
+    assert got == rank
+    assert got["a"] == max(got.values())
+    assert got["d"] == 0 and got["e"] == 0
