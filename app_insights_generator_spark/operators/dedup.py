@@ -788,3 +788,99 @@ def winnowing_stats(
             .alias("shared_sel"),
         )
     )
+
+
+def containment_join_prefix_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold_bp: int = 6000,
+    positional: bool = True,
+) -> DataFrame:
+    """EXACT directed CONTAINMENT self-join: emit (id_a, id_b) where
+    C(A->B) = |A∩B| / |A| >= threshold — A's shingles mostly appear in
+    B, the subset/quotation/near-superset relation Jaccard deliberately
+    ignores (a short doc fully quoted inside a long one has high
+    containment but low Jaccard, because Jaccard's denominator is the
+    UNION). This is the curation signal for boilerplate extraction,
+    quote detection, and keep-the-superset dedup policies.
+
+    Same AllPairs-family prefix lemma as jaccard_join_prefix_filter, in
+    its containment form: C(A->B) >= t forces |A∩B| >= ceil(t*|A|), and
+    A's prefix (rarest-first canonical order) omits only ceil(t*|A|)-1
+    shingles, so >= 1 common shingle falls in A's prefix; probing A's
+    prefix against B's FULL list therefore finds every qualifying
+    DIRECTED pair with zero false negatives. The positional filter
+    adapts too: a match at 0-based rank i of A and j of B supports an
+    overlap of at most min(|A|-i, |B|-j), which must reach ceil(t*|A|).
+
+    The threshold is integer BASIS POINTS and the verify predicate is
+    ``inter * 10000 >= threshold_bp * |A|`` — pure int64, no float
+    boundary class at all (ceil(t*|A|) = (t_bp*|A| + 9999) DIV 10000).
+    Output: [id_a, id_b, size_a, inter, containment_bp] — all integers.
+
+    Scale: identical shuffle structure to the Jaccard form — one
+    frequency groupBy, one per-doc sort, prefix-vs-full equi-join keyed
+    on (rare) shingles, verify join on candidate ids only."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    ex = _explode_shingle_sets(sh).filter(F.col("_sh").isNotNull())
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_c"))
+    ranked = ex.join(freq, "_sh")
+    ordered = ranked.groupBy("_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_c").alias("c"), F.col("_sh").alias("s")))
+        ).alias("toks")
+    )
+    full = ordered.select(
+        F.col("_id").alias("id_f"),
+        F.size("toks").alias("sz_f"),
+        F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos_f", "_sh"),
+    )
+    # prefix length = |A| - ceil(t*|A|) + 1, ceil in exact integer bp.
+    pref = ordered.select(
+        F.col("_id").alias("id_p"),
+        F.size("toks").alias("sz_p"),
+        F.posexplode(
+            F.expr(
+                f"transform(slice(toks, 1, size(toks) "
+                f"- CAST(({threshold_bp} * size(toks) + 9999) DIV 10000 AS INT)"
+                f" + 1), x -> x.s)"
+            )
+        ).alias("pos_p", "_sh"),
+    )
+    matches = pref.join(full, "_sh").filter(F.col("id_p") != F.col("id_f"))
+    if positional:
+        ubound = F.least(
+            F.col("sz_p") - F.col("pos_p"), F.col("sz_f") - F.col("pos_f")
+        )
+        need = F.expr(f"CAST(({threshold_bp} * sz_p + 9999) DIV 10000 AS INT)")
+        matches = matches.filter(ubound >= need)
+    cand = matches.select(
+        F.col("id_p").alias("id_a"), F.col("id_f").alias("id_b")
+    ).distinct()
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("_sh_a").cast("long").alias("size_a"),
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("inter"),
+        )
+        .filter(F.col("inter") * 10000 >= F.lit(threshold_bp) * F.col("size_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "inter",
+            F.expr("CAST(inter * 10000 DIV size_a AS LONG)").alias(
+                "containment_bp"
+            ),
+        )
+    )
+    pinned = verified.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pinned

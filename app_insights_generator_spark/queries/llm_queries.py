@@ -4107,3 +4107,104 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_flags(
         _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3
     )
+
+
+# --- Directed containment join (subset / quotation detection) -------------------
+
+
+@register(
+    "containment_join_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) = 0 THEN ['']
+                  WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')) END)
+               AS grams
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.grams) AS BIGINT) AS size_a,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+           CAST(len(list_intersect(a.grams, b.grams)) * 10000
+                // len(a.grams) AS BIGINT) AS containment_bp
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 10000 >= 6000 * len(a.grams)
+    """,
+)
+def containment_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join at t=0.60 (operators/dedup.py
+    containment_join_prefix_filter): every ordered pair where >= 60% of
+    A's distinct 3-gram shingles appear in B — the subset/quotation
+    relation Jaccard misses (union denominator). The Spark side under
+    test is the prefix-filtered candidate path (zero false negatives by
+    the containment prefix lemma, exact-integer verify); the oracle is
+    brute-force directed all-pairs, so any candidate-generation bug
+    fails the hash compare. All outputs and the threshold predicate are
+    pure int64 (basis points), no float class.
+
+    Reference parity: no counterpart; §2.3 dedup-family extension
+    alongside jaccard_join_prefix_documents.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    return D.containment_join_prefix_filter(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold_bp=6000
+    )
+
+
+# --- Split-document boundary detection (tail -> head continuation) --------------
+
+
+@register(
+    "split_doc_overlap_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hk AS (SELECT doc_id, array_to_string(list_slice(toks, 1, 3), ' ') AS boundary
+           FROM t WHERE len(toks) >= 3),
+    tk AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, len(toks) - 2, len(toks)), ' ')
+                    AS boundary
+           FROM t WHERE len(toks) >= 3)
+    SELECT tk.doc_id AS id_a, hk.doc_id AS id_b, tk.boundary AS boundary
+    FROM tk JOIN hk USING (boundary)
+    WHERE tk.doc_id <> hk.doc_id
+    """,
+)
+def split_doc_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document continuation candidates: document A's last 3
+    tokens exactly equal document B's first 3 tokens — the signature of
+    one source document split across crawl records (pagination,
+    chunked ingestion), which re-joining repairs BEFORE dedup/training
+    (a split doc defeats both exact dedup and context-window packing).
+    Emits directed (id_a tail-side, id_b head-side, boundary) pairs.
+
+    Plan: two narrow projections of the token array's ends, one
+    equi-join keyed on the 3-token boundary string — fully distributed,
+    no candidate explosion (boundary keys are near-unique; hot
+    boilerplate boundaries would surface as fanout and are exactly the
+    rows a curator wants to see). At 100 TB this is one shuffle of
+    ~40-byte keys, the cheapest join class in the engine.
+
+    Reference parity: no counterpart; §2.3 curation extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    hk = t.select(
+        F.col("doc_id").alias("id_b"),
+        F.array_join(F.slice(F.col("toks"), 1, 3), " ").alias("boundary"),
+    )
+    tk = t.select(
+        F.col("doc_id").alias("id_a"),
+        F.array_join(
+            F.slice(F.col("toks"), F.size("toks") - 2, 3), " "
+        ).alias("boundary"),
+    )
+    return (
+        tk.join(hk, "boundary")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "boundary")
+    )

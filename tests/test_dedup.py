@@ -388,3 +388,64 @@ def test_winnowing_guarantee_long_clone_shares_fingerprint(spark):
     assert got[1].shared_sel >= 1
     assert got[2].shared_sel >= 1
     assert got[3].shared_sel == 0
+
+
+# --- containment join ----------------------------------------------------------
+
+
+def _true_containment(spark, df, t_bp: int):
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.text import (
+        normalized_text,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    sh = df.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            shingles_from_tokens(tokens(normalized_text(F.col("text"))), 3)
+        ).alias("g"),
+    ).collect()
+    sets = {r.doc_id: set(r.g) for r in sh}
+    out = set()
+    for a, ga in sets.items():
+        for b, gb in sets.items():
+            if a != b and len(ga & gb) * 10000 >= t_bp * len(ga):
+                out.add((a, b))
+    return out
+
+
+def test_containment_join_matches_bruteforce(spark, sf_dir):
+    from app_insights_generator_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _true_containment(spark, docs, 6000)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.containment_join_prefix_filter(
+            docs, "doc_id", "text", shingle_n=3, threshold_bp=6000
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_containment_asymmetry(spark):
+    """A short doc quoted inside a long one: containment(A->B) high,
+    containment(B->A) low, Jaccard low — only the directed pair (A,B)
+    must appear."""
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = f"intro words before the quote {quote} and then a long tail of many other tokens here"
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "completely unrelated content words")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment_bp
+        for r in D.containment_join_prefix_filter(
+            df, "doc_id", "text", shingle_n=3, threshold_bp=6000
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 10000  # every shingle of the quote is in the long doc
