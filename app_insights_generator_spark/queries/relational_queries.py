@@ -3279,3 +3279,151 @@ def ppr_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _nation_trade_edges(spark, sf_dir)
     return personalized_pagerank(edges, iterations=5)
+
+
+# --- Population Stability Index drift (per-bin exact form) ----------------------
+
+
+@register(
+    "psi_drift_orders_price",
+    f"""
+    WITH t AS (
+      SELECT {_x.sql_cents('o_totalprice')} AS cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    mx AS (SELECT MAX(cents) AS mc FROM t),
+    b AS (
+      SELECT LEAST(cents * 10 // (mc + 1), 9) AS bin,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM t, mx GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+          FROM b)
+    SELECT CAST(bin AS BIGINT) AS bin, ca, cb,
+           CAST(ca * 1000000 // na AS BIGINT) AS share_a_ppm,
+           CAST(cb * 1000000 // nb AS BIGINT) AS share_b_ppm,
+           (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             * ln(CAST(GREATEST(ca, 1) * nb AS DOUBLE)
+                  / (GREATEST(cb, 1) * na)) AS psi_term
+    FROM b, n
+    """,
+)
+def psi_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift — the model-monitoring standard
+    (credit-risk scorecards; PSI > 0.25 = significant shift) — between
+    the even/odd order-key halves of o_totalprice, over 10 equal-width
+    bins on the exact integer-cents grid (bin = cents*10 DIV (max+1),
+    deterministic in both engines; empty-bin counts are clamped to 1
+    inside the log ratio, the standard epsilon-free PSI convention,
+    while the share difference keeps the true zero).
+
+    Emitted PER BIN, not pre-summed: each psi_term is a single IEEE
+    (share_a - share_b) * ln(ca*nb / (cb*na)) over exact integers —
+    deterministic per row — whereas a SUM of ten doubles would be
+    partition-order-dependent (the round-4 float-sum class). The reader
+    sums ten rows; the gate hashes each term exactly. Completes the
+    drift trio: chi² (categorical bins), KS (binning-free CDF sup-gap),
+    PSI (the share-weighted log-ratio practitioners alert on).
+
+    Scale: one map-side tag + one 10-group aggregate; the max() is a
+    1-row broadcast. Reference parity: no counterpart; §2.4 DQ/drift
+    extension. Registered as a round-8 rotation candidate."""
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.expr(_x.sql_cents("o_totalprice")).alias("cents"),
+        F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END").alias("is_a"),
+    )
+    mx = t.agg(F.max("cents").alias("mc"))
+    b = (
+        t.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("LEAST(cents * 10 DIV (mc + 1), 9)").alias("bin"))
+        .agg(
+            F.sum("is_a").cast("long").alias("ca"),
+            F.sum(F.expr("1 - is_a")).cast("long").alias("cb"),
+        )
+    )
+    n = b.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    return b.crossJoin(F.broadcast(n)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "ca",
+        "cb",
+        F.expr("CAST(ca * 1000000 DIV na AS LONG)").alias("share_a_ppm"),
+        F.expr("CAST(cb * 1000000 DIV nb AS LONG)").alias("share_b_ppm"),
+        F.expr(
+            "(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+            " * ln(CAST(GREATEST(ca, 1) * nb AS DOUBLE)"
+            " / (GREATEST(cb, 1) * na))"
+        ).alias("psi_term"),
+    )
+
+
+# --- Benford first-digit audit ---------------------------------------------------
+
+#: Benford expected first-digit shares in ppm: round(log10(1 + 1/d) * 1e6).
+#: Integer literals inlined into BOTH engines' SQL — zero float drift.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(_BENFORD_PPM, start=1)
+)
+
+
+@register(
+    "benford_first_digit_orders",
+    f"""
+    WITH t AS (
+      SELECT CAST(substring(CAST({_x.sql_cents('o_totalprice')} AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+           CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_ppm,
+           CAST(n * 1000000 // total
+                - CASE digit {_BENFORD_CASE} END AS BIGINT) AS deviation_ppm
+    FROM c, tot
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/synthetic-data screen: natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d), and a generator or manual entry that doesn't
+    shows up as large per-digit deviations (TPC-H's uniform pricing is
+    exactly such a non-conforming generator, which the audit duly
+    reports). First digit comes from the exact integer-cents rendering
+    (never float formatting); expected shares are precomputed integer
+    ppm literals inlined into both engines, so every output column is
+    pure int64 — counts, shares, deviations — with no float anywhere.
+
+    Scale: one 9-group aggregate with map-side combine plus a 1-row
+    broadcast total. Reference parity: no counterpart; §2.4 DQ
+    extension alongside dq_expectations / profile.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.expr(
+            f"CAST(substring(CAST({_x.sql_cents('o_totalprice')} AS STRING), 1, 1)"
+            " AS BIGINT)"
+        ).alias("digit")
+    )
+    c = t.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("CAST(n * 1000000 DIV total AS LONG)").alias("observed_ppm"),
+        F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS LONG)").alias(
+            "expected_ppm"
+        ),
+        F.expr(
+            f"CAST(n * 1000000 DIV total - CASE digit {_BENFORD_CASE} END"
+            " AS LONG)"
+        ).alias("deviation_ppm"),
+    )

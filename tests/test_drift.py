@@ -46,3 +46,40 @@ def test_approx_ndv_mode_runs(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/nation.parquet")
     rows = schema_drift(df, df, exact_ndv=False).collect()
     assert all(r.ndv_old is not None for r in rows)
+
+
+def test_psi_terms_match_naive(spark, sf_dir):
+    """Per-bin PSI terms must reproduce the textbook PSI computed
+    driver-side from the same counts, and shares must be exact ppm."""
+    import math
+
+    from app_insights_generator_spark.queries.relational_queries import (
+        psi_drift_orders_price,
+    )
+
+    rows = psi_drift_orders_price(spark, sf_dir).collect()
+    na = sum(r.ca for r in rows)
+    nb = sum(r.cb for r in rows)
+    for r in rows:
+        expect = (r.ca / na - r.cb / nb) * math.log(
+            (max(r.ca, 1) * nb) / (max(r.cb, 1) * na)
+        )
+        assert abs(r.psi_term - expect) < 1e-12
+        assert r.share_a_ppm == r.ca * 1_000_000 // na
+        assert r.share_b_ppm == r.cb * 1_000_000 // nb
+        assert r.psi_term >= 0 or (r.ca == 0 or r.cb == 0)
+    assert {r.bin for r in rows} <= set(range(10))
+
+
+def test_benford_audit_shape(spark, sf_dir):
+    from app_insights_generator_spark.queries.relational_queries import (
+        _BENFORD_PPM,
+        benford_first_digit_orders,
+    )
+
+    assert sum(_BENFORD_PPM) == 1_000_000
+    rows = benford_first_digit_orders(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r.deviation_ppm == r.observed_ppm - r.expected_ppm
+        assert r.expected_ppm == _BENFORD_PPM[r.digit - 1]
