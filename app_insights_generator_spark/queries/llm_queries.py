@@ -4208,3 +4208,123 @@ def split_doc_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "boundary")
     )
+
+
+# --- Matryoshka truncated-dimension recall audit ---------------------------------
+
+_MRL_DIMS = 16  # truncated prefix width audited against the full 64 dims
+
+
+@register(
+    "matryoshka_recall_embeddings",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {_RECALL_NQ}
+    ),
+    c AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= {_RECALL_NQ}
+    ),
+    sf AS (
+      SELECT q.qid, c.id,
+             ROUND(CASE WHEN sqrt(list_dot_product(c.cv, c.cv))
+                             * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                        THEN list_dot_product(c.cv, q.qv)
+                             / (sqrt(list_dot_product(c.cv, c.cv))
+                                * sqrt(list_dot_product(q.qv, q.qv)))
+                        ELSE 0.0 END + 1e-9, 6) AS sim
+      FROM c CROSS JOIN q
+    ),
+    st AS (
+      SELECT q.qid, c.id,
+             ROUND(CASE WHEN sqrt(list_dot_product(c.cv[1:{_MRL_DIMS}], c.cv[1:{_MRL_DIMS}]))
+                             * sqrt(list_dot_product(q.qv[1:{_MRL_DIMS}], q.qv[1:{_MRL_DIMS}])) > 0
+                        THEN list_dot_product(c.cv[1:{_MRL_DIMS}], q.qv[1:{_MRL_DIMS}])
+                             / (sqrt(list_dot_product(c.cv[1:{_MRL_DIMS}], c.cv[1:{_MRL_DIMS}]))
+                                * sqrt(list_dot_product(q.qv[1:{_MRL_DIMS}], q.qv[1:{_MRL_DIMS}])))
+                        ELSE 0.0 END + 1e-9, 6) AS sim
+      FROM c CROSS JOIN q
+    ),
+    rf AS (SELECT qid, id FROM (
+             SELECT qid, id,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, id) AS rn
+             FROM sf) WHERE rn <= {_RECALL_K}),
+    rt AS (SELECT qid, id FROM (
+             SELECT qid, id,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, id) AS rn
+             FROM st) WHERE rn <= {_RECALL_K})
+    SELECT rf.qid,
+           CAST(COUNT(rt.id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(rt.id) * 10000 // {_RECALL_K} AS BIGINT) AS recall_bp,
+           CAST(SUM(rf.id) AS BIGINT) AS full_idsum
+    FROM rf LEFT JOIN rt ON rf.qid = rt.qid AND rf.id = rt.id
+    GROUP BY rf.qid
+    """,
+)
+def matryoshka_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022, MRL):
+    recall@10 of exact cosine search over the FIRST 16 of 64 dimensions
+    against exact search over all 64, per query of the standard 20-query
+    panel. This is the measurement that decides whether a prefix-
+    truncated index tier (store 16 dims hot, re-rank survivors at 64) is
+    viable for a given embedding column — the memory/recall trade is
+    4x storage for whatever recall this reports. Both sides are exact
+    and fully SQL-expressible, so the whole audit is hash-gated (unlike
+    the IVF audit, whose approximate side needs an in-query invariant);
+    similarities are rounded to 6 dp with the engine-wide +1e-9 bias
+    before the (sim DESC, id) rank, the proven tie-safe recipe from
+    ann_recall_ivf.
+
+    Scale shape: both sides broadcast the 20-query panel and never
+    shuffle the corpus; the window top-k is per-query. The truncated
+    side reads 4x less vector data — exactly the scan saving the tier
+    would realize.
+
+    Reference parity: no counterpart; §2.3 similarity extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = embs.filter(F.col("vec_id") >= _RECALL_NQ).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("cv")
+    )
+    joined = corpus.crossJoin(F.broadcast(queries))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id"))
+
+    def topk(sim_col):
+        return (
+            joined.select("qid", "id", F.round(sim_col + F.lit(1e-9), 6).alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("qid", "id")
+        )
+
+    full = topk(S.cosine(F.col("cv"), F.col("qv")))
+    # Explicit renames: full and trunc share the `joined` lineage, and a
+    # same-name join condition on self-join-derived frames mis-resolves
+    # (the classic duplicate-attribute trap) — measured scrambling idsums.
+    trunc = topk(
+        S.cosine(
+            F.slice(F.col("cv"), 1, _MRL_DIMS), F.slice(F.col("qv"), 1, _MRL_DIMS)
+        )
+    ).select(F.col("qid").alias("tqid"), F.col("id").alias("tid"))
+    return (
+        full.join(
+            trunc,
+            (F.col("qid") == F.col("tqid")) & (F.col("id") == F.col("tid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("tid").cast("long").alias("n_overlap"),
+            F.expr(f"CAST(COUNT(tid) * 10000 DIV {_RECALL_K} AS LONG)").alias(
+                "recall_bp"
+            ),
+            F.sum("id").cast("long").alias("full_idsum"),
+        )
+    )

@@ -232,3 +232,41 @@ def test_semdedup_constructed_corpus(spark):
     assert got[2] == (7, True)
     assert got[3][0] != 7 and got[3][1] is False
     assert got[4][1] is False
+
+
+def test_matryoshka_recall_naive_equivalence(spark, sf_dir):
+    """Recompute both top-10 sets driver-side with numpy (same 6dp+bias
+    rounding, same (sim desc, id) tie-break) and compare exactly."""
+    import numpy as np
+
+    from app_insights_generator_spark.queries.llm_queries import (
+        _MRL_DIMS,
+        _RECALL_K,
+        _RECALL_NQ,
+        matryoshka_recall_embeddings,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qs = {i: v for i, v in vecs.items() if i < _RECALL_NQ}
+    cs = {i: v for i, v in vecs.items() if i >= _RECALL_NQ}
+
+    def top(qv, dims):
+        sims = []
+        for cid, cv in cs.items():
+            a, b = cv[:dims], qv[:dims]
+            d = np.sqrt(a @ a) * np.sqrt(b @ b)
+            s = (a @ b) / d if d > 0 else 0.0
+            sims.append((round(s + 1e-9, 6), cid))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        return {cid for _, cid in sims[:_RECALL_K]}
+
+    got = {r.qid: r for r in matryoshka_recall_embeddings(spark, sf_dir).collect()}
+    assert set(got) == set(qs)
+    for qid, qv in qs.items():
+        f, t = top(qv, 64), top(qv, _MRL_DIMS)
+        r = got[qid]
+        assert r.n_overlap == len(f & t)
+        assert r.full_idsum == sum(f)
+        assert r.recall_bp == len(f & t) * 10000 // _RECALL_K
