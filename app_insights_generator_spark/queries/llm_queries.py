@@ -4123,14 +4123,24 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       i -> array_to_string(toks[i:i+2], ' ')) END)
                AS grams
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(a.grams) AS BIGINT) AS size_a,
-           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
-           CAST(len(list_intersect(a.grams, b.grams)) * 10000
-                // len(a.grams) AS BIGINT) AS containment_bp
-    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-    WHERE len(list_intersect(a.grams, b.grams)) * 10000 >= 6000 * len(a.grams)
+    ),
+    -- inverted-index form, exact and far cheaper than all-pairs
+    -- list_intersect: grams are DISTINCT per doc, so the per-pair match
+    -- count over the exploded join IS |A intersect B|, and any pair with
+    -- containment >= t > 0 shares >= 1 gram (zero false negatives).
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(grams) AS size_a FROM sh)
+    SELECT id_a, id_b,
+           CAST(size_a AS BIGINT) AS size_a,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(inter * 10000 // size_a AS BIGINT) AS containment_bp
+    FROM cand JOIN sz ON sz.doc_id = cand.id_a
+    WHERE inter * 10000 >= 6000 * size_a
     """,
 )
 def containment_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
