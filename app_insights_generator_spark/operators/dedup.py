@@ -745,9 +745,15 @@ def winnowing_stats(
         )
     )
     wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    kept = g.select(
-        "doc_id", "m", "i", F.min("h").over(wspec).alias("wmin")
-    ).filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
+    # kept fans out into three branches (per-doc stats, the shared-hash
+    # frequency table, the share-count join); localCheckpoint materializes
+    # the explode+window subtree ONCE instead of three times per action
+    # (the plan otherwise shows 3 Window nodes — guarded in test_plans).
+    kept = (
+        g.select("doc_id", "m", "i", F.min("h").over(wspec).alias("wmin"))
+        .filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
+        .localCheckpoint(eager=True)
+    )
     stats = kept.groupBy("doc_id").agg(
         F.any_value(F.col("m")).cast("long").alias("n_grams"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),

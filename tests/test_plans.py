@@ -478,3 +478,49 @@ def test_ivm_join_view_broadcasts_fact_dim_joins(spark, sf_dir):
     between the tiny aggregated state tables."""
     plan = _plan(spark, sf_dir, "ivm_join_view_orders")
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_winnowing_no_cartesian_single_window(spark, sf_dir):
+    """Winnowing must never cross-join, and the explode+sliding-min
+    subtree must be checkpointed so its Window runs ONCE, not once per
+    fan-out branch (the final plan reads the checkpoint: zero Window
+    nodes); Python never appears."""
+    plan = _plan(spark, sf_dir, "winnowing_fingerprints_documents")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    """Prefix-filtered containment: candidates come from shingle-keyed
+    hash joins, never a Cartesian expansion."""
+    plan = _plan(spark, sf_dir, "containment_join_documents")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_split_doc_overlap_is_hash_join(spark, sf_dir):
+    """Boundary join must be a keyed equi-join (hash family), not
+    nested-loop/Cartesian."""
+    plan = _plan(spark, sf_dir, "split_doc_overlap_documents")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_cusum_window_after_daily_preagg(spark, sf_dir):
+    """The global-order window must run AFTER aggregation to the daily
+    grain (window input bounded by the date range, not the row count):
+    the cumsum Window's child subtree contains the daily HashAggregate
+    (plans print top-down, so the child appears later in the string);
+    the 1-row moment table arrives broadcast, never a real Cartesian."""
+    plan = _plan(spark, sf_dir, "cusum_changepoint_orders")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    cum_w = plan.index("windowspecdefinition(day_idx")
+    assert "HashAggregate" in plan[cum_w:], plan[:2000]
+
+
+def test_semdedup_join_keyed_on_cluster(spark, sf_dir):
+    """SemDeDup's self-join must be keyed (hash family) on the cluster
+    id — never a Cartesian product over the corpus."""
+    plan = _plan(spark, sf_dir, "semdedup_embeddings")
+    assert "CartesianProduct" not in plan
