@@ -1820,3 +1820,107 @@ def twap_daily_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(w_us * cents) AS DOUBLE) / CAST(SUM(w_us) AS BIGINT)"
         ).alias("twap_cents"),
     )
+
+
+# --- Discrete-time survival: signup -> purchase hazard table --------------------
+
+
+@register(
+    "discrete_hazard_events",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(MIN(ts)) AS sus
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS pus
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.sus
+      GROUP BY e.user_id
+    ),
+    h AS (SELECT MAX(epoch_us(ts)) AS hus FROM events),
+    t AS (
+      SELECT s.user_id,
+             CASE WHEN p.pus IS NOT NULL THEN (p.pus - s.sus) // 86400000000
+                  ELSE (h.hus - s.sus) // 86400000000 END AS day,
+             CASE WHEN p.pus IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p ON s.user_id = p.user_id, h
+    ),
+    g AS (
+      SELECT day, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM t GROUP BY day
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(SUM(n_events + n_censored) OVER (ORDER BY day DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+           n_events, n_censored,
+           CAST(n_events * 10000
+                // SUM(n_events + n_censored) OVER (ORDER BY day DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hazard_bp
+    FROM g
+    """,
+)
+def discrete_hazard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival table (the Kaplan-Meier life table) for
+    signup -> first purchase: per whole-day interval, users at risk,
+    conversion events, right-censored users (no purchase before the
+    corpus horizon), and the hazard d_i/n_i in basis points. This is the
+    time-to-event form of funnel analysis — funnel_conversion counts WHO
+    converts, the hazard table says WHEN, with censoring handled
+    correctly instead of dropped (the mistake naive 'average days to
+    purchase' makes). The survival curve is the running product of
+    (1 - hazard); the gate emits the exact integer table, never the
+    order-dependent float product.
+
+    Exactness: whole-day buckets by integer epoch-microsecond floor
+    division; at-risk counts are a RIGHT-cumulative window (ORDER BY day
+    DESC) over the per-day aggregate — all int64, no drift classes.
+
+    Scale: two per-user aggregates (signup min, conditional purchase
+    min), one 1-row horizon broadcast, then the window runs on the
+    per-DAY table, bounded by the observation span at any corpus size —
+    the cusum_changepoint discipline.
+
+    Reference parity: no counterpart; §2.3 events-analytics extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us(F.col("ts"))).alias("sus"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(_us(F.col("ts")) >= F.col("sus"))
+        .groupBy("user_id")
+        .agg(F.min(_us(F.col("ts"))).alias("pus"))
+    )
+    h = ev.agg(F.max(_us(F.col("ts"))).alias("hus"))
+    t = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.expr(
+                "CASE WHEN pus IS NOT NULL THEN (pus - sus) DIV 86400000000"
+                " ELSE (hus - sus) DIV 86400000000 END"
+            ).alias("day"),
+            F.expr("CASE WHEN pus IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+        )
+    )
+    g = t.groupBy("day").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(F.expr("1 - ev")).cast("long").alias("n_censored"),
+    )
+    wr = Window.orderBy(F.desc("day")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = F.sum(F.col("n_events") + F.col("n_censored")).over(wr).cast("long")
+    return g.select(
+        F.col("day").cast("long").alias("day"),
+        risk.alias("n_risk"),
+        "n_events",
+        "n_censored",
+    ).withColumn(
+        "hazard_bp", F.expr("CAST(n_events * 10000 DIV n_risk AS LONG)")
+    )

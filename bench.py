@@ -87,6 +87,9 @@ HEADLINE = [
     "cogroup_purchase_error_asof_events",  # round-7: gated applyInArrow merge
     "cogroup_asof_pandas",                 # bench-local: applyInPandas twin
     "chunk_spans_documents",               # round-6: LM block chunker
+    "winnowing_fingerprints_documents",    # round-7: MOSS fingerprint selection
+    "semdedup_embeddings",                 # round-7: cluster-partitioned dedup
+    "containment_join_documents",          # round-7: prefix-filtered containment
 ]
 
 

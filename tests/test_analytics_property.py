@@ -241,3 +241,37 @@ def test_cusum_matches_naive(spark, sf_dir):
         for r in cusum_changepoint_orders(spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_discrete_hazard_life_table_invariants(spark, sf_dir):
+    """Life-table identities: risk sets telescope (n_risk(d) =
+    n_risk(next) + d_d + c_d reading days ascending), the largest day's
+    risk set equals its own counts, total users = sum of events +
+    censored, and hazards stay in [0, 10000]."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.events_queries import (
+        discrete_hazard_events,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = sorted(
+        discrete_hazard_events(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows, "hazard table empty"
+    n_signup = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_events + r.n_censored for r in rows) == n_signup
+    assert rows[0].n_risk == n_signup
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_risk == b.n_risk + a.n_events + a.n_censored
+    last = rows[-1]
+    assert last.n_risk == last.n_events + last.n_censored
+    for r in rows:
+        assert 0 <= r.hazard_bp <= 10000
+        assert r.hazard_bp == r.n_events * 10000 // r.n_risk
