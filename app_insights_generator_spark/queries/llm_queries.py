@@ -4338,3 +4338,134 @@ def matryoshka_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("id").cast("long").alias("full_idsum"),
         )
     )
+
+
+# --- TF-IDF nearest neighbors via inverted index (embedding-free similarity) ----
+
+
+@register(
+    "tfidf_neighbors_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(ROUND(ln((n_docs + 1.0) / (df + 1.0)) * 1000000
+                                + 1e-9) AS BIGINT) AS w
+      FROM tf JOIN stats USING (term), n
+    ),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+            FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT q.doc_id AS qid, c.doc_id AS cid,
+             CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      FROM w q JOIN w c ON q.term = c.term AND q.doc_id <> c.doc_id
+      WHERE q.doc_id < 20
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.qid, d.cid, d.dot,
+             ROUND(d.dot / sqrt(CAST(a.n2 AS DOUBLE) * b.n2) + 1e-9, 6)
+               AS cos_sim
+      FROM dots d JOIN nrm a ON a.doc_id = d.qid
+                  JOIN nrm b ON b.doc_id = d.cid
+      WHERE a.n2 > 0 AND b.n2 > 0
+    )
+    SELECT qid, cid, dot, cos_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT qid, cid, dot, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free text similarity search: top-3 TF-IDF cosine
+    neighbors for the 20-query panel, computed through an INVERTED INDEX
+    (term-keyed join) instead of any dense-vector scan — the classic
+    sparse retrieval complement to the embedding ANN family (BM25 ranks
+    query TERMS; this ranks whole-document vectors against each other).
+
+    Exactness design: idf is snapped to an INTEGER ppm weight
+    (ROUND(ln((N+1)/(df+1))*1e6), one IEEE ln per TERM with the 6dp-bias
+    recipe), so per-doc weights, norms-squared, and every dot product
+    are EXACT BIGINT sums — order-independent, hash-stable — and the
+    only per-pair float is the final dot/sqrt(n2a*n2b) (sqrt is
+    IEEE-correctly-rounded), rounded 6dp with the engine bias before the
+    (cos DESC, id) tie-safe rank. A raw float-weight formulation would
+    sum hundreds of doubles per pair — the forbidden partition-order
+    class. int64 headroom: w <= tf * 14e6 (ln cap ~14 at a trillion
+    docs), w*w sums ~4e15 per 50-term doc — documented ~1e4x margin.
+
+    Scale: the inverted-index join fans out per term as df_q * df_c; on
+    real (Zipfian) corpora high-df terms carry near-zero idf and are
+    dropped by a df cap before the join (the standard stopword prune —
+    this synthetic corpus's 30-word vocabulary makes every term common,
+    so no cap is applied and the panel bound |Q| * N does the work).
+    Query-side weights broadcast at panel size.
+
+    Reference parity: no counterpart; §2.3 similarity extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    w = (
+        tf.join(stats, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "tf * CAST(ROUND(ln((n_docs + 1.0) / (df + 1.0)) * 1000000"
+                " + 1e-9) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.expr("w * w")).cast("long").alias("n2"))
+    q = w.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), "term", F.col("w").alias("wq")
+    )
+    c = w.select(F.col("doc_id").alias("cid"), "term", F.col("w").alias("wc"))
+    dots = (
+        q.join(c, "term")
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.expr("wq * wc")).cast("long").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("qid"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("doc_id").alias("cid"), F.col("n2").alias("n2b"))
+    scored = (
+        dots.join(na, "qid")
+        .join(nb, "cid")
+        .filter((F.col("n2a") > 0) & (F.col("n2b") > 0))
+        .select(
+            "qid",
+            "cid",
+            "dot",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("n2a").cast("double") * F.col("n2b"))
+                + F.lit(1e-9),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", "dot", "cos_sim", F.col("rn").cast("long").alias("rank"))
+    )

@@ -3427,3 +3427,37 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS LONG)"
         ).alias("deviation_ppm"),
     )
+
+
+@register(
+    "intersectall_nations_halves",
+    """
+    SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS multiplicity FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey % 2 = 0
+      INTERSECT ALL
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey % 2 = 1
+    ) GROUP BY nationkey
+    """,
+)
+def intersectall_nations_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection, multiplicity = MIN of the two
+    sides' counts) between the even/odd customer halves' nation keys —
+    the set-op surface's last member next to INTERSECT / EXCEPT /
+    EXCEPT ALL / UNION (BY NAME). Emitted grouped with multiplicities so
+    the gate hashes the bag exactly without duplicate-row ambiguity.
+    Spark plans intersectAll as one aggregate-join pass per side (no
+    row-by-row matching), identical min-count semantics to the oracle.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    c = _t(spark, sf_dir, "customer")
+    even = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    odd = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return (
+        even.intersectAll(odd)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+    )

@@ -253,3 +253,31 @@ def test_ngram_novelty_invariants(spark, sf_dir):
     first = min(out, key=lambda r: r.doc_id)
     assert first.n_new == first.n_grams and first.novelty_bp == 10000
     assert all(0 <= r.novelty_bp <= 10000 for r in out)
+
+
+def test_tfidf_neighbors_duplicate_ranks_first(spark):
+    """A verbatim duplicate of a panel doc must be its #1 neighbor at
+    cos 1.0; an unrelated doc must not outrank related ones."""
+    import tempfile
+
+    from app_insights_generator_spark.queries.llm_queries import (
+        tfidf_neighbors_documents,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "omega psi chi phi upsilon tau"),
+        (100, "alpha beta gamma delta epsilon zeta"),      # dup of 0
+        (101, "alpha beta gamma something else entirely"), # partial of 0
+        (102, "omega psi chi unrelated trailing words"),   # partial of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.qid, r.rank): (r.cid, r.cos_sim)
+            for r in tfidf_neighbors_documents(spark, d).collect()
+        }
+    assert got[(0, 1)][0] == 100 and abs(got[(0, 1)][1] - 1.0) < 1e-6
+    assert got[(0, 2)][0] == 101
+    assert got[(1, 1)][0] == 102
