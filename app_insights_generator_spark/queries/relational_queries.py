@@ -3461,3 +3461,222 @@ def intersectall_nations_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
     )
+
+
+# --- Mann-Whitney U drift (exact doubled-rank integer form) ----------------------
+
+
+@register(
+    "mannwhitney_drift_orders_price",
+    f"""
+    WITH t AS (
+      SELECT {_x.sql_cents('o_totalprice')} AS cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    g AS (
+      SELECT cents,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb,
+             CAST(COUNT(*) AS BIGINT) AS cv
+      FROM t GROUP BY cents
+    ),
+    c AS (
+      SELECT ca, cb, cv,
+             CAST(COALESCE(SUM(cv) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS f_below
+      FROM g
+    ),
+    m AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * f_below + cv + 1)) AS BIGINT) AS r2_a
+      FROM c
+    )
+    SELECT na, nb,
+           CAST(r2_a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(2 * na * nb - (r2_a - na * (na + 1)) AS BIGINT) AS u2_b,
+           CAST((r2_a - na * (na + 1)) * 500000 // (na * nb) AS BIGINT)
+             AS auc_ppm
+    FROM m
+    """,
+)
+def mannwhitney_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample drift test between
+    the even/odd order-key halves of o_totalprice — the rank-based
+    member completing the drift quartet (chi² categorical, KS sup-gap,
+    PSI share-log, MW-U stochastic dominance). The emitted ``auc_ppm``
+    is U/(na*nb) — the probability a random a-value exceeds a random
+    b-value, i.e. the ROC-AUC between the two samples — in parts per
+    million; 500000 means no shift.
+
+    Exactness: tie-averaged ranks are fractional (.5), so everything is
+    DOUBLED — for a distinct value with f_below smaller rows and cv
+    ties, the doubled average rank is 2*f_below + cv + 1, an integer —
+    and the rank-sum, U, and AUC numerators stay pure int64 end to end
+    (u2_a + u2_b == 2*na*nb is the built-in identity check). The
+    doubled-rank trick is the same discipline as the KS cross-multiplied
+    statistic: no float ever enters the gate.
+
+    int64 headroom: r2_a <= na*(2n+1) ~ 4.5e10 at sf0.1 and the AUC
+    numerator u2_a*5e5 ~ 1e16 at sf1 — per-year strata before sf100
+    (the acf/bm25 fallback).
+
+    Scale: one shuffle to the distinct-value grid (the KS exchange), one
+    window over that bounded grid, one scalar aggregate.
+
+    Reference parity: no counterpart; §2.4 drift extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.expr(_x.sql_cents("o_totalprice")).alias("cents"),
+        F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END").alias("is_a"),
+    )
+    g = t.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(F.expr("1 - is_a")).cast("long").alias("cb"),
+        F.count(F.lit(1)).cast("long").alias("cv"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "ca",
+        "cb",
+        "cv",
+        F.coalesce(F.sum("cv").over(wcum), F.lit(0)).cast("long").alias("f_below"),
+    )
+    m = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.expr("ca * (2 * f_below + cv + 1)")).cast("long").alias("r2_a"),
+    )
+    return m.select(
+        "na",
+        "nb",
+        F.expr("CAST(r2_a - na * (na + 1) AS BIGINT)").alias("u2_a"),
+        F.expr("CAST(2 * na * nb - (r2_a - na * (na + 1)) AS BIGINT)").alias(
+            "u2_b"
+        ),
+        F.expr(
+            "CAST((r2_a - na * (na + 1)) * 500000 DIV (na * nb) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# --- Spearman rank correlation (exact doubled-rank integer moments) --------------
+
+
+@register(
+    "spearman_qty_price_lineitem",
+    f"""
+    WITH t AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             {_x.sql_cents('l_extendedprice')} AS y
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    rx AS (
+      SELECT x,
+             CAST(2 * COALESCE(SUM(cv) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cv + 1 AS BIGINT) AS r2x
+      FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cv FROM t GROUP BY x)
+    ),
+    ry AS (
+      SELECT y,
+             CAST(2 * COALESCE(SUM(cv) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cv + 1 AS BIGINT) AS r2y
+      FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cv FROM t GROUP BY y)
+    ),
+    d AS (
+      SELECT r2x - (n + 1) AS dx, r2y - (n + 1) AS dy
+      FROM t JOIN rx USING (x) JOIN ry USING (y), n
+    ),
+    mom AS (
+      SELECT CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM d
+    )
+    SELECT n.n AS n, sxy, sxx, syy,
+           CAST(sxy AS DOUBLE)
+             / SQRT(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) AS spearman_rho
+    FROM mom, n
+    WHERE sxx > 0 AND syy > 0
+    """,
+)
+def spearman_qty_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice
+    — the robust (monotone-invariant, outlier-resistant) complement of
+    the Pearson regression aggregates (regr_price_vs_qty): Pearson on
+    tie-averaged ranks. Completes the practitioner correlation pair the
+    way MW-U completes the drift tests.
+
+    Exactness: the mannwhitney doubled-rank trick — tie-averaged rank
+    x2 = 2*f_below + cv + 1, an integer — plus an exactly-integer
+    centering: doubled ranks sum to n(n+1), so their mean is n+1
+    exactly, and dx = r2x - (n+1) is an exact centered integer. All
+    three moments are int64 sums; the only float is the final
+    sxy/sqrt(sxx*syy) (sqrt IEEE-correct) — the acf discipline.
+
+    int64 headroom: |dx| < 2n, so sxx ~ 4n³/3: ~2.9e17 at sf0.1 (600k
+    rows), int64-safe through ~sf0.5, then per-year strata (the acf
+    fallback, documented there).
+
+    Scale: two distinct-value-grid windows (bounded by value
+    cardinality, not rows), two keyed joins back, one moment aggregate
+    with map-side combine.
+
+    Reference parity: no counterpart; §2.4 statistics extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr(_x.sql_cents("l_extendedprice")).alias("y"),
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def ranks(col):
+        cnt = t.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cv"))
+        wcum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cv").over(wcum), F.lit(0))
+                + F.col("cv")
+                + 1
+            )
+            .cast("long")
+            .alias(f"r2{col}"),
+        )
+
+    d = (
+        t.join(ranks("x"), "x")
+        .join(ranks("y"), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr("r2x - (n + 1)").alias("dx"),
+            F.expr("r2y - (n + 1)").alias("dy"),
+        )
+    )
+    mom = d.agg(
+        F.sum(F.expr("dx * dy")).cast("long").alias("sxy"),
+        F.sum(F.expr("dx * dx")).cast("long").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("long").alias("syy"),
+    )
+    return (
+        mom.crossJoin(F.broadcast(n))
+        .filter(F.expr("sxx > 0 AND syy > 0"))
+        .select(
+            "n",
+            "sxy",
+            "sxx",
+            "syy",
+            F.expr(
+                "CAST(sxy AS DOUBLE)"
+                " / SQRT(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
+            ).alias("spearman_rho"),
+        )
+    )

@@ -83,3 +83,85 @@ def test_benford_audit_shape(spark, sf_dir):
     for r in rows:
         assert r.deviation_ppm == r.observed_ppm - r.expected_ppm
         assert r.expected_ppm == _BENFORD_PPM[r.digit - 1]
+
+
+def test_mannwhitney_matches_naive(spark, sf_dir):
+    """Doubled-rank U must equal the textbook tie-corrected U recomputed
+    driver-side, and u2_a + u2_b == 2*na*nb must hold exactly."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.relational_queries import (
+        mannwhitney_drift_orders_price,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    r = mannwhitney_drift_orders_price(spark, sf_dir).first()
+    assert r.u2_a + r.u2_b == 2 * r.na * r.nb
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            (F.col("o_orderkey") % 2 == 0).alias("is_a"),
+        )
+        .collect()
+    )
+    vals = sorted((x.cents, x.is_a) for x in rows)
+    # tie-averaged ranks, doubled
+    r2 = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        r2[vals[i][0]] = 2 * i + (j - i) + 1  # 2*f_below + cv + 1
+        i = j
+    na = sum(1 for _, a in vals if a)
+    r2a = sum(r2[v] for v, a in vals if a)
+    assert r.u2_a == r2a - na * (na + 1)
+    assert r.auc_ppm == (r2a - na * (na + 1)) * 500000 // (na * (len(vals) - na))
+
+
+def test_spearman_matches_naive(spark, sf_dir):
+    """Rho must equal Pearson over tie-averaged ranks recomputed
+    driver-side; perfect monotone data gives rho = 1."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.relational_queries import (
+        spearman_qty_price_lineitem,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    got = spearman_qty_price_lineitem(spark, sf_dir).first()
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        )
+        .collect()
+    )
+
+    def dranks(vals):
+        s = sorted(vals)
+        out, i = {}, 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            out[s[i]] = 2 * i + (j - i) + 1
+            i = j
+        return out
+
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+    rx, ry = dranks(xs), dranks(ys)
+    n = len(rows)
+    dx = [rx[v] - (n + 1) for v in xs]
+    dy = [ry[v] - (n + 1) for v in ys]
+    sxy = sum(a * b for a, b in zip(dx, dy))
+    sxx = sum(a * a for a in dx)
+    syy = sum(b * b for b in dy)
+    assert (got.n, got.sxy, got.sxx, got.syy) == (n, sxy, sxx, syy)
+    import math
+
+    assert abs(got.spearman_rho - sxy / math.sqrt(sxx * syy)) < 1e-12
