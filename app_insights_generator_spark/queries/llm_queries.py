@@ -4440,8 +4440,11 @@ def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"), "term", F.col("w").alias("wq")
     )
     c = w.select(F.col("doc_id").alias("cid"), "term", F.col("w").alias("wc"))
+    # The PANEL side is the broadcast build at any corpus size (without
+    # the hint AQE broadcasts whichever side is small at test scale —
+    # the corpus — which flips to a corpus shuffle at 100 TB).
     dots = (
-        q.join(c, "term")
+        c.join(F.broadcast(q), "term")
         .filter(F.col("qid") != F.col("cid"))
         .groupBy("qid", "cid")
         .agg(F.sum(F.expr("wq * wc")).cast("long").alias("dot"))

@@ -524,3 +524,12 @@ def test_semdedup_join_keyed_on_cluster(spark, sf_dir):
     id — never a Cartesian product over the corpus."""
     plan = _plan(spark, sf_dir, "semdedup_embeddings")
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_panel_is_broadcast_build(spark, sf_dir):
+    """The 20-doc query panel must be the broadcast build side of the
+    inverted-index join — the corpus side never broadcasts (it only
+    looks broadcastable at test scale)."""
+    plan = _plan(spark, sf_dir, "tfidf_neighbors_documents")
+    assert "BroadcastHashJoin [term" in plan
+    assert "CartesianProduct" not in plan
