@@ -4042,11 +4042,19 @@ def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered as a round-8 rotation candidate (post-sweep addition)."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(T.shingles(F.col("text"), 3)).alias("grams"),
+    # Two projections on purpose (the shingles_from_tokens contract):
+    # an inline tokens() expression would be re-evaluated once per
+    # transform element — measured 2x end-to-end on this query alone.
+    toked = docs.select(
+        "doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("toks")
     )
-    ex = sh.select("doc_id", F.explode("grams").alias("g"))
+    sh = toked.select(
+        "doc_id",
+        F.array_distinct(T.shingles_from_tokens(F.col("toks"), 3)).alias("grams"),
+    )
+    ex = sh.select("doc_id", F.explode("grams").alias("g")).localCheckpoint(
+        eager=True
+    )
     fst = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per = ex.join(fst, "g").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
