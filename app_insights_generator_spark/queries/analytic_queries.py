@@ -1400,3 +1400,209 @@ def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_idx",
         "cusum_scaled",
     )
+
+
+# --- RFM customer segmentation ---------------------------------------------------
+
+
+@register(
+    "rfm_segments_customers",
+    f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, last_day, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY last_day, custkey) AS BIGINT) AS r,
+             CAST(NTILE(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f,
+             CAST(NTILE(5) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m
+      FROM base
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS BIGINT) AS monetary_cents,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics standard: quintile
+    scores for Recency (last order day), Frequency (order count), and
+    Monetary (exact cents total) per customer, reported as the 125-cell
+    segment grid with sizes and value. NTILE is ANSI-deterministic once
+    the ORDER BY is a total order, so every score carries the custkey
+    tie-break — identical assignment in both engines, no sampling or
+    percentile estimation anywhere.
+
+    Scale: one shuffle to the per-customer grain; the three NTILE
+    windows run on that (already reduced) table — at 100 TB the
+    per-customer table is ~1e8 rows and the production form swaps the
+    global NTILE for the pre-aggregated PERCENTILE_DISC cut points of
+    disc_percentiles_from_counts (same family as length_percentiles),
+    trading exact quintile EDGES for a broadcastable cut table; at gate
+    scale the exact window is the right plan and the gate hashes the
+    full grid.
+
+    Reference parity: no counterpart; §2.3 product-analytics extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.expr("CAST(MAX(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+               " DIV 86400000000) AS BIGINT)").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+            "monetary"
+        ),
+    )
+    scored = base.select(
+        "custkey",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_day", "custkey")).cast("long").alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).cast("long").alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).cast("long").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary").cast("long").alias("monetary_cents"),
+        F.min("custkey").cast("long").alias("min_custkey"),
+    )
+
+
+# --- ABC / Pareto revenue classification ------------------------------------------
+
+
+@register(
+    "abc_classification_parts",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM({_x.sql_cents('l_extendedprice')}) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total
+      FROM rev
+    ),
+    tagged AS (
+      SELECT partkey, cents, total,
+             CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                  WHEN cum * 100 <= 95 * total THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM c
+    )
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           CAST(SUM(cents) * 10000 // ANY_VALUE(total) AS BIGINT) AS share_bp
+    FROM tagged GROUP BY cls
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue — the inventory
+    standard: rank parts by exact-cents revenue, class A = the head up
+    to 80% of cumulative revenue, B = to 95%, C = the tail; reported as
+    per-class counts, revenue, and share. The class predicate is the
+    cross-multiplied integer form cum*100 <= pct*total (the KS trick) —
+    no float division decides a boundary, and the DESC order carries the
+    partkey tie-break.
+
+    Scale: one shuffle to the per-part grain; the cumulative window runs
+    on that reduced table (20k rows at sf0.1; at 100 TB the part
+    dimension is still dimension-sized). Same bounded-window posture as
+    cusum/hazard.
+
+    Reference parity: no counterpart; §2.3 product-analytics extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('l_extendedprice')}) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    wcum = Window.orderBy(F.desc("cents"), "partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = rev.select(
+        "partkey",
+        "cents",
+        F.sum("cents").over(wcum).cast("long").alias("cum"),
+        F.sum("cents").over(wall).cast("long").alias("total"),
+    )
+    tagged = c.select(
+        "cents",
+        "total",
+        F.expr(
+            "CASE WHEN cum * 100 <= 80 * total THEN 'A'"
+            " WHEN cum * 100 <= 95 * total THEN 'B' ELSE 'C' END"
+        ).alias("cls"),
+    )
+    return tagged.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.expr("CAST(SUM(cents) * 10000 DIV ANY_VALUE(total) AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
+
+
+# --- Zipf rank-frequency profile ----------------------------------------------
+
+
+@register(
+    "zipf_rank_frequency_documents",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x != '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term),
+    ranked AS (
+      SELECT term, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+      FROM cnt
+    )
+    SELECT rank, term, n, CAST(rank * n AS BIGINT) AS rank_times_n
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def zipf_rank_frequency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary: top-20 terms
+    with their frequency and the rank*frequency product (constant under
+    an ideal Zipf law — the corpus-health diagnostic that catches
+    templated/generated text, whose head is far flatter than natural
+    language). Pure integer output; the rank order carries the term
+    tie-break.
+
+    Scale: one term-count shuffle (the word_frequency exchange) and a
+    top-20 TakeOrdered — no global sort of the vocabulary.
+
+    Reference parity: no counterpart; §2.3 corpus-report extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    from app_insights_generator_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = cnt.orderBy(F.desc("n"), "term").limit(20)
+    w = Window.orderBy(F.desc("n"), "term")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        "n",
+    ).withColumn("rank_times_n", F.expr("CAST(rank * n AS BIGINT)"))

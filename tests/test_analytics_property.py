@@ -275,3 +275,72 @@ def test_discrete_hazard_life_table_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.hazard_bp <= 10000
         assert r.hazard_bp == r.n_events * 10000 // r.n_risk
+
+
+def test_rfm_grid_partitions_customers(spark, sf_dir):
+    """Every active customer lands in exactly one RFM cell; quintile
+    sizes follow NTILE's even-with-remainder rule on each axis."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.analytic_queries import (
+        rfm_segments_customers,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = rfm_segments_customers(spark, sf_dir).collect()
+    n_active = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_active
+    for axis in ("r", "f", "m"):
+        per = {}
+        for row in rows:
+            per[getattr(row, axis)] = per.get(getattr(row, axis), 0) + row.n_customers
+        assert set(per) <= {1, 2, 3, 4, 5}
+        q, rem = divmod(n_active, 5)
+        assert sorted(per.values(), reverse=True) == sorted(
+            [q + 1] * rem + [q] * (5 - rem), reverse=True
+        )
+
+
+def test_abc_classes_partition_and_shares(spark, sf_dir):
+    from app_insights_generator_spark.queries.analytic_queries import (
+        abc_classification_parts,
+    )
+
+    rows = {r.cls: r for r in abc_classification_parts(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r.rev_cents for r in rows.values())
+    # A holds the largest revenue share; floor shares sum to <= 10000
+    assert rows["A"].rev_cents > rows["B"].rev_cents > rows["C"].rev_cents
+    assert 9997 <= sum(r.share_bp for r in rows.values()) <= 10000
+    assert rows["A"].share_bp <= 8000  # cum*100 <= 80*total is a floor rule
+    for r in rows.values():
+        assert r.share_bp == r.rev_cents * 10000 // total
+
+
+def test_zipf_head_is_sorted_and_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators import text as T
+    from app_insights_generator_spark.queries.analytic_queries import (
+        zipf_rank_frequency_documents,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = sorted(
+        zipf_rank_frequency_documents(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    true_counts = dict(
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        assert true_counts[r.term] == r.n
+        assert r.rank_times_n == r.rank * r.n
