@@ -3680,3 +3680,92 @@ def spearman_qty_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spearman_rho"),
         )
     )
+
+
+# --- Local clustering coefficient per node ----------------------------------------
+
+
+@register(
+    "clustering_coefficient_nation_trade",
+    f"""
+    WITH und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({_PR_EDGES_SQL})
+      WHERE src <> dst
+    ),
+    adj AS (
+      SELECT a AS v, b AS n FROM und
+      UNION ALL
+      SELECT b AS v, a AS n FROM und
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY v),
+    tri AS (
+      SELECT x.v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM adj x
+      JOIN adj y ON x.v = y.v AND x.n < y.n
+      JOIN und e ON e.a = x.n AND e.b = y.n
+      GROUP BY x.v
+    )
+    SELECT d.v AS node, d.degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.degree >= 2
+                THEN 2 * COALESCE(tri.t, 0) * 10000
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS lcc_bp
+    FROM deg d LEFT JOIN tri ON tri.v = d.v
+    """,
+)
+def clustering_coefficient_nation_trade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient over the (undirected-ized)
+    nation trade graph: lcc(v) = closed wedges at v / possible wedges
+    deg(v)*(deg(v)-1)/2, in integer basis points — the node-level
+    refinement of the global triangle count (how clique-like each
+    node's neighborhood is; the community-structure diagnostic next to
+    k-core/LPA). The wedge enumeration is the triangle_count join shape
+    (adjacency self-join with n1 < n2, closed by an edge lookup), per
+    APEX node instead of globally.
+
+    Scale: wedge count is sum of deg², the known LCC cost; the n1 < n2
+    canonical order halves it and the joins are all keyed (plan has no
+    Cartesian). Node set here is nation-bounded; the edge DERIVATION
+    (distinct over the 6-table join) is the scale-bearing part, shared
+    with pagerank/bfs/ppr.
+
+    Reference parity: no counterpart; §2.3 graph-family extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    edges = _nation_trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    x = adj.select("v", F.col("n").alias("n1"))
+    y = adj.select(F.col("v").alias("v2"), F.col("n").alias("n2"))
+    tri = (
+        x.join(y, (F.col("v") == F.col("v2")) & (F.col("n1") < F.col("n2")))
+        .join(und, (F.col("a") == F.col("n1")) & (F.col("b") == F.col("n2")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "degree",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST(CASE WHEN degree >= 2"
+                " THEN 2 * coalesce(t, 0L) * 10000 DIV (degree * (degree - 1))"
+                " ELSE 0 END AS LONG)"
+            ).alias("lcc_bp"),
+        )
+    )

@@ -276,3 +276,42 @@ def test_personalized_pagerank_naive_equivalence(spark):
     assert got == rank
     assert got["a"] == max(got.values())
     assert got["d"] == 0 and got["e"] == 0
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle+pendant graph: a-b-c triangle (lcc 1.0 each except where
+    the pendant opens wedges), d pendant on a; d has degree 1 -> lcc 0.
+    Exercises the clustering_coefficient construction on a hand edge
+    list where every wedge/triangle/lcc value is known."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], ["src", "dst"]
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = {r.v: r.degree for r in adj.groupBy("v").agg(F.count(F.lit(1)).alias("degree")).collect()}
+    assert deg == {"a": 3, "b": 2, "c": 2, "d": 1}
+    x = adj.select("v", F.col("n").alias("n1"))
+    y = adj.select(F.col("v").alias("v2"), F.col("n").alias("n2"))
+    tri = {
+        r.v: r.t
+        for r in x.join(y, (F.col("v") == F.col("v2")) & (F.col("n1") < F.col("n2")))
+        .join(und, (F.col("a") == F.col("n1")) & (F.col("b") == F.col("n2")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .collect()
+    }
+    assert tri == {"a": 1, "b": 1, "c": 1}
+    # lcc: b,c = 1.0 (10000 bp); a = 1/3 of 3 wedges (3333 bp); d = 0
+    lcc = {
+        v: (2 * tri.get(v, 0) * 10000 // (d * (d - 1)) if d >= 2 else 0)
+        for v, d in deg.items()
+    }
+    assert lcc == {"a": 3333, "b": 10000, "c": 10000, "d": 0}
