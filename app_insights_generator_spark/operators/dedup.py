@@ -676,6 +676,53 @@ def jaccard_join_prefix_filter(
     return pinned
 
 
+def winnowing_fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """The selected winnowing fingerprint SET as rows: one distinct
+    (doc_id, wmin) per document fingerprint, checkpointed (the
+    explode+window subtree always fans out downstream). Shared core of
+    :func:`winnowing_stats` and the cross-split contamination audit —
+    same grams, window minima, and clamped-window semantics."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.greatest(F.size("toks") - k + 1, F.lit(0)).alias("m"),
+    )
+    g = (
+        base.filter(F.col("m") >= 1)
+        .select(
+            "doc_id",
+            "m",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "m",
+            "i",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    return (
+        g.select("doc_id", "m", "i", F.min("h").over(wspec).alias("wmin"))
+        .filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
+        .localCheckpoint(eager=True)
+    )
+
+
 def winnowing_stats(
     df: DataFrame,
     id_col: str,
@@ -717,43 +764,19 @@ def winnowing_stats(
     minima (and therefore the whole selected set) are engine-exact with
     no float or integer-width class at all.
     """
-    from pyspark.sql import Window
-
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalized_text(F.col(text_col))).alias("toks"),
     ).select(
         "doc_id",
-        "toks",
         F.greatest(F.size("toks") - k + 1, F.lit(0)).alias("m"),
     )
-    g = (
-        base.filter(F.col("m") >= 1)
-        .select(
-            "doc_id",
-            "m",
-            "toks",
-            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "m",
-            "i",
-            F.md5(F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ")).alias(
-                "h"
-            ),
-        )
-    )
-    wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
     # kept fans out into three branches (per-doc stats, the shared-hash
-    # frequency table, the share-count join); localCheckpoint materializes
-    # the explode+window subtree ONCE instead of three times per action
-    # (the plan otherwise shows 3 Window nodes — guarded in test_plans).
-    kept = (
-        g.select("doc_id", "m", "i", F.min("h").over(wspec).alias("wmin"))
-        .filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
-        .localCheckpoint(eager=True)
-    )
+    # frequency table, the share-count join); the helper's localCheckpoint
+    # materializes the explode+window subtree ONCE instead of three times
+    # per action (the plan otherwise shows 3 Window nodes — guarded in
+    # test_plans).
+    kept = winnowing_fingerprint_rows(df, id_col, text_col, k, w)
     stats = kept.groupBy("doc_id").agg(
         F.any_value(F.col("m")).cast("long").alias("n_grams"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),

@@ -4480,3 +4480,131 @@ def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "cid", "dot", "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
+
+
+# --- Cross-split contamination audit (winnowing x leakage-safe split) -----------
+
+
+@register(
+    "cross_split_contamination_documents",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, GREATEST(len(toks) - 3, 0) AS m,
+             CASE WHEN len(toks) >= 4
+                  THEN list_transform(range(1, len(toks) - 3 + 1),
+                         i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+                  ELSE [] END AS grams
+      FROM base
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN m >= 1
+                  THEN list_distinct(list_transform(
+                         range(1, GREATEST(m - 3, 1) + 1),
+                         j -> list_aggregate(list_slice(grams, j, j + 3), 'min')))
+                  ELSE [] END AS sel
+      FROM g
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {{bucket}} < 80 THEN 'train'
+                  WHEN {{bucket}} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS fp
+            FROM documents)
+    ),
+    ex AS (
+      SELECT sp.split, s.doc_id, unnest(s.sel) AS h
+      FROM s JOIN sp USING (doc_id)
+    ),
+    hs AS (
+      SELECT h, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+      FROM ex GROUP BY h
+    )
+    SELECT ex.split,
+           CAST(COUNT(DISTINCT ex.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN hs.n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked,
+           CAST(SUM(CASE WHEN hs.n_splits >= 2 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS leak_bp
+    FROM ex JOIN hs USING (h)
+    GROUP BY ex.split
+    """.replace(
+        "{bucket}",
+        f"({sql_hex_to_int('substring(sha256(CAST(fp AS VARCHAR)), 1, 4)', 4)}"
+        " % 100)",
+    ),
+)
+def cross_split_contamination_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-split CONTAMINATION audit — the composition that answers
+    'after the leakage-safe split, how much near-duplicate text still
+    straddles train/test?': winnowing fingerprints (guaranteed coverage
+    of any shared w+k-1-token run) per document, split assignment from
+    the content-fingerprint hash (leakage_safe_split's rule), and per
+    split the share of fingerprints also selected in ANOTHER split.
+    Exact duplicates land in one split by construction, so every leaked
+    fingerprint here is a NEAR-duplicate or shared-boilerplate signal —
+    the number an eval-integrity review reports (and the regression
+    metric for tightening dedup before a training run).
+
+    All counts integers; the winnowing set and split rule are exactly
+    the gated primitives (operators/dedup.py winnowing_fingerprint_rows;
+    trainprep's sha-bucket), so this query adds composition, not new
+    drift surface.
+
+    Scale: the fingerprint explode is the winnowing shuffle; the
+    split tag is a pure projection; the leak join is keyed on the
+    32-hex fingerprint. Reference parity: no counterpart; §2.3
+    curation extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    from app_insights_generator_spark.operators.dedup import (
+        winnowing_fingerprint_rows,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sel = winnowing_fingerprint_rows(docs, "doc_id", "text", k=4, w=4).select(
+        "doc_id", "wmin"
+    ).distinct()
+    bucket = (
+        F.conv(
+            F.substring(
+                F.sha2(F.sha2(T.normalized_text(F.col("text")), 256), 256), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    ex = sel.join(sp, "doc_id")
+    hs = ex.groupBy("wmin").agg(
+        F.count_distinct("split").cast("long").alias("n_splits")
+    )
+    return (
+        ex.join(hs, "wmin")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) * 10000"
+                " DIV COUNT(1) AS LONG)"
+            ).alias("leak_bp"),
+        )
+    )

@@ -3769,3 +3769,73 @@ def clustering_coefficient_nation_trade(
             ).alias("lcc_bp"),
         )
     )
+
+
+# --- Herfindahl-Hirschman supplier concentration per nation ------------------------
+
+
+@register(
+    "hhi_supplier_concentration",
+    f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             CAST(SUM({_x.sql_cents('l_extendedprice')}) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM((cents // 100) * (cents // 100)) AS BIGINT)
+             AS sum_sq_dollars,
+           CAST(SUM((cents // 100) * (cents // 100)) AS DOUBLE)
+             / (CAST(SUM(cents // 100) AS DOUBLE) * SUM(cents // 100)) AS hhi
+    FROM rev GROUP BY nationkey
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation —
+    the market-concentration standard (HHI = sum of squared revenue
+    shares; 1/n = perfect competition, 1.0 = monopoly), the supply-risk
+    diagnostic next to the skew profiler. Cross-multiplied exactness:
+    the gate hashes the exact integer moments (Σcents, Σcents²) and the
+    single float division Σs²/S² — never a sum of per-supplier float
+    shares (the partition-order class).
+
+    int64 headroom: shares are squared in whole-DOLLAR units (cents
+    squared already overflowed at sf0.01 — measured ARITHMETIC_OVERFLOW
+    under ANSI, the acf lesson repeated): dollars² per supplier ~ 3e14
+    at sf0.01, ~3e18 at sf10; beyond that, thousands-units (the same
+    floor-rescale, which changes hhi by < 1e-4 relative at any scale
+    where it matters).
+
+    Scale: one shuffle to the (nation, supplier) grain with map-side
+    combine, one 25-group rollup. Reference parity: no counterpart;
+    §2.3 product-analytics extension.
+
+    Registered as a round-8 rotation candidate (post-sweep addition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({_x.sql_cents('l_extendedprice')}) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    return rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.expr("(cents DIV 100) * (cents DIV 100)"))
+        .cast("long")
+        .alias("sum_sq_dollars"),
+        F.expr(
+            "CAST(SUM((cents DIV 100) * (cents DIV 100)) AS DOUBLE)"
+            " / (CAST(SUM(cents DIV 100) AS DOUBLE) * SUM(cents DIV 100))"
+        ).alias("hhi"),
+    )

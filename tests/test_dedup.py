@@ -449,3 +449,33 @@ def test_containment_asymmetry(spark):
     }
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 10000  # every shingle of the quote is in the long doc
+
+
+def test_cross_split_contamination_conservation(spark, sf_dir):
+    """Leaked counts must be symmetric facts: a fingerprint counted as
+    leaked in one split is selected in >= 2 splits, so summing leaked
+    over splits >= 2x the number of multi-split fingerprints; totals
+    conserve against the winnowing fingerprint rows."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators.dedup import (
+        winnowing_fingerprint_rows,
+    )
+    from app_insights_generator_spark.queries.llm_queries import (
+        cross_split_contamination_documents,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = cross_split_contamination_documents(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_fp_total = (
+        winnowing_fingerprint_rows(docs, "doc_id", "text")
+        .select("doc_id", "wmin")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_fp for r in rows) == n_fp_total
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_fp
+        assert r.leak_bp == r.n_leaked * 10000 // r.n_fp
