@@ -43,84 +43,84 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02-r06's rows are exactly positions 0-49 of this dict).
+# CORRECTNESS_r02-r07's rows are exactly positions 0-49 of this dict).
 #
-# Round-7 rotation: (a) inverted_index_documents stays at the head — the
-# one r06 red (array-typed final column crashed the driver's pandas
-# canonicalizer; now rendered as a comma-joined string on both sides and
-# the whole non-scalar-final class is rejected by tests/test_registry.py
-# + tools/check_oracle.py); (b) the 39 never-driver-sampled post-sweep
-# r06 additions — the 38 from the r06 checklist plus
-# multimodal_gif_codec_features, which r06's bookkeeping missed (added
-# at window position 51, absent from GATE_SWEEP_r06b; swept fresh this
-# round). All carry local oracle-green at sf0.01 AND sf0.1.
-# cogroup_purchase_error_asof_events is additionally the round-7
-# applyInArrow promotion (the pandas form measured 3.8x slower for
-# identical output). (c) The back stays padded with r-green rows,
-# preferring queries whose ORACLES this round refactored (the
-# sql_hex_to_int hex-cast retirement: shard_shuffle, the multimodal
-# _MEDIA_CTE pair, the _sha_bucket_sql users) — re-confirmation there is
-# the highest-value free signal.
+# Round-8 rotation: (a) the 22 never-driver-sampled round-7 post-sweep
+# additions (== SURVEY.md SS2.7's ROUND-8 ROTATION CHECKLIST, verified
+# name-for-name against every CORRECTNESS_r*.json); all carry local
+# oracle-green at sf0.01 AND sf0.1 plus a 3-fresh-session zero-flip sweep
+# (GATE_SWEEP_r07b). (b) 28 r-green padding rows, preferring queries whose
+# code paths round 8 touches: the dedup family (checkpoint_dir plumbing on
+# the four eager localCheckpoint sites, dedup.py), the similarity family
+# (SemDeDup scale-aware cluster count, similarity.py), the insights-sweep
+# core (the 14-column lattice measurement, insights_queries.py), the two
+# oldest driver samples (r01: cosine_topk/embedding_norms), and a
+# streaming/core-operator tail for cross-file spread.
 _GATE_PRIORITY = [
-    # (a) the r06 red: postings now a string column
-    "inverted_index_documents",
-    # (b) the 39 never-driver-sampled r06 post-sweep additions
-    "multimodal_gif_codec_features",
-    "video_scene_changes_mp4",
-    "pipe_syntax_orders_monthly",
-    "image_patchify_features",
-    "image_dedup_canonical",
-    "audio_decimate_wav",
-    "cogroup_purchase_error_asof_events",
-    "skyline_parts_price_size",
-    "markov_transitions_events",
-    "acf_daily_revenue_orders",
-    "pmi_collocations_documents",
-    "frequent_part_pairs_lineitem",
-    "journey_patterns_events",
-    "arrow_adaptive_histogram_documents",
-    "label_propagation_nation_trade",
-    "pysource_pushdown_events",
-    "chunk_spans_documents",
-    "quantize_embeddings_int8",
-    "dedup_components_star_documents",
-    "pit_features_purchases",
-    "negative_samples_embeddings",
-    "sql_scripting_threshold_orders",
-    "sql_variables_identifier_orders",
-    "dpp_join_orders_years",
-    "collation_lcase_group_orders",
-    "hard_negatives_embeddings",
-    "curriculum_order_documents",
-    "tokenizer_fertility_documents",
-    "poisson_bootstrap_orders",
-    "ohlc_hourly_events",
-    "twap_daily_user_events",
-    "sql_table_function_orders",
-    "entity_resolution_parts",
-    "mahalanobis_outliers_lineitem",
-    "dynamic_partition_overwrite_orders",
-    "hits_nation_trade",
-    "pq_codes_embeddings",
-    "pq_adc_search_embeddings",
-    "mixture_temperature_documents",
-    # (b2) round-7 mid-round additions
-    "weighted_reservoir_sample_documents",
-    "ivm_join_view_orders",
-    "join_key_skew_profile_orders",
-    "grid_colocation_customer_supplier",
-    "sql_group_by_all_orders",
-    "target_encoding_orders",
-    "feature_hashing_documents",
-    "ewma_daily_revenue_orders",
-    "kmeans_parallel_init_embeddings",
-    # (c) r-green padding, oracle-refactor re-confirmations first
-    # (shard_shuffle re-confirms the sql_hex_to_int oracle refactor class
-    # in-window; the _sha_bucket_sql and _MEDIA_CTE sites it also touched
-    # are locally verified at both SFs and poisson_bootstrap_orders above
-    # covers the _sha_bucket_sql path)
-    "shard_shuffle_documents",
+    # (a) the 22 round-8 rotation queries (SURVEY SS2.7 checklist order)
+    "winnowing_fingerprints_documents",
+    "ngram_novelty_documents",
+    "semdedup_embeddings",
+    "leakage_safe_split_documents",
+    "containment_join_documents",
+    "split_doc_overlap_documents",
+    "cusum_changepoint_orders",
+    "ppr_nation_trade",
+    "psi_drift_orders_price",
+    "benford_first_digit_orders",
+    "matryoshka_recall_embeddings",
+    "discrete_hazard_events",
+    "tfidf_neighbors_documents",
+    "intersectall_nations_halves",
+    "mannwhitney_drift_orders_price",
+    "spearman_qty_price_lineitem",
+    "rfm_segments_customers",
+    "abc_classification_parts",
+    "zipf_rank_frequency_documents",
+    "clustering_coefficient_nation_trade",
+    "hhi_supplier_concentration",
+    "cross_split_contamination_documents",
+    # (b1) dedup family -- re-confirmation after checkpoint_dir plumbing
+    "dedup_exact_documents",
+    "ngram_jaccard_adjacent_docs",
+    "dedup_minhash_documents",
+    "dedup_components_documents",
+    "dedup_simhash_documents",
+    "dedup_canonical_by_quality",
+    "jaccard_join_prefix_documents",
+    "curation_pipeline_documents",
+    # (b2) similarity family -- re-confirmation after SemDeDup rework
+    "similarity_join_lsh_embeddings",
+    "ann_topk_ivf_embeddings",
+    "oracle_exact_cosine_pairs",
+    "kmeans_clusters_embeddings",
+    "cosine_topk_embeddings",
+    "embedding_norms",
+    # (b3) insights-sweep core -- the file the 14-wide lattice work touches
+    "insights_sweep_lineitem",
+    "insights_sweep_lineitem_loop",
+    "insights_sweep_lineitem_wide",
+    "insights_sweep_lineitem_wide_cube",
+    "insights_sweep_orders",
+    "insights_single_combo_orders",
+    # (b4) streaming / core-operator spread
+    "tumbling_window_events",
+    "session_window_events",
+    "asof_join_purchase_signup",
+    "cdc_merge_user_profiles",
+    "variant_props_events",
+    "argmax_top_customer_per_nation",
+    "bucketize_part",
+    "cast_range_filter_orders",
 ]
+
+# ROUND-9 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
+# lived in SURVEY.md prose, the bookkeeping class that silently dropped
+# multimodal_gif_codec_features in r06). Every query registered after this
+# round's definitive gate sweep MUST be appended here the moment it is
+# registered; tests/test_registry.py pins "never-driver-sampled implies
+# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
+ROTATION_NEXT: list[str] = []
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"

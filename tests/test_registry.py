@@ -108,3 +108,76 @@ def test_unsafe_type_detector_catches_nonscalar_finals():
     ).fetchall()
     flagged = [c for c, ty, *_ in cols if _driver_unsafe(ty)]
     assert sorted(flagged) == ["l", "m", "s"], cols
+
+
+# --- Rotation bookkeeping (VERDICT r07 item #2) ------------------------------
+#
+# The driver samples only the first 50 registry entries per round. A query
+# registered but never rotated into that window never earns the hard driver
+# signal — and in r06 one such query (multimodal_gif_codec_features) silently
+# fell off the prose checklist in SURVEY.md. These tests make the invariant
+# structural: every registered query must either (a) already have a driver
+# row in some committed CORRECTNESS_r*.json, (b) sit in the current 50-slot
+# gate window (being rotated this round), or (c) be listed in
+# queries/__init__.py's ROTATION_NEXT for the next round's window.
+
+
+def _driver_sampled_names():
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            names.update(json.load(open(f)))
+        except Exception:  # noqa: BLE001 — a malformed artifact must not hide queries
+            continue
+    return names
+
+
+def test_never_sampled_queries_are_windowed_or_on_rotation_checklist():
+    from app_insights_generator_spark.queries import ROTATION_NEXT
+
+    sampled = _driver_sampled_names()
+    if not sampled:  # fresh clone without driver artifacts — nothing to pin
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json artifacts present")
+    window = set(list(QUERIES)[:50])
+    orphans = [
+        n
+        for n in QUERIES
+        if n not in sampled and n not in window and n not in ROTATION_NEXT
+    ]
+    assert not orphans, (
+        "registered queries with no driver row, not in the current gate "
+        "window, and missing from ROTATION_NEXT — append them to "
+        f"ROTATION_NEXT in queries/__init__.py: {orphans}"
+    )
+
+
+def test_rotation_checklist_detector_catches_injected_orphan():
+    """Self-test: an injected registered-but-unlisted query must trip the
+    orphan detector (guards against the check going vacuous)."""
+    from app_insights_generator_spark.queries import ROTATION_NEXT
+
+    sampled = _driver_sampled_names()
+    window = set(list(QUERIES)[:50])
+    fake = "__injected_never_sampled_query__"
+    assert fake not in sampled and fake not in window and fake not in ROTATION_NEXT
+    names = list(QUERIES) + [fake]
+    orphans = [
+        n
+        for n in names
+        if n not in sampled and n not in window and n not in ROTATION_NEXT
+    ]
+    assert fake in orphans
+
+
+def test_rotation_next_names_are_registered():
+    from app_insights_generator_spark.queries import ROTATION_NEXT
+
+    unknown = [n for n in ROTATION_NEXT if n not in QUERIES]
+    assert not unknown, f"ROTATION_NEXT names not in the registry: {unknown}"
