@@ -28,6 +28,25 @@ from app_insights_generator_spark.operators.text import (
 )
 
 
+def _pin(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize and pin a (small) intermediate so upstream caches can be
+    released and fan-out consumers reuse one computation.
+
+    ``checkpoint_dir=None`` uses ``localCheckpoint(eager=True)`` — fastest,
+    but the pinned blocks live in EXECUTOR storage with lineage truncated,
+    so on a real cluster an executor loss (including dynamic-allocation
+    decommission) makes them unrecoverable and fails the job. Passing a
+    reliable-storage path (HDFS/S3/DBFS) switches to
+    ``setCheckpointDir`` + ``.checkpoint(eager=True)``, which survives
+    executor loss — the same reliable-checkpoint story the sweep operators
+    use (operators/sweep.py ``checkpoint_dir``; SCALE.md). Output is
+    identical either way (pinned in tests/test_dedup.py)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     """[_id, _sh: array<string>] distinct shingle set per document.
 
@@ -183,6 +202,7 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verification.
 
@@ -190,14 +210,16 @@ def near_dedup_minhash(
     the MinHash signatures and BOTH sides of the verify self-join — the
     naive composition tokenized+shingled the corpus three times (the
     costliest step: regex splits over every document). The (tiny) verified
-    pair list is pinned with an eager localCheckpoint so the cache can be
-    released before returning; at 100 TB the persist spills to disk, which
-    still beats two extra full text-processing passes."""
+    pair list is pinned (see :func:`_pin`) so the cache can be released
+    before returning; at 100 TB the persist spills to disk, which still
+    beats two extra full text-processing passes. Pass ``checkpoint_dir``
+    on a cluster: the default localCheckpoint pin cannot survive executor
+    loss."""
     sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
     pairs = _jaccard_from_sets(
         sh, _candidates_from_sets(sh, num_hashes, bands), threshold
     )
-    pinned = pairs.localCheckpoint(eager=True)
+    pinned = _pin(pairs, checkpoint_dir)
     sh.unpersist()
     return pinned
 
@@ -590,6 +612,7 @@ def jaccard_join_prefix_filter(
     shingle_n: int = 3,
     threshold: float = 0.5,
     positional: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join >= threshold via prefix
     filtering (the AllPairs/PPJoin family, Bayardo et al. 2007) — the
@@ -671,7 +694,7 @@ def jaccard_join_prefix_filter(
         .distinct()
     )
     pairs = _jaccard_from_sets(sh, cand, threshold)
-    pinned = pairs.localCheckpoint(eager=True)
+    pinned = _pin(pairs, checkpoint_dir)
     sh.unpersist()
     return pinned
 
@@ -682,12 +705,15 @@ def winnowing_fingerprint_rows(
     text_col: str,
     k: int = 4,
     w: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The selected winnowing fingerprint SET as rows: one distinct
-    (doc_id, wmin) per document fingerprint, checkpointed (the
-    explode+window subtree always fans out downstream). Shared core of
-    :func:`winnowing_stats` and the cross-split contamination audit —
-    same grams, window minima, and clamped-window semantics."""
+    (doc_id, wmin) per document fingerprint, pinned via :func:`_pin`
+    (the explode+window subtree always fans out downstream; pass
+    ``checkpoint_dir`` on a cluster — the default localCheckpoint pin
+    cannot survive executor loss). Shared core of :func:`winnowing_stats`
+    and the cross-split contamination audit — same grams, window minima,
+    and clamped-window semantics."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -716,10 +742,11 @@ def winnowing_fingerprint_rows(
         )
     )
     wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    return (
-        g.select("doc_id", "m", "i", F.min("h").over(wspec).alias("wmin"))
-        .filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
-        .localCheckpoint(eager=True)
+    return _pin(
+        g.select("doc_id", "m", "i", F.min("h").over(wspec).alias("wmin")).filter(
+            F.col("i") >= F.least(F.lit(w), F.col("m"))
+        ),
+        checkpoint_dir,
     )
 
 
@@ -729,6 +756,7 @@ def winnowing_stats(
     text_col: str,
     k: int = 4,
     w: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
@@ -776,7 +804,7 @@ def winnowing_stats(
     # materializes the explode+window subtree ONCE instead of three times
     # per action (the plan otherwise shows 3 Window nodes — guarded in
     # test_plans).
-    kept = winnowing_fingerprint_rows(df, id_col, text_col, k, w)
+    kept = winnowing_fingerprint_rows(df, id_col, text_col, k, w, checkpoint_dir)
     stats = kept.groupBy("doc_id").agg(
         F.any_value(F.col("m")).cast("long").alias("n_grams"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),
@@ -826,6 +854,7 @@ def containment_join_prefix_filter(
     shingle_n: int = 3,
     threshold_bp: int = 6000,
     positional: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EXACT directed CONTAINMENT self-join: emit (id_a, id_b) where
     C(A->B) = |A∩B| / |A| >= threshold — A's shingles mostly appear in
@@ -910,6 +939,6 @@ def containment_join_prefix_filter(
             ),
         )
     )
-    pinned = verified.localCheckpoint(eager=True)
+    pinned = _pin(verified, checkpoint_dir)
     sh.unpersist()
     return pinned

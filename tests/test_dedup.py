@@ -479,3 +479,47 @@ def test_cross_split_contamination_conservation(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_leaked <= r.n_fp
         assert r.leak_bp == r.n_leaked * 10000 // r.n_fp
+
+
+def test_reliable_checkpoint_mode_output_equality(spark, tmp_path, corpus):
+    """checkpoint_dir plumbing (VERDICT r07 item #5): the reliable-storage
+    checkpoint mode must produce exactly the rows of the default
+    localCheckpoint mode for every operator that pins an intermediate.
+    The default mode's pinned blocks live in executor storage and cannot
+    survive executor loss on a cluster; checkpoint_dir is the dynamic-
+    allocation-safe path."""
+    ckpt = str(tmp_path / "ckpt")
+
+    local = D.near_dedup_minhash(corpus, "doc_id", "text", threshold=0.5)
+    reliable = D.near_dedup_minhash(
+        corpus, "doc_id", "text", threshold=0.5, checkpoint_dir=ckpt
+    )
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(key, local.collect())) == sorted(map(key, reliable.collect()))
+
+    local = D.winnowing_fingerprint_rows(corpus, "doc_id", "text", k=4, w=4)
+    reliable = D.winnowing_fingerprint_rows(
+        corpus, "doc_id", "text", k=4, w=4, checkpoint_dir=ckpt
+    )
+    key = lambda r: (r.doc_id, r.i, r.wmin)  # noqa: E731
+    assert sorted(map(key, local.collect())) == sorted(map(key, reliable.collect()))
+
+    local = D.jaccard_join_prefix_filter(corpus, "doc_id", "text", threshold=0.5)
+    reliable = D.jaccard_join_prefix_filter(
+        corpus, "doc_id", "text", threshold=0.5, checkpoint_dir=ckpt
+    )
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(key, local.collect())) == sorted(map(key, reliable.collect()))
+
+    local = D.containment_join_prefix_filter(
+        corpus, "doc_id", "text", threshold_bp=6000
+    )
+    reliable = D.containment_join_prefix_filter(
+        corpus, "doc_id", "text", threshold_bp=6000, checkpoint_dir=ckpt
+    )
+    key = lambda r: (r.id_a, r.id_b, r.containment_bp)  # noqa: E731
+    assert sorted(map(key, local.collect())) == sorted(map(key, reliable.collect()))
+
+    import os
+
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), "reliable dir unused"
