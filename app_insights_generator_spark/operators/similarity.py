@@ -656,12 +656,34 @@ def kmeans_fixed_point(
     return assign, cent
 
 
+def semdedup_sign_dims(n_rows: int, dim: int) -> tuple[int, ...]:
+    """Scale-aware hyperplane-sign dimensions for :func:`semdedup_flags`.
+
+    SemDeDup's cost is sum-of-squared-cluster-sizes, so the cluster count
+    must GROW with the corpus — the paper (Abbas et al. 2023) uses
+    k ~ sqrt(n). With one cluster bit per sign dimension, k = 2^bits, so
+    ``bits = ceil(log2(n)/2)`` gives k in [sqrt(n), 2*sqrt(n)): expected
+    per-cluster size ~sqrt(n) and total candidate work ~n^1.5 instead of
+    n² (measured curve in SCALE.md). Bits are capped at the embedding
+    width (one sign per distinct dimension) and dims are spread evenly
+    across the width (1-based, strictly increasing — consecutive picks
+    differ by >= floor((dim-1)/(bits-1)) >= 1 whenever bits <= dim)."""
+    import math
+
+    if dim < 1:
+        raise ValueError(f"embedding width must be >= 1, got {dim}")
+    bits = 1 if n_rows <= 2 else min(max(1, math.ceil(math.log2(n_rows) / 2)), dim)
+    if bits == 1:
+        return (1,)
+    return tuple(1 + (i * (dim - 1)) // (bits - 1) for i in range(bits))
+
+
 def semdedup_flags(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.3,
-    sign_dims: tuple[int, ...] = (1, 22, 43),
+    sign_dims: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that never compares across clusters — partition the
@@ -679,15 +701,37 @@ def semdedup_flags(
     [id, cluster] shape) when cluster balance matters.
 
     Scale: the whole point of SemDeDup — candidate generation is
-    sum-of-squared-CLUSTER-sizes, not corpus², and the cluster count
-    grows with the corpus (the paper uses k ~ sqrt(n); here 2^|dims|,
-    so add sign dims as the corpus grows) keeping per-cluster work
-    bounded. One shuffle keys both join sides on the cluster id; skewed
-    clusters are AQE skew-join territory, and the fix is one more sign
-    bit. The within-cluster pair set is a strict SUBSET of the exact
-    all-pairs set that oracle_exact_cosine_pairs already hash-anchors
-    at the same threshold, so the float-boundary class is inherited
-    solved, not re-risked."""
+    sum-of-squared-CLUSTER-sizes, not corpus². ``sign_dims=None`` (the
+    default) derives the cluster count FROM the corpus at plan-build
+    time (one count + one-row probe): :func:`semdedup_sign_dims` picks
+    ceil(log2(n)/2) sign bits, i.e. the paper's k ~ sqrt(n), so total
+    candidate work grows ~n^1.5 as the corpus scales (measured
+    replication curve in SCALE.md) with zero config. Passing explicit
+    dims pins the partition (the gated query does, for cross-round hash
+    stability) and fails fast with ValueError if any dim exceeds the
+    embedding width — under ANSI mode an oversized dim would otherwise
+    surface as a runtime INVALID_ARRAY_INDEX mid-join, and under
+    non-ANSI it would silently NULL the sign and collapse clusters.
+    One shuffle keys both join sides on the cluster id; skewed clusters
+    are AQE skew-join territory, and the fix is one more sign bit. The
+    within-cluster pair set is a strict SUBSET of the exact all-pairs
+    set that oracle_exact_cosine_pairs already hash-anchors at the same
+    threshold, so the float-boundary class is inherited solved, not
+    re-risked."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, is_dup boolean"
+        )
+    dim = len(first[0])
+    if sign_dims is None:
+        sign_dims = semdedup_sign_dims(df.count(), dim)
+    bad = [d for d in sign_dims if not 1 <= d <= dim]
+    if bad:
+        raise ValueError(
+            f"sign_dims {bad} out of range for embedding width {dim} "
+            f"(1-based; probe row has {dim} dims)"
+        )
     cluster = F.lit(0)
     nb = len(sign_dims)
     for b, d in enumerate(sign_dims):

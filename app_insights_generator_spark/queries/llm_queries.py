@@ -4111,9 +4111,15 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no counterpart; §2.3 dedup-family extension.
 
+    sign_dims is pinned EXPLICITLY here for cross-round hash stability;
+    the operator's default derives ceil(log2(n)/2) sign bits from the
+    corpus (semdedup_sign_dims — the paper's k ~ sqrt(n)), which would
+    re-partition the clusters whenever the table grew.
+
     Registered as a round-8 rotation candidate (post-sweep addition)."""
     return S.semdedup_flags(
-        _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3
+        _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.3,
+        sign_dims=(1, 22, 43),
     )
 
 

@@ -270,3 +270,64 @@ def test_matryoshka_recall_naive_equivalence(spark, sf_dir):
         assert r.n_overlap == len(f & t)
         assert r.full_idsum == sum(f)
         assert r.recall_bp == len(f & t) * 10000 // _RECALL_K
+
+
+def test_semdedup_sign_dims_scale_law():
+    """k = 2^bits must track the paper's k ~ sqrt(n): sqrt(n) <= k < 2*sqrt(n)
+    (bits = ceil(log2(n)/2)), capped at the embedding width, dims strictly
+    increasing and 1-based within the width."""
+    import math
+
+    from app_insights_generator_spark.operators.similarity import semdedup_sign_dims
+
+    for n in (10, 500, 10_000, 1_000_000, 10**9):
+        dims = semdedup_sign_dims(n, 64)
+        k = 2 ** len(dims)
+        if len(dims) < 64:  # not width-capped
+            assert math.sqrt(n) <= k < 2 * math.sqrt(n), (n, k)
+        assert all(1 <= d <= 64 for d in dims)
+        assert list(dims) == sorted(set(dims)), dims
+    # width cap: a 4-dim embedding can carry at most 4 sign bits
+    assert len(semdedup_sign_dims(10**12, 4)) == 4
+    # tiny corpora: one bit
+    assert semdedup_sign_dims(1, 64) == (1,)
+
+
+def test_semdedup_rejects_out_of_range_sign_dims(spark):
+    """ADVICE r07: an explicit sign dim beyond the embedding width must fail
+    fast with a clear error, not an ANSI INVALID_ARRAY_INDEX mid-join (or a
+    silent NULL-sign cluster collapse in non-ANSI mode)."""
+    import pytest as _pytest
+
+    from app_insights_generator_spark.operators.similarity import semdedup_flags
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [0.9, 0.4])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="embedding width"):
+        semdedup_flags(df, "embedding", "vec_id", sign_dims=(1, 43))
+
+
+def test_semdedup_default_dims_match_explicit(spark):
+    """The scale-aware default must equal passing semdedup_sign_dims(n, dim)
+    explicitly — the default is derivation, not different semantics."""
+    from app_insights_generator_spark.operators.similarity import (
+        semdedup_flags,
+        semdedup_sign_dims,
+    )
+
+    rows = [(i, [float((i >> b) & 1) - 0.5 for b in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dims = semdedup_sign_dims(64, 8)
+    auto = {
+        (r.vec_id, r.cluster, r.is_dup)
+        for r in semdedup_flags(df, "embedding", "vec_id", 0.9).collect()
+    }
+    explicit = {
+        (r.vec_id, r.cluster, r.is_dup)
+        for r in semdedup_flags(
+            df, "embedding", "vec_id", 0.9, sign_dims=dims
+        ).collect()
+    }
+    assert auto == explicit
+    assert len(dims) == 3  # ceil(log2(64)/2) = 3 bits -> 8 clusters
