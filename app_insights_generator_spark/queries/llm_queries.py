@@ -4356,6 +4356,18 @@ def matryoshka_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TF-IDF nearest neighbors via inverted index (embedding-free similarity) ----
 
+#: Quantized-idf lookup: bucket b = (df * 1024) DIV n_docs in [0, 1024] maps
+#: to round(ln(1025 / (b + 1)) * 1e6) ppm. Precomputed in PYTHON and inlined
+#: as integer literals into BOTH engines (the _BENFORD_PPM treatment), so no
+#: engine evaluates ln at query time — a JVM-vs-libm last-ulp difference at
+#: a ROUND boundary could otherwise flip an integer weight and the gate hash
+#: (ADVICE r07). b=1024 (df == n_docs, a term in every doc) gives exactly 0.
+_IDF_PPM_1024 = [round(__import__("math").log(1025 / (b + 1)) * 1e6) for b in range(1025)]
+
+_IDF_VALUES_SQL = ", ".join(
+    f"({b}, {ppm})" for b, ppm in enumerate(_IDF_PPM_1024)
+)
+
 
 @register(
     "tfidf_neighbors_documents",
@@ -4368,11 +4380,11 @@ def matryoshka_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tok GROUP BY doc_id, term),
     stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
     n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    idf(bucket, idf_ppm) AS (VALUES {_IDF_VALUES_SQL}),
     w AS (
-      SELECT tf.doc_id, tf.term,
-             tf.tf * CAST(ROUND(ln((n_docs + 1.0) / (df + 1.0)) * 1000000
-                                + 1e-9) AS BIGINT) AS w
+      SELECT tf.doc_id, tf.term, tf.tf * CAST(idf_ppm AS BIGINT) AS w
       FROM tf JOIN stats USING (term), n
+      JOIN idf ON idf.bucket = (df * 1024) // n_docs
     ),
     nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
             FROM w GROUP BY doc_id),
@@ -4407,16 +4419,24 @@ def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse retrieval complement to the embedding ANN family (BM25 ranks
     query TERMS; this ranks whole-document vectors against each other).
 
-    Exactness design: idf is snapped to an INTEGER ppm weight
-    (ROUND(ln((N+1)/(df+1))*1e6), one IEEE ln per TERM with the 6dp-bias
-    recipe), so per-doc weights, norms-squared, and every dot product
-    are EXACT BIGINT sums — order-independent, hash-stable — and the
-    only per-pair float is the final dot/sqrt(n2a*n2b) (sqrt is
-    IEEE-correctly-rounded), rounded 6dp with the engine bias before the
-    (cos DESC, id) tie-safe rank. A raw float-weight formulation would
-    sum hundreds of doubles per pair — the forbidden partition-order
-    class. int64 headroom: w <= tf * 14e6 (ln cap ~14 at a trillion
-    docs), w*w sums ~4e15 per 50-term doc — documented ~1e4x margin.
+    Exactness design: idf is a QUANTIZED integer-ppm weight looked up
+    from the Python-precomputed _IDF_PPM_1024 table — df/N snapped to
+    1/1024 buckets by exact integer arithmetic ((df*1024) DIV n_docs),
+    bucket b mapping to round(ln(1025/(b+1))*1e6). NEITHER engine
+    evaluates ln at query time (ADVICE r07: ROUND(ln(...)*1e6) computed
+    independently per engine risks a last-ulp flip of the integer
+    weight exactly at a rounding boundary; the literals make the class
+    impossible, the _BENFORD_PPM treatment). Per-doc weights,
+    norms-squared, and every dot product are EXACT BIGINT sums —
+    order-independent, hash-stable — and the only per-pair float is the
+    final dot/sqrt(n2a*n2b) (sqrt is IEEE-correctly-rounded), rounded
+    6dp with the engine bias before the (cos DESC, id) tie-safe rank.
+    A raw float-weight formulation would sum hundreds of doubles per
+    pair — the forbidden partition-order class. The 1/1024 df-share
+    quantization caps rare-term idf at ln(1025)~6.93 (standard
+    smoothing territory) and merges df values closer than N/1024 —
+    the resolution/scale dial is the table size. int64 headroom:
+    w <= tf * 6.94e6, w*w sums ~2.4e15 per 50-term doc — ~1e4x margin.
 
     Scale: the inverted-index join fans out per term as df_q * df_c; on
     real (Zipfian) corpora high-df terms carry near-zero idf and are
@@ -4437,17 +4457,15 @@ def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = tf.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    idf = spark.createDataFrame(
+        list(enumerate(_IDF_PPM_1024)), "bucket long, idf_ppm long"
+    )
     w = (
         tf.join(stats, "term")
         .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.expr(
-                "tf * CAST(ROUND(ln((n_docs + 1.0) / (df + 1.0)) * 1000000"
-                " + 1e-9) AS BIGINT)"
-            ).alias("w"),
-        )
+        .withColumn("bucket", F.expr("df * 1024 DIV n_docs"))
+        .join(F.broadcast(idf), "bucket")
+        .select("doc_id", "term", F.expr("tf * idf_ppm").alias("w"))
     )
     nrm = w.groupBy("doc_id").agg(F.sum(F.expr("w * w")).cast("long").alias("n2"))
     q = w.filter(F.col("doc_id") < 20).select(

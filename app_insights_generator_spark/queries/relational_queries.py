@@ -3301,12 +3301,9 @@ def ppr_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
           FROM b)
-    SELECT CAST(bin AS BIGINT) AS bin, ca, cb,
+    SELECT CAST(bin AS BIGINT) AS bin, ca, cb, na, nb,
            CAST(ca * 1000000 // na AS BIGINT) AS share_a_ppm,
-           CAST(cb * 1000000 // nb AS BIGINT) AS share_b_ppm,
-           (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
-             * ln(CAST(GREATEST(ca, 1) * nb AS DOUBLE)
-                  / (GREATEST(cb, 1) * na)) AS psi_term
+           CAST(cb * 1000000 // nb AS BIGINT) AS share_b_ppm
     FROM b, n
     """,
 )
@@ -3319,12 +3316,15 @@ def psi_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the log ratio, the standard epsilon-free PSI convention,
     while the share difference keeps the true zero).
 
-    Emitted PER BIN, not pre-summed: each psi_term is a single IEEE
-    (share_a - share_b) * ln(ca*nb / (cb*na)) over exact integers —
-    deterministic per row — whereas a SUM of ten doubles would be
-    partition-order-dependent (the round-4 float-sum class). The reader
-    sums ten rows; the gate hashes each term exactly. Completes the
-    drift trio: chi² (categorical bins), KS (binning-free CDF sup-gap),
+    Emitted as EXACT INTEGER per-bin moments only (bin, ca, cb, na, nb,
+    integer-ppm shares): the reader computes each bin's
+    psi_term = (ca/na - cb/nb) * ln(ca*nb / (cb*na)) and sums ten rows.
+    The gated hash deliberately carries NO ln() output — ln is not
+    IEEE-correctly-rounded, so a JVM-vs-libm last-ulp difference on
+    another platform/JDK could flip a raw-double gate even though each
+    engine is internally deterministic (ADVICE r07; the same reasoning
+    as the precomputed _BENFORD_PPM literals). Completes the drift
+    trio: chi² (categorical bins), KS (binning-free CDF sup-gap),
     PSI (the share-weighted log-ratio practitioners alert on).
 
     Scale: one map-side tag + one 10-group aggregate; the max() is a
@@ -3351,13 +3351,10 @@ def psi_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("long").alias("bin"),
         "ca",
         "cb",
+        "na",
+        "nb",
         F.expr("CAST(ca * 1000000 DIV na AS LONG)").alias("share_a_ppm"),
         F.expr("CAST(cb * 1000000 DIV nb AS LONG)").alias("share_b_ppm"),
-        F.expr(
-            "(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
-            " * ln(CAST(GREATEST(ca, 1) * nb AS DOUBLE)"
-            " / (GREATEST(cb, 1) * na))"
-        ).alias("psi_term"),
     )
 
 
@@ -3788,8 +3785,10 @@ def clustering_coefficient_nation_trade(
            CAST(SUM(cents) AS BIGINT) AS total_cents,
            CAST(SUM((cents // 100) * (cents // 100)) AS BIGINT)
              AS sum_sq_dollars,
-           CAST(SUM((cents // 100) * (cents // 100)) AS DOUBLE)
-             / (CAST(SUM(cents // 100) AS DOUBLE) * SUM(cents // 100)) AS hhi
+           CASE WHEN SUM(cents // 100) > 0 THEN
+             CAST(SUM((cents // 100) * (cents // 100)) AS DOUBLE)
+               / (CAST(SUM(cents // 100) AS DOUBLE) * SUM(cents // 100))
+           ELSE NULL END AS hhi
     FROM rev GROUP BY nationkey
     """,
 )
@@ -3807,7 +3806,11 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ANSI, the acf lesson repeated): dollars² per supplier ~ 3e14
     at sf0.01, ~3e18 at sf10; beyond that, thousands-units (the same
     floor-rescale, which changes hhi by < 1e-4 relative at any scale
-    where it matters).
+    where it matters). A nation whose suppliers each gross under $1
+    would zero the dollar-floored denominator; hhi is NULL there
+    (unreachable on TPC-H data, but the operator is reusable — ADVICE
+    r07: Spark's Infinity/NaN rendering and DuckDB's need not
+    hash-agree).
 
     Scale: one shuffle to the (nation, supplier) grain with map-side
     combine, one 25-group rollup. Reference parity: no counterpart;
@@ -3835,7 +3838,9 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_sq_dollars"),
         F.expr(
-            "CAST(SUM((cents DIV 100) * (cents DIV 100)) AS DOUBLE)"
+            "CASE WHEN SUM(cents DIV 100) > 0 THEN"
+            " CAST(SUM((cents DIV 100) * (cents DIV 100)) AS DOUBLE)"
             " / (CAST(SUM(cents DIV 100) AS DOUBLE) * SUM(cents DIV 100))"
+            " ELSE NULL END"
         ).alias("hhi"),
     )

@@ -48,9 +48,13 @@ def test_approx_ndv_mode_runs(spark, sf_dir):
     assert all(r.ndv_old is not None for r in rows)
 
 
-def test_psi_terms_match_naive(spark, sf_dir):
-    """Per-bin PSI terms must reproduce the textbook PSI computed
-    driver-side from the same counts, and shares must be exact ppm."""
+def test_psi_moments_reconstruct_textbook_psi(spark, sf_dir):
+    """The gated output carries exact integer moments only (no ln() in
+    the hash — ADVICE r07: a JVM-vs-libm last-ulp difference could flip
+    a raw-double gate). The reader-side reconstruction must yield the
+    textbook PSI: every term finite, non-negative except empty-bin
+    clamps, and shares exact ppm; the emitted na/nb must equal the
+    column sums."""
     import math
 
     from app_insights_generator_spark.queries.relational_queries import (
@@ -60,14 +64,18 @@ def test_psi_terms_match_naive(spark, sf_dir):
     rows = psi_drift_orders_price(spark, sf_dir).collect()
     na = sum(r.ca for r in rows)
     nb = sum(r.cb for r in rows)
+    psi = 0.0
     for r in rows:
-        expect = (r.ca / na - r.cb / nb) * math.log(
+        assert (r.na, r.nb) == (na, nb)
+        term = (r.ca / na - r.cb / nb) * math.log(
             (max(r.ca, 1) * nb) / (max(r.cb, 1) * na)
         )
-        assert abs(r.psi_term - expect) < 1e-12
+        assert math.isfinite(term)
+        assert term >= 0 or (r.ca == 0 or r.cb == 0)
+        psi += term
         assert r.share_a_ppm == r.ca * 1_000_000 // na
         assert r.share_b_ppm == r.cb * 1_000_000 // nb
-        assert r.psi_term >= 0 or (r.ca == 0 or r.cb == 0)
+    assert psi >= 0
     assert {r.bin for r in rows} <= set(range(10))
 
 
