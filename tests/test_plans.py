@@ -15,6 +15,38 @@ def _plan(spark, sf_dir, name: str) -> str:
     return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
+def _phys_tree(spark, sf_dir, name: str):
+    """Flattened physical-plan nodes as (simpleClassName, jvm_node) pairs,
+    walked via the queryExecution tree — node-TYPE assertions survive
+    formatted-string / attribute-naming changes across Spark versions
+    (ADVICE r07: string fragments like 'BroadcastHashJoin [term' are
+    brittle CI)."""
+    root = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan()
+    out = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        out.append((cls, n))
+        # AQE wrappers have no children(); descend through their payload.
+        if "AdaptiveSparkPlan" in cls:
+            stack.append(n.initialPlan())
+            continue
+        if "QueryStage" in cls:
+            stack.append(n.plan())
+            continue
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def _node_counts(spark, sf_dir, name: str):
+    from collections import Counter
+
+    return Counter(cls for cls, _ in _phys_tree(spark, sf_dir, name))
+
+
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
@@ -485,10 +517,10 @@ def test_winnowing_no_cartesian_single_window(spark, sf_dir):
     subtree must be checkpointed so its Window runs ONCE, not once per
     fan-out branch (the final plan reads the checkpoint: zero Window
     nodes); Python never appears."""
-    plan = _plan(spark, sf_dir, "winnowing_fingerprints_documents")
-    assert "CartesianProduct" not in plan
-    assert plan.count("Window") == 0, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    counts = _node_counts(spark, sf_dir, "winnowing_fingerprints_documents")
+    assert counts["CartesianProductExec"] == 0, counts
+    assert counts["WindowExec"] == 0, counts
+    assert counts["BatchEvalPythonExec"] == 0 and counts["ArrowEvalPythonExec"] == 0
 
 
 def test_containment_join_no_cartesian(spark, sf_dir):
@@ -509,14 +541,30 @@ def test_split_doc_overlap_is_hash_join(spark, sf_dir):
 def test_cusum_window_after_daily_preagg(spark, sf_dir):
     """The global-order window must run AFTER aggregation to the daily
     grain (window input bounded by the date range, not the row count):
-    the cumsum Window's child subtree contains the daily HashAggregate
-    (plans print top-down, so the child appears later in the string);
-    the 1-row moment table arrives broadcast, never a real Cartesian."""
-    plan = _plan(spark, sf_dir, "cusum_changepoint_orders")
-    assert "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
-    cum_w = plan.index("windowspecdefinition(day_idx")
-    assert "HashAggregate" in plan[cum_w:], plan[:2000]
+    EVERY WindowExec node must have an aggregate descendant in its
+    subtree — asserted on the queryExecution tree, not on formatted-plan
+    fragments (ADVICE r07). The 1-row moment table arrives broadcast,
+    never a real Cartesian."""
+    nodes = _phys_tree(spark, sf_dir, "cusum_changepoint_orders")
+    counts = {cls for cls, _ in nodes}
+    assert "BroadcastExchangeExec" in counts, sorted(counts)
+    assert "CartesianProductExec" not in counts
+
+    agg_types = {"HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec"}
+    windows = [n for cls, n in nodes if cls == "WindowExec"]
+    assert windows, sorted(counts)
+    for wnode in windows:
+        sub = []
+        stack = [wnode]
+        while stack:
+            n = stack.pop()
+            sub.append(n.getClass().getSimpleName())
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        assert agg_types & set(sub), (
+            f"WindowExec over un-aggregated input: {sub}"
+        )
 
 
 def test_semdedup_join_keyed_on_cluster(spark, sf_dir):
@@ -527,9 +575,22 @@ def test_semdedup_join_keyed_on_cluster(spark, sf_dir):
 
 
 def test_tfidf_panel_is_broadcast_build(spark, sf_dir):
-    """The 20-doc query panel must be the broadcast build side of the
+    """The 20-doc query panel must be the broadcast BUILD side of the
     inverted-index join — the corpus side never broadcasts (it only
-    looks broadcastable at test scale)."""
-    plan = _plan(spark, sf_dir, "tfidf_neighbors_documents")
-    assert "BroadcastHashJoin [term" in plan
-    assert "CartesianProduct" not in plan
+    looks broadcastable at test scale). Asserted structurally: some
+    BroadcastHashJoinExec's build-side subtree carries the panel
+    predicate (doc_id < 20), checked via buildSide() on the
+    queryExecution tree rather than formatted-string fragments with
+    attribute names (ADVICE r07)."""
+    nodes = _phys_tree(spark, sf_dir, "tfidf_neighbors_documents")
+    assert all(cls != "CartesianProductExec" for cls, _ in nodes)
+    bhjs = [n for cls, n in nodes if cls == "BroadcastHashJoinExec"]
+    assert bhjs, [cls for cls, _ in nodes]
+
+    def build_subtree(join):
+        side = 0 if "BuildLeft" in join.buildSide().toString() else 1
+        return join.children().apply(side).toString()
+
+    assert any("< 20" in build_subtree(j) for j in bhjs), [
+        build_subtree(j)[:200] for j in bhjs
+    ]
