@@ -14,6 +14,14 @@ Each query is timed REPEATS times and the MEDIAN recorded (VERDICT r02
 item 4): single-run timing let one noisy neighbor rewrite round history —
 BENCH_r02 recorded a phantom 1.8x regression on unchanged code that
 vanished on an idle machine.
+
+Calibration (VERDICT r07 item 6): cross-round wall-clocks swung ~2x with
+machine load on IDENTICAL code (r05-r07 each spent a verdict cycle
+adjudicating noise). Before the suite, a fixed probe (the native sweep,
+3 runs, warm-third) measures THIS session's machine speed against the
+pinned idle-machine reference; the output carries both raw and
+calibrated (raw / machine_factor) times, so rounds compare without a
+BASELINE.md cross-reference.
 """
 
 from __future__ import annotations
@@ -25,6 +33,14 @@ import sys
 import time
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+#: The calibration probe and its pinned idle-machine reference: warm-third
+#: of 3 fresh-JVM runs of the native 63-set lineitem sweep at sf0.1,
+#: measured round 8 (2026-08-15, runs [7.186, 2.439, 2.410]). NEVER
+#: re-pin this without renaming the field — its whole value is staying
+#: constant across rounds.
+PROBE_QUERY = "insights_sweep_lineitem"
+REF_PROBE_SEC = 2.41
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -104,6 +120,17 @@ def main() -> None:
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
 
+    # Calibration probe: 3 runs, warm-third, against the pinned reference.
+    probe_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES[PROBE_QUERY](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probe_runs.append(round(time.time() - t0, 3))
+    probe = probe_runs[-1]
+    factor = round(probe / REF_PROBE_SEC, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name) or _EXTRA[name]
@@ -115,6 +142,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    calibrated = {k: round(v / factor, 3) for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -123,6 +151,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "calibration": {
+                    "probe_query": PROBE_QUERY,
+                    "probe_runs_sec": probe_runs,
+                    "probe_warm_third_sec": probe,
+                    "ref_probe_sec": REF_PROBE_SEC,
+                    "ref_sf": 0.1,  # factor is meaningful only when sf matches
+                    "machine_factor": factor,
+                },
+                "value_calibrated": round(sum(calibrated.values()), 3),
+                "queries_calibrated": calibrated,
             }
         )
     )
