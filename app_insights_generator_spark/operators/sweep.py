@@ -25,6 +25,7 @@ Two modes with identical output semantics:
 from __future__ import annotations
 
 import itertools
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -282,9 +283,16 @@ def sweep_apriori(
     total_count: int | None = None,
     max_sets_per_job: int | None = None,
     checkpoint_dir: str | None = None,
+    level_stats: list[dict] | None = None,
 ) -> DataFrame:
     """Level-wise sweep with frequent-pattern (Apriori) pruning — output
     IDENTICAL to sweep_loop / sweep_grouping_sets.
+
+    ``level_stats``: pass a list to receive one dict per executed level
+    ({level, sets_evaluated, sets_survived, wall_sec}) — the pruning
+    telemetry a 16,383-set production run is tuned from. Note the stats
+    make the sweep EAGER per level (they already are: the survival bitmap
+    is collected each level regardless).
 
     The support threshold is anti-monotone: every group of column set
     S ∪ {c} is a subset of some group of S restricted to rows non-null in
@@ -395,6 +403,7 @@ def sweep_apriori(
     current: list[tuple[str, ...]] = [(c,) for c in cols]
     k = 1
     while current and k <= max_size:
+        level_t0 = time.time()
         chunks = level_dfs(current)
         persisted.extend(chunks)
         # Survival bitmap: which of this level's sets emitted >= 1 group.
@@ -416,6 +425,15 @@ def sweep_apriori(
         }
         out.extend(formatted(g) for g in chunks)
         prev = {frozenset(s) for s in current if frozenset(s) in survivors}
+        if level_stats is not None:
+            level_stats.append(
+                {
+                    "level": k,
+                    "sets_evaluated": len(current),
+                    "sets_survived": len(prev),
+                    "wall_sec": round(time.time() - level_t0, 3),
+                }
+            )
         cand = {
             s | {c}
             for s in prev
