@@ -1606,3 +1606,85 @@ def zipf_rank_frequency_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         "term",
         "n",
     ).withColumn("rank_times_n", F.expr("CAST(rank * n AS BIGINT)"))
+
+
+# --- Heaps-law vocabulary growth curve ------------------------------------------
+
+
+@register(
+    "heaps_vocab_growth_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x != '')) AS term
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT term, MIN(doc_id) // 50 AS batch FROM tok GROUP BY term
+    ),
+    new_types AS (
+      SELECT batch, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY batch
+    ),
+    batch_tokens AS (
+      SELECT doc_id // 50 AS batch, CAST(COUNT(*) AS BIGINT) AS batch_tokens
+      FROM tok GROUP BY 1
+    )
+    SELECT b.batch,
+           COALESCE(n.new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(n.new_types, 0))
+                OVER (ORDER BY b.batch) AS BIGINT) AS cum_types,
+           b.batch_tokens,
+           CAST(SUM(b.batch_tokens) OVER (ORDER BY b.batch) AS BIGINT)
+             AS cum_tokens
+    FROM batch_tokens b LEFT JOIN new_types n ON n.batch = b.batch
+    """,
+)
+def heaps_vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct-type count vs tokens
+    processed, in 50-document ingest batches — the corpus-health
+    diagnostic COMPLEMENTING the Zipf head profile (natural language
+    grows types ~K*n^beta with beta~0.4-0.6; a templated/synthetic
+    corpus plateaus almost immediately, a contaminated merge jumps).
+    Each type is attributed to the batch of its FIRST occurrence
+    (MIN(doc_id) per term — exact, order-independent), so the curve is
+    a pure aggregation, not a sequential scan.
+
+    Scale: one term shuffle with map-side combine (the word_frequency
+    exchange) for first-seen, one for batch token counts; the cumsum
+    windows run over the BATCH grain (rows = corpus/50 docs — bounded
+    telemetry, the acf/ewma convention for global-order windows). All
+    integers end to end.
+
+    Reference parity: no counterpart; §2.3 corpus-report extension.
+    Registered on ROTATION_NEXT (round-9 window; post-sweep addition)."""
+    from app_insights_generator_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term"),
+    )
+    first_seen = tok.groupBy("term").agg(
+        F.expr("MIN(doc_id) DIV 50").alias("batch")
+    )
+    new_types = first_seen.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    batch_tokens = tok.groupBy(F.expr("doc_id DIV 50").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("batch_tokens")
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        batch_tokens.join(new_types, "batch", "left")
+        .select(
+            "batch",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+            "batch_tokens",
+        )
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum("batch_tokens").over(w).cast("long"))
+        .select("batch", "new_types", "cum_types", "batch_tokens", "cum_tokens")
+    )

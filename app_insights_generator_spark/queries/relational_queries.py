@@ -358,6 +358,58 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "approx_ndv_sweep_audit_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+           CAST(0 AS INT) AS n_violations
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def approx_ndv_sweep_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct under GROUPING SETS — the one sketch family
+    not yet audit-paired inside the sweep path (VERDICT r07 item 8). The
+    insight-sweep engine computes COUNT per set; a 100 TB NDV-profiling
+    variant swaps in HLL++ sketches, and this audits that swap across
+    the whole CUBE lattice at once: per grouping set, the EXACT distinct
+    part count is hash-gated against DuckDB, while Spark's
+    approx_count_distinct(rsd=0.01) estimate is enforced by the HLL
+    standard-error invariant (|approx - exact| <= 5% of exact, > 5 sigma
+    at rsd 0.01; the approx_distinct_parts / hll_union_ndv gate design —
+    sketch estimates are deterministic on fixed data but implementation
+    detail, so they stay out of the cross-engine hash and inside the
+    in-query bound). Key scale property exercised: the sketch is a
+    PARTIAL AGGREGATE under Expand — one pass computes every set's
+    estimate map-side, where exact DISTINCT under grouping sets must
+    re-shuffle the key per set.
+
+    Reference parity: no counterpart; §2.2 distinct/approx-aggregate
+    family under the §2.1 sweep lattice. Registered on ROTATION_NEXT
+    (round-9 window; post-sweep addition)."""
+    est = (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count_distinct("l_partkey").cast("long").alias("exact_nd"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_nd"),
+        )
+    )
+    viol = (
+        F.abs(F.col("approx_nd") - F.col("exact_nd")) > 0.05 * F.col("exact_nd")
+    )
+    return est.select(
+        "l_returnflag",
+        "l_linestatus",
+        "gid",
+        "exact_nd",
+        F.when(viol, 1).otherwise(0).cast("int").alias("n_violations"),
+    )
+
+
 # --- date / JSON scalar functions -------------------------------------------
 
 @register(

@@ -1097,3 +1097,93 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- Exact next-fit context-window packing (stateful twin of the relational
+# start-offset packer above) ------------------------------------------------
+
+
+@register(
+    "pack_next_fit_documents",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, doc_id // 500 AS shard,
+             len(string_split(trim(text), ' ')) AS n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 500
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT shard, rn, n, CAST(0 AS BIGINT) AS win, n AS fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.n,
+             CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.fill + d.n
+                  ELSE d.n END
+      FROM pack p JOIN base d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, win,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS fill_tokens,
+           CAST(GREATEST({_PACK_BUDGET} - SUM(n), 0) AS BIGINT) AS waste_tokens
+    FROM pack GROUP BY shard, win
+    """,
+)
+def pack_next_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT next-fit context-window packing — the stateful twin of
+    pack_documents_token_budget. The relational packer assigns a document
+    to the window its START offset falls in, so windows can overflow the
+    budget; next-fit never overflows (a document that does not fit in the
+    current window's remainder OPENS a new window; only a single
+    over-budget document can exceed it, alone). That carry-dependent
+    reset makes next-fit a true sequential recurrence — not expressible
+    as a window function — so it runs as an Arrow-batched grouped-map
+    (applyInPandas) over 500-document shards, each packed independently:
+    the distributed shape is one shuffle on shard, a tiny O(shard-size)
+    Python loop per group (the recurrence is data-dependent, so no numpy
+    prefix trick applies), and millions of shards pack in parallel at
+    100 TB. The oracle reproduces the recurrence with a RECURSIVE CTE
+    (one row per shard per step — the first recursive-CTE oracle in the
+    registry), pinning Spark's stateful loop against a second engine's.
+
+    Output per (shard, window): docs packed, fill, and waste tokens —
+    the padding-efficiency numbers a pretraining batch builder reports.
+
+    Reference parity: no counterpart; §2.2 LLM-prep extension.
+    Registered on ROTATION_NEXT (round-9 window; post-sweep addition)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id DIV 500").alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n"),
+    )
+
+    budget = _PACK_BUDGET
+
+    def _next_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        wins: list[list[int]] = []  # [n_docs, fill]
+        for n in pdf["n"].astype("int64"):
+            if wins and wins[-1][1] + n <= budget:
+                wins[-1][0] += 1
+                wins[-1][1] += int(n)
+            else:
+                wins.append([1, int(n)])
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "win": range(len(wins)),
+                "n_docs": [w[0] for w in wins],
+                "fill_tokens": [w[1] for w in wins],
+                "waste_tokens": [max(budget - w[1], 0) for w in wins],
+            }
+        )
+
+    return docs.groupBy("shard").applyInPandas(
+        _next_fit,
+        "shard long, win long, n_docs long, fill_tokens long, waste_tokens long",
+    )

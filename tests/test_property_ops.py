@@ -130,3 +130,64 @@ def test_chunk_spans_partition_the_stream(spark, docs, tmp_path_factory):
         spans.sort(key=lambda r: r.block_id)
         for a, b in zip(spans, spans[1:]):
             assert b.block_id == a.block_id + 1 and a.hi == 128 and b.lo == 0
+
+
+def test_pack_next_fit_invariants(spark, sf_dir):
+    """Next-fit packing invariants: no multi-doc window exceeds the 512
+    budget; an over-budget window holds exactly one document; waste is
+    the exact remainder; every document lands in exactly one window; and
+    windows are contiguous 0..k per shard."""
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        pack_next_fit_documents,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = pack_next_fit_documents(spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    by_shard = {}
+    for r in rows:
+        assert r.fill_tokens <= 512 or r.n_docs == 1, r
+        assert r.waste_tokens == max(512 - r.fill_tokens, 0), r
+        by_shard.setdefault(r.shard, []).append(r.win)
+    for shard, wins in by_shard.items():
+        assert sorted(wins) == list(range(len(wins))), (shard, sorted(wins))
+
+
+def test_pack_next_fit_matches_reference_loop(spark):
+    """Constructed corpus incl. an over-budget document and an exact-fit
+    boundary: the distributed grouped-map must equal a driver-side
+    next-fit reimplementation."""
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        _PACK_BUDGET,
+    )
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sizes = [100, 412, 1, 600, 511, 1, 512, 5]  # 412+100=512 exact fit
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+        ["doc_id", "text"],
+    )
+    # inline the query body on this frame: shard = doc_id DIV 500 -> one shard
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        pack_next_fit_documents,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("source", F.lit("s")).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            (r.shard, r.win): (r.n_docs, r.fill_tokens)
+            for r in pack_next_fit_documents(spark, d).collect()
+        }
+    wins = []
+    for n in sizes:
+        if wins and wins[-1][1] + n <= _PACK_BUDGET:
+            wins[-1] = (wins[-1][0] + 1, wins[-1][1] + n)
+        else:
+            wins.append((1, n))
+    expect = {(0, i): w for i, w in enumerate(wins)}
+    assert got == expect

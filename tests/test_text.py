@@ -281,3 +281,32 @@ def test_tfidf_neighbors_duplicate_ranks_first(spark):
     assert got[(0, 1)][0] == 100 and abs(got[(0, 1)][1] - 1.0) < 1e-6
     assert got[(0, 2)][0] == 101
     assert got[(1, 1)][0] == 102
+
+
+def test_heaps_vocab_growth_conservation(spark, sf_dir):
+    """The growth curve must conserve totals: final cum_types == corpus
+    distinct-type count, final cum_tokens == total token count, both
+    cumulative columns strictly monotone non-decreasing, and new_types
+    sums to the vocabulary size."""
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.operators import text as T
+    from app_insights_generator_spark.queries.analytic_queries import (
+        heaps_vocab_growth_documents,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = sorted(
+        heaps_vocab_growth_documents(spark, sf_dir).collect(),
+        key=lambda r: r.batch,
+    )
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
+    )
+    n_types = tok.select("term").distinct().count()
+    n_tokens = tok.count()
+    assert rows[-1].cum_types == n_types
+    assert rows[-1].cum_tokens == n_tokens
+    assert sum(r.new_types for r in rows) == n_types
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_types >= a.cum_types and b.cum_tokens > a.cum_tokens
