@@ -124,6 +124,7 @@ ROTATION_NEXT: list[str] = [
     "approx_ndv_sweep_audit_lineitem",
     "pack_next_fit_documents",
     "heaps_vocab_growth_documents",
+    "bigram_nll_quality_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

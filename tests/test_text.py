@@ -310,3 +310,49 @@ def test_heaps_vocab_growth_conservation(spark, sf_dir):
     assert sum(r.new_types for r in rows) == n_types
     for a, b in zip(rows, rows[1:]):
         assert b.cum_types >= a.cum_types and b.cum_tokens > a.cum_tokens
+
+
+def test_bigram_nll_matches_naive_float_scoring(spark, sf_dir):
+    """Recompute doc NLL driver-side with float math on the same corpus
+    counts: the quantized-integer score must land within the bucket
+    quantization error (|p - b/1024| <= 1/1024 -> nll within
+    ln(1025/(b+1)) - ln((b+2)/1025) of a bucket step) of the true mean
+    NLL — i.e. mean absolute deviation under 3% relative. Also: every
+    2+-token document scored exactly once, nll strictly positive."""
+    import math
+    from collections import Counter, defaultdict
+
+    from app_insights_generator_spark.queries.llm_queries import (
+        bigram_nll_quality_documents,
+    )
+    from app_insights_generator_spark.operators import text as T
+    from app_insights_generator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    toks = {
+        r.doc_id: r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("toks"))
+        .collect()
+    }
+    c2, c1 = Counter(), Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    got = {r.doc_id: r for r in bigram_nll_quality_documents(spark, sf_dir).collect()}
+    assert set(got) == {d for d, ts in toks.items() if len(ts) >= 2}
+    rel_errs = []
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        true_nll = [
+            -math.log(c2[(a, b)] / c1[a]) for a, b in zip(ts, ts[1:])
+        ]
+        r = got[d]
+        assert r.n_bigrams == len(true_nll)
+        assert r.avg_nll_ppm > 0
+        truth_ppm = sum(true_nll) / len(true_nll) * 1e6
+        if truth_ppm > 0:
+            rel_errs.append(abs(r.avg_nll_ppm - truth_ppm) / max(truth_ppm, 1))
+    assert sum(rel_errs) / len(rel_errs) < 0.03, sum(rel_errs) / len(rel_errs)
