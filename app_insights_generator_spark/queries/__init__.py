@@ -125,6 +125,7 @@ ROTATION_NEXT: list[str] = [
     "pack_next_fit_documents",
     "heaps_vocab_growth_documents",
     "bigram_nll_quality_documents",
+    "top_pc_power_iteration_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -4716,3 +4716,77 @@ def bigram_nll_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nll_ppm").cast("long").alias("nll_sum_ppm"),
         F.expr("SUM(nll_ppm) DIV COUNT(1)").cast("long").alias("avg_nll_ppm"),
     )
+
+
+# --- Top principal component via integer power iteration ------------------------
+
+
+def _top_pc_oracle(iterations: int = 5, scale: int = 1_000_000, width: int = 64) -> str:
+    """Unrolled-iteration SQL twin of operators/similarity.py
+    power_iteration_top_pc (the pagerank-oracle pattern: fixed iteration
+    count -> chained CTEs, no recursion extension needed). Every division
+    is BIGINT truncate-toward-zero in both engines."""
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, i AS d,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {scale} + 1e-9)
+                  AS BIGINT) AS vi
+      FROM embeddings, LATERAL unnest(range(1, {width + 1})) t(i))""",
+        "meta AS (SELECT COUNT(*) AS n FROM embeddings)",
+        f"mean AS (SELECT d, SUM(vi) // (SELECT n FROM meta) AS mean_ppm"
+        f" FROM e GROUP BY d)",
+        "c AS (SELECT vec_id, e.d, vi - mean_ppm AS c FROM e JOIN mean USING (d))",
+        f"w0 AS (SELECT i AS d, CAST({scale} AS BIGINT) AS w"
+        f" FROM unnest(range(1, {width + 1})) t(i))",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""y{i} AS (
+      SELECT vec_id, SUM(c.c * w.w) // {scale} AS ys
+      FROM c JOIN w{i - 1} w USING (d) GROUP BY vec_id)"""
+        )
+        ctes.append(
+            f"""wp{i} AS (
+      SELECT d, SUM(c.c * ys) // {scale} AS wr
+      FROM c JOIN y{i} USING (vec_id) GROUP BY d)"""
+        )
+        ctes.append(
+            f"""nrm{i} AS (
+      SELECT GREATEST(ABS(wr), 1) AS m,
+             CASE WHEN wr >= 0 THEN 1 ELSE -1 END AS sgn
+      FROM wp{i} ORDER BY ABS(wr) DESC, d LIMIT 1)"""
+        )
+        ctes.append(
+            f"w{i} AS (SELECT d, sgn * wr * {scale} // m AS w FROM wp{i}, nrm{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT mean.d AS dim, CAST(mean_ppm AS BIGINT) AS mean_ppm,
+           CAST(w AS BIGINT) AS weight_ppm
+    FROM mean JOIN w{iterations} USING (d)"""
+    )
+
+
+@register("top_pc_power_iteration_embeddings", _top_pc_oracle())
+def top_pc_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embeddings table
+    (operators/similarity.py power_iteration_top_pc): 5 integer
+    fixed-point power-iteration rounds over the ppm-centered matrix,
+    max-abs normalization with a deterministic global sign — the
+    embedding-drift / whitening primitive. The oracle unrolls the same
+    recurrence as chained CTEs (the pagerank pattern), so the gate pins
+    an ITERATIVE linear-algebra loop across engines bit-for-bit; pytest
+    separately checks the integer result against a float reference of
+    the same 5 rounds (quantization-only error) and full eigenvector
+    convergence on a planted-direction corpus. On THIS near-isotropic
+    synthetic table (lambda2/lambda1 ~ 0.93) 5 rounds are a
+    deterministic fixture, not a converged eigenvector — `iterations`
+    is the dial (~40 rounds converge here; measured).
+
+    Reference parity: no counterpart; §2.3 embedding-analytics
+    extension. Registered on ROTATION_NEXT (round-9 window)."""
+    return S.power_iteration_top_pc(
+        _embs(spark, sf_dir), "embedding", "vec_id", iterations=5
+    )
