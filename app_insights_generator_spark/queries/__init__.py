@@ -126,6 +126,7 @@ ROTATION_NEXT: list[str] = [
     "heaps_vocab_growth_documents",
     "bigram_nll_quality_documents",
     "top_pc_power_iteration_embeddings",
+    "knn_label_accuracy_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -4790,3 +4790,85 @@ def top_pc_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     return S.power_iteration_top_pc(
         _embs(spark, sf_dir), "embedding", "vec_id", iterations=5
     )
+
+
+# --- Leave-one-out 1-NN label accuracy (embedding-quality eval) ------------------
+
+
+@register(
+    "knn_label_accuracy_embeddings",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+               FROM embeddings),
+    sims AS (
+      SELECT a.vec_id, a.label AS a_label, b.label AS b_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_dot_product(a.e, b.e) / (a.n * b.n) + 1e-9, 6)
+                        DESC, b.vec_id) AS rn
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE a.n > 0 AND b.n > 0
+    )
+    SELECT a_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS accuracy_bp
+    FROM sims WHERE rn = 1 GROUP BY a_label
+    """,
+)
+def knn_label_accuracy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy — the standard embedding-quality
+    eval (does nearest-in-cosine mean same-class?), reported per label as
+    exact integer counts + basis points. The neighbor argmax uses the
+    engine-wide 6dp+1e-9 rounded cosine with the (sim DESC, id) tie-break
+    (the matryoshka_recall ranking recipe), so both engines pick the
+    identical neighbor.
+
+    EXACT all-pairs BY DESIGN — the bounded truth-anchor class
+    (oracle_exact_cosine_pairs' documented never-production family): this
+    is the evaluation harness for the ANN operators, whose candidate
+    generation (IVF lists, LSH bands, SemDeDup clusters) is the 100 TB
+    path; at scale the same accuracy audit runs on a fixed EVAL SAMPLE
+    (thousands of rows), not the corpus.
+
+    Reference parity: no counterpart; §2.3 embedding-analytics extension.
+    Registered on ROTATION_NEXT (round-9 window)."""
+    embs = _embs(spark, sf_dir)
+    base = embs.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("_v"),
+        S.norm(F.col("embedding")).alias("_n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(
+        S.dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        + F.lit(1e-9),
+        6,
+    )
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter((F.col("a._n") > 0) & (F.col("b._n") > 0))
+        .select(
+            F.col("a.vec_id").alias("vid"),
+            F.col("a.label").alias("a_label"),
+            F.col("b.label").alias("b_label"),
+            sim.alias("s"),
+            F.col("b.vec_id").alias("bid"),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("s").desc(), F.col("bid"))
+    nn = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return nn.groupBy(F.col("a_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.expr("CASE WHEN a_label = b_label THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(1) AS LONG)"
+        ).alias("accuracy_bp"),
+    )

@@ -408,3 +408,43 @@ def test_power_iteration_converges_on_planted_direction(spark):
     cos = abs(float(w @ top) / (np.linalg.norm(w) * np.linalg.norm(top)))
     assert cos > 0.99, cos
     assert w[int(np.abs(w).argmax())] > 0
+
+
+def test_knn_label_accuracy_matches_numpy(spark, sf_dir):
+    """Recompute leave-one-out 1-NN driver-side with numpy using the same
+    6dp+bias rounding and (sim desc, id) tie-break; per-label counts must
+    match exactly, and counts must conserve the corpus size."""
+    import numpy as np
+
+    from app_insights_generator_spark.queries.llm_queries import (
+        knn_label_accuracy_embeddings,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = {r.vec_id: r.label for r in rows}
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    sims = np.round(sims + 1e-9, 6)
+    expect = {}
+    order = np.argsort(ids)
+    for i in range(len(ids)):
+        best = max(
+            range(len(ids)),
+            key=lambda j: (sims[i, j], -ids[j]) if j != i else (-np.inf, 0),
+        )
+        lab = labels[ids[i]]
+        ok = labels[ids[best]] == lab
+        n, c = expect.get(lab, (0, 0))
+        expect[lab] = (n + 1, c + (1 if ok else 0))
+    got = {
+        r.label: (r.n_vectors, r.n_correct)
+        for r in knn_label_accuracy_embeddings(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(n for n, _ in got.values()) == len(rows)
