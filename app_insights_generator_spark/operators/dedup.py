@@ -317,6 +317,7 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a pair graph
     by iterative hash-min label propagation. Output: [<id_col>, component]
@@ -329,17 +330,20 @@ def connected_components(
     - each round is ONE shuffle: edges join labels on src, then min per dst
       (classic hash-min; rounds needed = graph diameter, and dedup-cluster
       diameters are tiny);
-    - ``localCheckpoint`` per round truncates the lineage so the plan does
-      not grow exponentially with iterations (the classic iterative-Spark
-      failure mode);
+    - a checkpoint per round truncates the lineage so the plan does not
+      grow exponentially with iterations (the classic iterative-Spark
+      failure mode); ``checkpoint_dir=None`` uses localCheckpoint (see
+      :func:`_pin` for the executor-loss caveat), a reliable-storage path
+      survives executor loss — and matters MORE here than for the one-shot
+      pins, since a lost round-k block kills all later rounds;
     - convergence check is a count of changed labels — one scalar to the
       driver per round, never the labels themselves.
     """
-    sym = (
+    sym = _pin(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
     changed = 0
@@ -360,8 +364,8 @@ def connected_components(
                 .cast("int")
                 .alias("_changed"),
             )
-            .localCheckpoint()
         )
+        new_labels = _pin(new_labels, checkpoint_dir)
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
         labels = new_labels.drop("_changed")
         if changed == 0:

@@ -520,6 +520,18 @@ def test_reliable_checkpoint_mode_output_equality(spark, tmp_path, corpus):
     key = lambda r: (r.id_a, r.id_b, r.containment_bp)  # noqa: E731
     assert sorted(map(key, local.collect())) == sorted(map(key, reliable.collect()))
 
+    local = D.connected_components(
+        D.near_dedup_minhash(corpus, "doc_id", "text", threshold=0.5),
+        corpus.select("doc_id"),
+    )
+    reliable = D.connected_components(
+        D.near_dedup_minhash(corpus, "doc_id", "text", threshold=0.5),
+        corpus.select("doc_id"),
+        checkpoint_dir=ckpt,
+    )
+    key = lambda r: (r.doc_id, r.component)  # noqa: E731
+    assert sorted(map(key, local.collect())) == sorted(map(key, reliable.collect()))
+
     import os
 
     assert os.path.isdir(ckpt) and os.listdir(ckpt), "reliable dir unused"
