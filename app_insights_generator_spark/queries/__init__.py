@@ -127,6 +127,7 @@ ROTATION_NEXT: list[str] = [
     "bigram_nll_quality_documents",
     "top_pc_power_iteration_embeddings",
     "knn_label_accuracy_embeddings",
+    "pack_next_fit_sql_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

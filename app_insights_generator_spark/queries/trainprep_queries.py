@@ -1187,3 +1187,84 @@ def pack_next_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _next_fit,
         "shard long, win long, n_docs long, fill_tokens long, waste_tokens long",
     )
+
+
+@register(
+    "pack_next_fit_sql_documents",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, doc_id // 100 AS shard,
+             len(string_split(trim(text), ' ')) AS n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 100
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT shard, rn, n, CAST(0 AS BIGINT) AS win, n AS fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.n,
+             CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.fill + d.n
+                  ELSE d.n END
+      FROM pack p JOIN base d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, win,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS fill_tokens,
+           CAST(GREATEST({_PACK_BUDGET} - SUM(n), 0) AS BIGINT) AS waste_tokens
+    FROM pack GROUP BY shard, win
+    """,
+)
+def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE-SQL twin of pack_next_fit_documents: the same next-fit
+    recurrence expressed with Spark 4's WITH RECURSIVE (SPARK-24497)
+    instead of a grouped-map — each recursion step advances every shard
+    one document (one hash join per level), so this pins Spark's
+    recursive-CTE engine against DuckDB's on a STATEFUL carry, not just
+    the tree walk recursive_cte_part_hierarchy covers. Shards are 100
+    documents here (vs the grouped-map twin's 500) to keep the recursion
+    depth at 100 levels; the session recursion-level limit is raised
+    accordingly (spark.sql.cteRecursionLevelLimit — Spark's default 100
+    is exactly one step short).
+
+    Scale judgment, honestly: at 100 TB the grouped-map form WINS — one
+    shuffle + a per-shard loop beats depth-many join stages; this twin
+    exists for SQL-surface parity (users porting recursive packing SQL)
+    and as a second independent engine check on the same recurrence
+    (both twins' oracles share the recursion, so a Spark grouped-map
+    bug and a Spark recursion bug cannot cancel).
+
+    Registered on ROTATION_NEXT (round-9 window; post-sweep addition)."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", 200)
+    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "_nf_docs"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, doc_id DIV 100 AS shard,
+                 CAST(size(split(trim(text), ' ')) AS BIGINT) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id DIV 100
+                                    ORDER BY doc_id) AS rn
+          FROM _nf_docs
+        ),
+        pack(shard, rn, n, win, fill) AS (
+          SELECT shard, rn, n, CAST(0 AS BIGINT), n FROM base WHERE rn = 1
+          UNION ALL
+          SELECT d.shard, d.rn, d.n,
+                 CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.win
+                      ELSE p.win + 1 END,
+                 CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.fill + d.n
+                      ELSE d.n END
+          FROM pack p JOIN base d ON d.shard = p.shard AND d.rn = p.rn + 1
+        )
+        SELECT shard, win,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS fill_tokens,
+               CAST(GREATEST({_PACK_BUDGET} - SUM(n), 0) AS BIGINT)
+                 AS waste_tokens
+        FROM pack GROUP BY shard, win
+        """
+    )

@@ -191,3 +191,47 @@ def test_pack_next_fit_matches_reference_loop(spark):
             wins.append((1, n))
     expect = {(0, i): w for i, w in enumerate(wins)}
     assert got == expect
+
+
+def test_pack_next_fit_sql_twin_matches_grouped_map_semantics(spark):
+    """The WITH RECURSIVE twin must implement the identical next-fit
+    recurrence: on a constructed corpus spanning two 100-doc shards
+    (incl. over-budget and exact-fit docs), its windows must equal a
+    driver-side next-fit run per 100-doc shard."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        _PACK_BUDGET,
+        pack_next_fit_sql_documents,
+    )
+
+    sizes = {i: (i * 37) % 300 + 1 for i in range(95, 110)}  # crosses shard edge
+    sizes[97] = 600  # over budget
+    sizes[99] = _PACK_BUDGET  # exact fit
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * s)) for i, s in sorted(sizes.items())],
+        ["doc_id", "text"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("source", F.lit("s")).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            (r.shard, r.win): (r.n_docs, r.fill_tokens, r.waste_tokens)
+            for r in pack_next_fit_sql_documents(spark, d).collect()
+        }
+    expect = {}
+    for shard in sorted({i // 100 for i in sizes}):
+        wins = []
+        for i in sorted(i for i in sizes if i // 100 == shard):
+            n = sizes[i]
+            if wins and wins[-1][1] + n <= _PACK_BUDGET:
+                wins[-1] = (wins[-1][0] + 1, wins[-1][1] + n)
+            else:
+                wins.append((1, n))
+        for w_idx, (nd, fill) in enumerate(wins):
+            expect[(shard, w_idx)] = (nd, fill, max(_PACK_BUDGET - fill, 0))
+    assert got == expect
