@@ -1193,9 +1193,9 @@ def pack_next_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_next_fit_sql_documents",
     f"""
     WITH RECURSIVE base AS (
-      SELECT doc_id, doc_id // 100 AS shard,
+      SELECT doc_id, doc_id // 25 AS shard,
              len(string_split(trim(text), ' ')) AS n,
-             ROW_NUMBER() OVER (PARTITION BY doc_id // 100
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 25
                                 ORDER BY doc_id) AS rn
       FROM documents
     ),
@@ -1223,11 +1223,13 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a grouped-map — each recursion step advances every shard
     one document (one hash join per level), so this pins Spark's
     recursive-CTE engine against DuckDB's on a STATEFUL carry, not just
-    the tree walk recursive_cte_part_hierarchy covers. Shards are 100
-    documents here (vs the grouped-map twin's 500) to keep the recursion
-    depth at 100 levels; the session recursion-level limit is raised
-    accordingly (spark.sql.cteRecursionLevelLimit — Spark's default 100
-    is exactly one step short).
+    the tree walk recursive_cte_part_hierarchy covers. Shards are 25
+    documents here (vs the grouped-map twin's 500) because recursion
+    DEPTH is the wall-clock driver (~0.6s per level: each level is a
+    planned join stage; measured 66s at depth 100 vs ~18s at depth 25
+    for identical semantics); the session recursion-level limit
+    (spark.sql.cteRecursionLevelLimit, default 100) is raised for
+    headroom.
 
     Scale judgment, honestly: at 100 TB the grouped-map form WINS — one
     shuffle + a per-shard loop beats depth-many join stages; this twin
@@ -1238,18 +1240,21 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered on ROTATION_NEXT (round-9 window; post-sweep addition)."""
     spark.conf.set("spark.sql.cteRecursionLevelLimit", 200)
-    _t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
-        "_nf_docs"
-    )
+    # Materialize the tokenized+ranked base ONCE: as a plain CTE it would
+    # be re-evaluated (tokenization + window) at every recursion level.
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("doc_id DIV 25").alias("shard"),
+        F.expr("CAST(size(split(trim(text), ' ')) AS BIGINT)").alias("n"),
+        F.row_number()
+        .over(Window.partitionBy(F.expr("doc_id DIV 25")).orderBy("doc_id"))
+        .alias("rn"),
+    ).localCheckpoint(eager=True)
+    base.createOrReplaceTempView("_nf_base")
     return spark.sql(
         f"""
-        WITH RECURSIVE base AS (
-          SELECT doc_id, doc_id DIV 100 AS shard,
-                 CAST(size(split(trim(text), ' ')) AS BIGINT) AS n,
-                 ROW_NUMBER() OVER (PARTITION BY doc_id DIV 100
-                                    ORDER BY doc_id) AS rn
-          FROM _nf_docs
-        ),
+        WITH RECURSIVE base AS (SELECT * FROM _nf_base),
         pack(shard, rn, n, win, fill) AS (
           SELECT shard, rn, n, CAST(0 AS BIGINT), n FROM base WHERE rn = 1
           UNION ALL

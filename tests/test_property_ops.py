@@ -195,7 +195,7 @@ def test_pack_next_fit_matches_reference_loop(spark):
 
 def test_pack_next_fit_sql_twin_matches_grouped_map_semantics(spark):
     """The WITH RECURSIVE twin must implement the identical next-fit
-    recurrence: on a constructed corpus spanning two 100-doc shards
+    recurrence: on a constructed corpus spanning 25-doc shards
     (incl. over-budget and exact-fit docs), its windows must equal a
     driver-side next-fit run per 100-doc shard."""
     import os
@@ -208,9 +208,9 @@ def test_pack_next_fit_sql_twin_matches_grouped_map_semantics(spark):
         pack_next_fit_sql_documents,
     )
 
-    sizes = {i: (i * 37) % 300 + 1 for i in range(95, 110)}  # crosses shard edge
-    sizes[97] = 600  # over budget
-    sizes[99] = _PACK_BUDGET  # exact fit
+    sizes = {i: (i * 37) % 300 + 1 for i in range(20, 35)}  # crosses shard edge
+    sizes[22] = 600  # over budget
+    sizes[24] = _PACK_BUDGET  # exact fit
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * s)) for i, s in sorted(sizes.items())],
         ["doc_id", "text"],
@@ -224,9 +224,9 @@ def test_pack_next_fit_sql_twin_matches_grouped_map_semantics(spark):
             for r in pack_next_fit_sql_documents(spark, d).collect()
         }
     expect = {}
-    for shard in sorted({i // 100 for i in sizes}):
+    for shard in sorted({i // 25 for i in sizes}):
         wins = []
-        for i in sorted(i for i in sizes if i // 100 == shard):
+        for i in sorted(i for i in sizes if i // 25 == shard):
             n = sizes[i]
             if wins and wins[-1][1] + n <= _PACK_BUDGET:
                 wins[-1] = (wins[-1][0] + 1, wins[-1][1] + n)
