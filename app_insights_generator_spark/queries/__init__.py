@@ -128,6 +128,7 @@ ROTATION_NEXT: list[str] = [
     "top_pc_power_iteration_embeddings",
     "knn_label_accuracy_embeddings",
     "pack_next_fit_sql_documents",
+    "jsd_drift_orders_price",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -3896,3 +3896,110 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END"
         ).alias("hhi"),
     )
+
+
+# --- Jensen-Shannon divergence drift (quantized-log integer form) ----------------
+
+
+def _jsd_oracle() -> str:
+    from app_insights_generator_spark.queries.llm_queries import _IDF_VALUES_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT {_x.sql_cents('o_totalprice')} AS cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    mx AS (SELECT MAX(cents) AS mc FROM t),
+    b AS (
+      SELECT LEAST(cents * 10 // (mc + 1), 9) AS bin,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM t, mx GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+          FROM b),
+    nll(bucket, nll_ppm) AS (VALUES {_IDF_VALUES_SQL})
+    SELECT CAST(bin AS BIGINT) AS bin, ca, cb,
+           CAST(CASE WHEN ca = 0 THEN 0 ELSE
+             (ca * 1000000 // na)
+             * (693147 - pn.nll_ppm) END AS BIGINT) AS p_term_ppm2,
+           CAST(CASE WHEN cb = 0 THEN 0 ELSE
+             (cb * 1000000 // nb)
+             * (693147 - qn.nll_ppm) END AS BIGINT) AS q_term_ppm2
+    FROM b, n
+    JOIN nll pn ON pn.bucket = (ca * nb * 1024) // (ca * nb + cb * na)
+    JOIN nll qn ON qn.bucket = (cb * na * 1024) // (ca * nb + cb * na)
+    """
+
+
+@register("jsd_drift_orders_price", _jsd_oracle())
+def jsd_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence drift between the even/odd order-key
+    halves of o_totalprice — the SYMMETRIC, bounded (<= ln 2) member
+    completing the drift family (chi²/KS/PSI/MW-U/CUSUM/Benford): unlike
+    PSI it never blows up on empty bins, so it is the alert metric of
+    choice for long-tailed score distributions.
+
+    Exactness: the mixture ratio is cross-multiplied into pure integers
+    — p/(2m) = ca*nb / (ca*nb + cb*na) exactly — then snapped to 1/1024
+    buckets and mapped through the precomputed _IDF_PPM_1024 log table
+    (entry b = -ln((b+1)/1025) in ppm), so each per-bin KL term is
+    p_ppm * (LN2_PPM - nll_ppm): one integer product, no ln in either
+    engine (the psi_drift/ADVICE-r07 class, solved the tfidf way). The
+    reader sums both term columns over ten rows and divides by 2e12 for
+    JSD in nats; the 0*ln0=0 and q=0 (term = p*ln2 exactly, bucket 1024
+    hits the table's zero entry) conventions fall out of the integer
+    arithmetic. int64 headroom: terms <= 1e6 * 7e6 = 7e12; bucket
+    numerators <= ca*nb*1024 ~ 6e15 at sf1 (documented cliff ~sf100,
+    rescale counts to thousands there — the HHI convention).
+
+    Scale: one map-side tag + one 10-group aggregate; max() and the
+    totals are 1-row broadcasts; the log table joins broadcast.
+
+    Reference parity: no counterpart; §2.4 DQ/drift extension.
+    Registered on ROTATION_NEXT (round-9 window)."""
+    from app_insights_generator_spark.queries.llm_queries import _IDF_PPM_1024
+
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.expr(_x.sql_cents("o_totalprice")).alias("cents"),
+        F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END").alias("is_a"),
+    )
+    mx = t.agg(F.max("cents").alias("mc"))
+    b = (
+        t.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("LEAST(cents * 10 DIV (mc + 1), 9)").alias("bin"))
+        .agg(
+            F.sum("is_a").cast("long").alias("ca"),
+            F.sum(F.expr("1 - is_a")).cast("long").alias("cb"),
+        )
+    )
+    n = b.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    nll = spark.createDataFrame(
+        list(enumerate(_IDF_PPM_1024)), "bucket long, nll_ppm long"
+    )
+    pn = nll.select(F.col("bucket").alias("pb"), F.col("nll_ppm").alias("p_nll"))
+    qn = nll.select(F.col("bucket").alias("qb"), F.col("nll_ppm").alias("q_nll"))
+    return (
+        b.crossJoin(F.broadcast(n))
+        .withColumn("pb", F.expr("ca * nb * 1024 DIV (ca * nb + cb * na)"))
+        .withColumn("qb", F.expr("cb * na * 1024 DIV (ca * nb + cb * na)"))
+        .join(F.broadcast(pn), "pb")
+        .join(F.broadcast(qn), "qb")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "ca",
+            "cb",
+            F.expr(
+                "CAST(CASE WHEN ca = 0 THEN 0 ELSE"
+                " (ca * 1000000 DIV na) * (693147 - p_nll) END AS LONG)"
+            ).alias("p_term_ppm2"),
+            F.expr(
+                "CAST(CASE WHEN cb = 0 THEN 0 ELSE"
+                " (cb * 1000000 DIV nb) * (693147 - q_nll) END AS LONG)"
+            ).alias("q_term_ppm2"),
+        )
+    )

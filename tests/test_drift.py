@@ -173,3 +173,29 @@ def test_spearman_matches_naive(spark, sf_dir):
     import math
 
     assert abs(got.spearman_rho - sxy / math.sqrt(sxx * syy)) < 1e-12
+
+
+def test_jsd_terms_reconstruct_bounded_divergence(spark, sf_dir):
+    """Reader-side reconstruction: JSD = (sum p_terms + q_terms)/2e12 must
+    be within the 1/1024 quantization error of the float JSD from the
+    same counts, and inside [0, ln 2]."""
+    import math
+
+    from app_insights_generator_spark.queries.relational_queries import (
+        jsd_drift_orders_price,
+    )
+
+    rows = jsd_drift_orders_price(spark, sf_dir).collect()
+    na = sum(r.ca for r in rows)
+    nb = sum(r.cb for r in rows)
+    got = (sum(r.p_term_ppm2 for r in rows) + sum(r.q_term_ppm2 for r in rows)) / 2e12
+    truth = 0.0
+    for r in rows:
+        p, q = r.ca / na, r.cb / nb
+        m = (p + q) / 2
+        if p > 0:
+            truth += 0.5 * p * math.log(p / m)
+        if q > 0:
+            truth += 0.5 * q * math.log(q / m)
+    assert 0 <= got <= math.log(2) + 1e-9, got
+    assert abs(got - truth) < 2e-3, (got, truth)
