@@ -129,6 +129,7 @@ ROTATION_NEXT: list[str] = [
     "knn_label_accuracy_embeddings",
     "pack_next_fit_sql_documents",
     "jsd_drift_orders_price",
+    "dedup_rate_by_source_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

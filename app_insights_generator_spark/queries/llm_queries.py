@@ -4872,3 +4872,66 @@ def knn_label_accuracy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
             " DIV COUNT(1) AS LONG)"
         ).alias("accuracy_bp"),
     )
+
+
+# --- Near-dup rate per source (curation dashboard) -------------------------------
+
+
+@register(
+    "dedup_rate_by_source_documents",
+    f"""
+    WITH {_JACCARD_ALL_PAIRS_CTES},
+    dup AS (
+      SELECT DISTINCT id_b AS doc_id FROM jac WHERE jaccard >= 0.5
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dups,
+           CAST(COUNT(dup.doc_id) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+    FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate PER SOURCE — the curation-dashboard staple
+    (which ingest feeds are flooding the corpus with copies; the number
+    that decides source-level mixture reweighting before token budgets
+    are spent): a document counts as a dup if the MinHash+LSH+verify
+    pipeline (operators/dedup.py near_dedup_minhash, threshold 0.5 —
+    the dedup_minhash_documents machinery, whose pair set equals the
+    exact truth set on this corpus, equality argument in that
+    docstring) flags it with a smaller-id near neighbor. Exact integer
+    counts + basis points per source.
+
+    Scale: the pair pipeline is the gated banded-LSH path; the rollup
+    adds one broadcast join of the (tiny) dup-id set onto the doc->
+    source projection and a source-grain aggregate.
+
+    Oracle-tier note: the ORACLE (not the operator) is the O(n^2) exact
+    all-pairs Jaccard — at sf0.1 that is 12.5M list-intersect pairs and
+    DuckDB did not finish in 45 min (measured round 8), so deep local
+    checks for this query run at the sf0.01 gate tier (11s, the tier
+    the driver samples), the dedup_minhash_documents precedent; the
+    Spark side is sanity-run at sf0.1 (5,000 docs, 244 dups, bp
+    bounds) without the cross-engine compare.
+
+    Reference parity: no counterpart; §2.3 curation-report extension.
+    Registered on ROTATION_NEXT (round-9 window)."""
+    docs = _docs(spark, sf_dir)
+    dup = (
+        D.near_dedup_minhash(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(dup), docs.doc_id == F.col("dup_id"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dup_id").cast("long").alias("n_dups"),
+            F.expr("CAST(COUNT(dup_id) * 10000 DIV COUNT(1) AS LONG)").alias(
+                "dup_bp"
+            ),
+        )
+    )

@@ -535,3 +535,26 @@ def test_reliable_checkpoint_mode_output_equality(spark, tmp_path, corpus):
     import os
 
     assert os.path.isdir(ckpt) and os.listdir(ckpt), "reliable dir unused"
+
+
+def test_dedup_rate_by_source_conservation(spark, sf_dir):
+    """Per-source dup rollup must conserve: n_docs sums to the corpus,
+    n_dups equals the distinct flagged-id count from the underlying
+    near-dup pipeline, and dup_bp is the exact integer ratio."""
+    from app_insights_generator_spark.queries.llm_queries import (
+        dedup_rate_by_source_documents,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup_rate_by_source_documents(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    dup_ids = {
+        r.id_b
+        for r in D.near_dedup_minhash(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert sum(r.n_dups for r in rows) == len(dup_ids)
+    for r in rows:
+        assert r.dup_bp == r.n_dups * 10000 // r.n_docs
