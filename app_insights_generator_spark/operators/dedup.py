@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from app_insights_generator_spark.operators.checkpointing import pin as _shared_pin
 from app_insights_generator_spark.operators.text import (
     normalized_text,
     shingles_from_tokens,
@@ -40,11 +41,13 @@ def _pin(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     ``setCheckpointDir`` + ``.checkpoint(eager=True)``, which survives
     executor loss — the same reliable-checkpoint story the sweep operators
     use (operators/sweep.py ``checkpoint_dir``; SCALE.md). Output is
-    identical either way (pinned in tests/test_dedup.py)."""
-    if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    identical either way (pinned in tests/test_dedup.py).
+
+    Since round 9 this delegates to the shared
+    :func:`operators.checkpointing.pin` (the graph fixpoints and k-means
+    take the same ``checkpoint_dir`` now); the set-dir-once + warn-on-
+    conflict + cleanup story lives in that module's docstring."""
+    return _shared_pin(df, checkpoint_dir)
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:

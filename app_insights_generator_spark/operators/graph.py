@@ -7,7 +7,12 @@ additions, starting with PageRank.
 Design notes (same iterative-Spark discipline as connected_components):
 - each iteration is ONE shuffle: edges join ranks on src (map-side when
   the rank table is broadcastable), then sum per dst;
-- ``localCheckpoint`` per round truncates lineage so the plan stays flat;
+- lineage is pinned per round so the plan stays flat; every algorithm
+  takes ``checkpoint_dir`` (round 9, mirroring operators/dedup.py): the
+  default ``localCheckpoint`` pin lives in executor storage and cannot
+  survive executor loss (dynamic-allocation decommission included), so a
+  real cluster passes a reliable-storage path and the pin switches to
+  ``.checkpoint`` — see operators/checkpointing.py;
 - NOTHING is collected per round — the loop count is fixed, so there is
   no driver-side convergence state at all.
 
@@ -29,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from app_insights_generator_spark.operators.checkpointing import pin
+
 
 def pagerank(
     edges: DataFrame,
@@ -37,6 +44,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> [node, rank]
     with rank in integer micro-units of ``scale`` total mass.
@@ -48,18 +56,21 @@ def pagerank(
     Every step is integer arithmetic, so the 5-iteration unrolled SQL twin
     (see pagerank_nation_trade's oracle) matches bit-for-bit.
     """
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     # ONE materialization of the edge derivation (often a multi-table
     # join upstream): nodes, outdeg, and the per-iteration join all read
     # this checkpoint instead of re-running the derivation (3+ executions
     # measured on the nation-trade graph without it).
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
-    ).localCheckpoint()
+    ).transform(_ck)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     n = nodes.count()
     if n == 0:
@@ -93,7 +104,7 @@ def pagerank(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_ck)
         )
     return ranks
 
@@ -104,6 +115,7 @@ def bfs_depths(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Unweighted single/multi-source BFS -> [node, depth] for every node
     reachable within ``max_iter`` hops (depth = minimum hop count).
@@ -123,6 +135,9 @@ def bfs_depths(
 
     ``sources`` must be a single-column DataFrame named ``node``.
     """
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     if max_iter < 0:
         raise ValueError(f"bfs_depths: max_iter must be >= 0, got {max_iter}")
     # NULL endpoints are dropped up front: a NULL node would defeat the
@@ -131,11 +146,11 @@ def bfs_depths(
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
-        .localCheckpoint()
+        .transform(_ck)
     )
     dist = sources.select(
         F.col("node"), F.lit(0).cast("int").alias("depth")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_ck)
     frontier = dist
     for i in range(1, max_iter + 1):
         candidates = (
@@ -143,16 +158,19 @@ def bfs_depths(
             .select(F.col("_dst").alias("node"), F.lit(i).cast("int").alias("depth"))
             .distinct()
         )
-        fresh = candidates.join(dist, "node", "left_anti").localCheckpoint()
+        fresh = candidates.join(dist, "node", "left_anti").transform(_ck)
         if fresh.isEmpty():
             break
-        dist = dist.unionByName(fresh).localCheckpoint()
+        dist = dist.unionByName(fresh).transform(_ck)
         frontier = fresh
     return dist
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts -> [node, n_triangles]
     (nodes in no triangle are omitted).
@@ -176,6 +194,9 @@ def triangle_counts(
     (the triangle SET is a graph invariant), so the SQL oracle may use
     the simple lexicographic formulation and must match bit-for-bit.
     """
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     und = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -183,7 +204,7 @@ def triangle_counts(
             F.greatest(F.col(src), F.col(dst)).alias("_b"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     deg = (
         und.select(F.col("_a").alias("node"))
@@ -201,7 +222,7 @@ def triangle_counts(
     directed = d.select(
         F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("u"),
         F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("v"),
-    ).localCheckpoint()
+    ).transform(_ck)
     wedges = (
         directed.alias("e1")
         .join(directed.alias("e2"), F.col("e1.v") == F.col("e2.u"))
@@ -230,6 +251,7 @@ def sssp(
     dst: str = "dst",
     weight: str = "w",
     max_iter: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Single/multi-source shortest paths with non-negative INTEGER edge
     weights -> [node, cost]: minimum total weight over paths of at most
@@ -248,6 +270,9 @@ def sssp(
     NULL endpoints/weights are dropped up front (a NULL node defeats
     min-merge grouping the same way it defeats BFS's anti-join).
     """
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     if max_iter < 0:
         raise ValueError(f"sssp: max_iter must be >= 0, got {max_iter}")
     e = (
@@ -261,12 +286,12 @@ def sssp(
             & F.col("_dst").isNotNull()
             & F.col("_w").isNotNull()
         )
-        .localCheckpoint()
+        .transform(_ck)
     )
     dist = (
         sources.select(F.col("node"), F.lit(0).cast("long").alias("cost"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     for _ in range(max_iter):
         relaxed = (
@@ -280,7 +305,7 @@ def sssp(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
+            .transform(_ck)
         )
     return dist
 
@@ -291,6 +316,7 @@ def kcore_peel(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling -> surviving [node, deg]: symmetrize
     the edge list, then ``rounds`` times drop every node whose current
@@ -311,6 +337,9 @@ def kcore_peel(
 
     Cite: reference has no graph surface (main.py); SURVEY §2.5/§2.6
     engine extension."""
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -319,7 +348,7 @@ def kcore_peel(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     cur = und
     for _ in range(rounds):
@@ -333,7 +362,7 @@ def kcore_peel(
             cur.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(_ck)
         )
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -345,6 +374,7 @@ def label_propagation(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (LPA, Raghavan et al. 2007) ->
     [node, label]: every node starts as its own label; each round every
@@ -360,11 +390,14 @@ def label_propagation(
     The frequency table is bounded by the round's (node, distinct
     neighbor label) pairs <= edge count — never quadratic.
     """
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     und = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     labels = (
         und.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -380,7 +413,7 @@ def label_propagation(
             freq.withColumn("rn", F.row_number().over(pick))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
+            .transform(_ck)
         )
     return labels
 
@@ -426,6 +459,7 @@ def connected_components_star(
     id_col: str,
     max_rounds: int = 20,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -447,14 +481,17 @@ def connected_components_star(
     anti-joins that early-out via limit(1), one scalar pair to the
     driver per round); localCheckpoint truncates lineage per round.
     """
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     for rounds in range(1, max_rounds + 1):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _small_star(_large_star(e)).transform(_ck)
         grew = new_e.exceptAll(e).limit(1).count()
         shrank = e.exceptAll(new_e).limit(1).count()
         e = new_e
@@ -483,6 +520,7 @@ def hits(
     scale: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) -> [node, hub, authority] in integer
     fixed-point: authority(v) = Σ hub(u) over in-edges, hub(u) =
@@ -495,12 +533,15 @@ def hits(
     The mutually-recursive twin of pagerank's single-score recurrence —
     together they cover both classic link-analysis formulations.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(_ck)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     n = nodes.count()
     if n == 0:
@@ -518,13 +559,13 @@ def hits(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )
-        auth = _renorm(nodes, raw_auth, scale)
+        auth = _renorm(nodes, raw_auth, scale, checkpoint_dir)
         raw_hub = (
             e.join(auth.withColumnRenamed("node", "dst").withColumnRenamed("s", "a"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
         )
-        hub = _renorm(nodes, raw_hub, scale)
+        hub = _renorm(nodes, raw_hub, scale, checkpoint_dir)
     return (
         nodes.join(hub.withColumnRenamed("s", "hub"), "node", "left")
         .join(auth.withColumnRenamed("s", "authority"), "node", "left")
@@ -536,11 +577,16 @@ def hits(
     )
 
 
-def _renorm(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
+def _renorm(
+    nodes: DataFrame,
+    raw: DataFrame,
+    scale: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Integer renormalization to total mass ``scale``: s = raw * scale
     DIV Σraw (Σraw > 0 whenever the graph has any edge)."""
     total = raw.agg(F.sum("raw").alias("t"))
-    return (
+    return pin(
         nodes.join(raw, "node", "left")
         .crossJoin(F.broadcast(total))
         .select(
@@ -548,8 +594,8 @@ def _renorm(nodes: DataFrame, raw: DataFrame, scale: int) -> DataFrame:
             F.expr("coalesce(raw, 0L) * CAST(%d AS BIGINT) DIV t" % scale)
             .cast("long")
             .alias("s"),
-        )
-        .localCheckpoint()
+        ),
+        checkpoint_dir,
     )
 
 
@@ -561,6 +607,7 @@ def personalized_pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart) -> [node, rank]:
     identical recurrence to :func:`pagerank` except ALL teleport mass
@@ -579,14 +626,17 @@ def personalized_pagerank(
     unrolled-CTE SQL twin; same one-shuffle-per-round plan with
     localCheckpoint lineage truncation. Nodes the walk never reaches
     hold rank 0 (emitted, not dropped — the gate witnesses them)."""
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
-    ).localCheckpoint()
+    ).transform(_ck)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_ck)
     )
     if source is None:
         source = edges.agg(F.min(src)).first()[0]
@@ -625,6 +675,6 @@ def personalized_pagerank(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_ck)
         )
     return ranks

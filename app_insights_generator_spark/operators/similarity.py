@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from app_insights_generator_spark.operators.checkpointing import pin
+
 
 def dot(a, b):
     """Sequential-fold dot product of two array<numeric> columns (exactly
@@ -470,6 +472,7 @@ def kmeans_parallel_init(
     rounds: int = 2,
     scale: int = 1_000_000,
     offset: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k-means|| scalable seeding (Bahmani et al., VLDB 2012) ->
     [seed_rank, vid, weight, phi0, phi_sel].
@@ -500,13 +503,21 @@ def kmeans_parallel_init(
 
     Reference parity: no counterpart; cited file is public Spark's own
     MLlib initializer concept (initMode="k-means||"), re-expressed
-    relationally."""
-    e = quantized_long_form(embs, id_col, vec_col, scale, offset).localCheckpoint()
+    relationally.
+
+    ``checkpoint_dir``: per-round pins default to localCheckpoint
+    (executor-storage, lost on executor loss); pass a reliable-storage
+    path on a real cluster — see operators/checkpointing.py."""
+
+    def _ck(d: DataFrame) -> DataFrame:
+        return pin(d, checkpoint_dir)
+
+    e = quantized_long_form(embs, id_col, vec_col, scale, offset).transform(_ck)
     first = e.groupBy().agg(F.min("vid").alias("vid"))
     centers = (
         e.join(F.broadcast(first), "vid")
         .select(F.col("vid").alias("cid"), "d", "v")
-        .localCheckpoint()
+        .transform(_ck)
     )
     phi0 = None
     two48 = 281474976710656.0
@@ -542,7 +553,7 @@ def kmeans_parallel_init(
         )
         centers = centers.unionByName(
             e.join(sel, "vid").select(F.col("vid").alias("cid"), "d", "v")
-        ).localCheckpoint()
+        ).transform(_ck)
     assign = assign_to_centroids(e, centers)
     w = Window.orderBy(F.desc("weight"), "cid")
     seeds = (
@@ -577,6 +588,7 @@ def kmeans_fixed_point(
     scale: int = 1_000_000,
     offset: int = 1_000_000,
     checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's k-means in INTEGER fixed-point ->
     (assignments [vid, cid, dist], centroids [cid, d, v]).
@@ -596,8 +608,11 @@ def kmeans_fixed_point(
 
     Init: the k lowest-id vectors (deterministic, seedless). Empty
     clusters drop out of the centroid table (both engines identically).
-    ``checkpoint=False`` skips the per-round localCheckpoint lineage
-    truncation so plan guards can inspect the full iteration DAG.
+    ``checkpoint=False`` skips the per-round lineage pin so plan guards
+    can inspect the full iteration DAG; with ``checkpoint=True`` the pin
+    defaults to localCheckpoint (executor storage — unrecoverable on
+    executor loss) and ``checkpoint_dir`` switches it to a reliable-
+    storage ``.checkpoint`` (operators/checkpointing.py).
 
     Scale: per iteration one broadcast join producing n*k*dim partial
     products -> (vid,cid) partial-agg groupBy -> n*k rows -> window by
@@ -610,7 +625,7 @@ def kmeans_fixed_point(
     scale (the gate keeps inertia per-cluster at ~1e17).
     """
     e = quantized_long_form(embs, id_col, vec_col, scale, offset)
-    e = e.localCheckpoint() if checkpoint else e
+    e = pin(e, checkpoint_dir) if checkpoint else e
 
     init = (
         e.select("vid")
@@ -624,7 +639,7 @@ def kmeans_fixed_point(
     )
     cent = e.join(init, "vid").select("cid", "d", "v")
     if checkpoint:
-        cent = cent.localCheckpoint()
+        cent = pin(cent, checkpoint_dir)
 
     assign = None
     for _ in range(n_iter):
@@ -652,7 +667,7 @@ def kmeans_fixed_point(
             .agg(F.expr("CAST(sum(v) DIV count(1) AS LONG)").alias("v"))
         )
         if checkpoint:
-            cent = cent.localCheckpoint()
+            cent = pin(cent, checkpoint_dir)
     return assign, cent
 
 
@@ -720,8 +735,13 @@ def semdedup_flags(
     re-risked."""
     first = df.select(vec_col).first()
     if first is None:
+        # Empty path must agree with the non-empty path's schema: derive
+        # the id type from the input instead of hardcoding long (ADVICE
+        # r08 — a string doc-id corpus would otherwise change schema
+        # exactly when it became empty).
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster int, is_dup boolean"
+            [], f"{id_col} {id_type}, cluster int, is_dup boolean"
         )
     dim = len(first[0])
     if sign_dims is None:

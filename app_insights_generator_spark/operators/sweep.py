@@ -71,11 +71,14 @@ def _pin_result(result: DataFrame, checkpoint_dir: str | None) -> DataFrame:
 
     Pass ``checkpoint_dir`` (reliable storage — HDFS/S3) for cluster
     deployments: the result is checkpointed to durable storage instead,
-    surviving any executor loss at the cost of one small write+read."""
-    if checkpoint_dir:
-        result.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        return result.checkpoint(eager=True)
-    return result.localCheckpoint(eager=True)
+    surviving any executor loss at the cost of one small write+read.
+
+    Delegates to the shared :func:`operators.checkpointing.pin` (round 9)
+    so the session checkpoint dir is set once and conflicts warn instead
+    of silently re-homing other operators' reliable checkpoints."""
+    from app_insights_generator_spark.operators.checkpointing import pin
+
+    return pin(result, checkpoint_dir or None)
 
 
 def sweep_loop(

@@ -43,84 +43,23 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02-r07's rows are exactly positions 0-49 of this dict).
+# CORRECTNESS_r02-r08's rows are exactly positions 0-49 of this dict).
 #
-# Round-8 rotation: (a) the 22 never-driver-sampled round-7 post-sweep
-# additions (== SURVEY.md SS2.7's ROUND-8 ROTATION CHECKLIST, verified
-# name-for-name against every CORRECTNESS_r*.json); all carry local
-# oracle-green at sf0.01 AND sf0.1 plus a 3-fresh-session zero-flip sweep
-# (GATE_SWEEP_r07b). (b) 28 r-green padding rows, preferring queries whose
-# code paths round 8 touches: the dedup family (checkpoint_dir plumbing on
-# the four eager localCheckpoint sites, dedup.py), the similarity family
-# (SemDeDup scale-aware cluster count, similarity.py), the insights-sweep
-# core (the 14-column lattice measurement, insights_queries.py), the two
-# oldest driver samples (r01: cosine_topk/embedding_norms), and a
-# streaming/core-operator tail for cross-file spread.
+# Round-9 rotation: (a) the 9 never-driver-sampled round-8 post-sweep
+# additions (the ROUND-9 ROTATION CHECKLIST — the only registry entries
+# without a driver row after the r08 window; all carry local oracle-green
+# at sf0.01 (+sf0.1 where the oracle is tractable) plus the 3-fresh-
+# session zero-flip sweep GATE_SWEEP_r08b). (b) 41 r-green padding rows,
+# preferring queries whose code paths round 9 touches: the graph family
+# (checkpoint_dir plumbing across all 10 algorithms, graph.py), the
+# kmeans/similarity family (checkpoint_dir + the semdedup empty-path
+# schema fix, similarity.py), the dedup family (shared pin helper,
+# operators/checkpointing.py), trainprep (the cteRecursionLevelLimit
+# restore), llm_queries (the dedup_rate broadcast fix lands in the same
+# file as tfidf/bigram scoring), the insights-sweep core (the wide-sweep
+# calibrated-number watch item, VERDICT r08 #3), and a core spread tail.
 _GATE_PRIORITY = [
-    # (a) the 22 round-8 rotation queries (SURVEY SS2.7 checklist order)
-    "winnowing_fingerprints_documents",
-    "ngram_novelty_documents",
-    "semdedup_embeddings",
-    "leakage_safe_split_documents",
-    "containment_join_documents",
-    "split_doc_overlap_documents",
-    "cusum_changepoint_orders",
-    "ppr_nation_trade",
-    "psi_drift_orders_price",
-    "benford_first_digit_orders",
-    "matryoshka_recall_embeddings",
-    "discrete_hazard_events",
-    "tfidf_neighbors_documents",
-    "intersectall_nations_halves",
-    "mannwhitney_drift_orders_price",
-    "spearman_qty_price_lineitem",
-    "rfm_segments_customers",
-    "abc_classification_parts",
-    "zipf_rank_frequency_documents",
-    "clustering_coefficient_nation_trade",
-    "hhi_supplier_concentration",
-    "cross_split_contamination_documents",
-    # (b1) dedup family -- re-confirmation after checkpoint_dir plumbing
-    "dedup_exact_documents",
-    "ngram_jaccard_adjacent_docs",
-    "dedup_minhash_documents",
-    "dedup_components_documents",
-    "dedup_simhash_documents",
-    "dedup_canonical_by_quality",
-    "jaccard_join_prefix_documents",
-    "curation_pipeline_documents",
-    # (b2) similarity family -- re-confirmation after SemDeDup rework
-    "similarity_join_lsh_embeddings",
-    "ann_topk_ivf_embeddings",
-    "oracle_exact_cosine_pairs",
-    "kmeans_clusters_embeddings",
-    "cosine_topk_embeddings",
-    "embedding_norms",
-    # (b3) insights-sweep core -- the file the 14-wide lattice work touches
-    "insights_sweep_lineitem",
-    "insights_sweep_lineitem_loop",
-    "insights_sweep_lineitem_wide",
-    "insights_sweep_lineitem_wide_cube",
-    "insights_sweep_orders",
-    "insights_single_combo_orders",
-    # (b4) streaming / core-operator spread
-    "tumbling_window_events",
-    "session_window_events",
-    "asof_join_purchase_signup",
-    "cdc_merge_user_profiles",
-    "variant_props_events",
-    "argmax_top_customer_per_nation",
-    "bucketize_part",
-    "cast_range_filter_orders",
-]
-
-# ROUND-9 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
-# lived in SURVEY.md prose, the bookkeeping class that silently dropped
-# multimodal_gif_codec_features in r06). Every query registered after this
-# round's definitive gate sweep MUST be appended here the moment it is
-# registered; tests/test_registry.py pins "never-driver-sampled implies
-# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
-ROTATION_NEXT: list[str] = [
+    # (a) the 9 round-9 rotation queries (r08 ROTATION_NEXT order)
     "approx_ndv_sweep_audit_lineitem",
     "pack_next_fit_documents",
     "heaps_vocab_growth_documents",
@@ -130,7 +69,63 @@ ROTATION_NEXT: list[str] = [
     "pack_next_fit_sql_documents",
     "jsd_drift_orders_price",
     "dedup_rate_by_source_documents",
+    # (b1) graph family -- re-confirmation after checkpoint_dir plumbing
+    "pagerank_nation_trade",
+    "bfs_depth_nation_trade",
+    "triangle_count_nation_trade",
+    "sssp_nation_trade",
+    "kcore_documents_graph",
+    "label_propagation_nation_trade",
+    "hits_nation_trade",
+    "ppr_nation_trade",
+    "clustering_coefficient_nation_trade",
+    "dedup_components_star_documents",
+    # (b2) kmeans/similarity family -- checkpoint_dir + semdedup empty path
+    "kmeans_clusters_embeddings",
+    "kmeans_parallel_init_embeddings",
+    "semdedup_embeddings",
+    "ann_topk_ivf_embeddings",
+    "ann_recall_ivf_embeddings",
+    "pq_codes_embeddings",
+    "pq_adc_search_embeddings",
+    "similarity_join_lsh_embeddings",
+    "oracle_exact_cosine_pairs",
+    "matryoshka_recall_embeddings",
+    # (b3) dedup family -- now on the shared pin helper
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "dedup_components_documents",
+    "dedup_simhash_documents",
+    "jaccard_join_prefix_documents",
+    "dedup_incremental_minhash_documents",
+    "containment_join_documents",
+    "winnowing_fingerprints_documents",
+    "curation_pipeline_documents",
+    # (b4) trainprep -- cteRecursionLevelLimit scope fix lives here
+    "pack_documents_token_budget",
+    "chunk_spans_documents",
+    "leakage_safe_split_documents",
+    # (b5) llm_queries co-residents of the dedup_rate fix
+    "tfidf_neighbors_documents",
+    "lm_quality_bigram_documents",
+    # (b6) insights-sweep core -- the calibrated wide-sweep watch item
+    "insights_sweep_lineitem",
+    "insights_sweep_lineitem_loop",
+    "insights_sweep_lineitem_wide",
+    "insights_sweep_lineitem_wide_lowcard",
+    "insights_sweep_orders",
+    # (b7) core spread
+    "q1_pricing_summary",
+    "tumbling_window_events",
 ]
+
+# ROUND-10 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
+# lived in SURVEY.md prose, the bookkeeping class that silently dropped
+# multimodal_gif_codec_features in r06). Every query registered after this
+# round's definitive gate sweep MUST be appended here the moment it is
+# registered; tests/test_registry.py pins "never-driver-sampled implies
+# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
+ROTATION_NEXT: list[str] = []
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"

@@ -4904,8 +4904,14 @@ def dedup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFram
     counts + basis points per source.
 
     Scale: the pair pipeline is the gated banded-LSH path; the rollup
-    adds one broadcast join of the (tiny) dup-id set onto the doc->
-    source projection and a source-grain aggregate.
+    adds one left join of the dup-id set onto the doc->source projection
+    and a source-grain aggregate. The dup-id side is O(dup_rate x
+    corpus) — at 100 TB with a realistic 10-50% near-dup rate that is
+    billions of ids, so the join is deliberately NOT broadcast-hinted
+    (VERDICT r08 #2: a forced broadcast ignores
+    autoBroadcastJoinThreshold and OOMs the driver exactly when the
+    dashboard matters most); AQE sizes it at runtime and will still
+    pick a broadcast when the set really is small.
 
     Oracle-tier note: the ORACLE (not the operator) is the O(n^2) exact
     all-pairs Jaccard — at sf0.1 that is 12.5M list-intersect pairs and
@@ -4925,7 +4931,7 @@ def dedup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         docs.select("doc_id", "source")
-        .join(F.broadcast(dup), docs.doc_id == F.col("dup_id"), "left")
+        .join(dup, docs.doc_id == F.col("dup_id"), "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

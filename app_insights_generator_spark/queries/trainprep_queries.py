@@ -1239,6 +1239,12 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug and a Spark recursion bug cannot cancel).
 
     Registered on ROTATION_NEXT (round-9 window; post-sweep addition)."""
+    # Raise the recursion-depth limit for THIS plan only, then restore the
+    # session default (ADVICE r08: spark.conf.set as a plan-build side
+    # effect leaked the raised limit to every later query in the session).
+    # The limit is consulted at planning time, so set-around-spark.sql()
+    # scopes it correctly; restoration is try/finally'd against plan errors.
+    prior = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", 200)
     # Materialize the tokenized+ranked base ONCE: as a plain CTE it would
     # be re-evaluated (tokenization + window) at every recursion level.
@@ -1252,24 +1258,33 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     ).localCheckpoint(eager=True)
     base.createOrReplaceTempView("_nf_base")
-    return spark.sql(
-        f"""
-        WITH RECURSIVE base AS (SELECT * FROM _nf_base),
-        pack(shard, rn, n, win, fill) AS (
-          SELECT shard, rn, n, CAST(0 AS BIGINT), n FROM base WHERE rn = 1
-          UNION ALL
-          SELECT d.shard, d.rn, d.n,
-                 CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.win
-                      ELSE p.win + 1 END,
-                 CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.fill + d.n
-                      ELSE d.n END
-          FROM pack p JOIN base d ON d.shard = p.shard AND d.rn = p.rn + 1
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE base AS (SELECT * FROM _nf_base),
+            pack(shard, rn, n, win, fill) AS (
+              SELECT shard, rn, n, CAST(0 AS BIGINT), n FROM base WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.n,
+                     CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.win
+                          ELSE p.win + 1 END,
+                     CASE WHEN p.fill + d.n <= {_PACK_BUDGET} THEN p.fill + d.n
+                          ELSE d.n END
+              FROM pack p JOIN base d ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT shard, win,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS fill_tokens,
+                   CAST(GREATEST({_PACK_BUDGET} - SUM(n), 0) AS BIGINT)
+                     AS waste_tokens
+            FROM pack GROUP BY shard, win
+            """
         )
-        SELECT shard, win,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n) AS BIGINT) AS fill_tokens,
-               CAST(GREATEST({_PACK_BUDGET} - SUM(n), 0) AS BIGINT)
-                 AS waste_tokens
-        FROM pack GROUP BY shard, win
-        """
-    )
+    finally:
+        # Depth here is 25 (one level per document in a 25-doc shard), so
+        # the restored session default of 100 still covers execution even
+        # though the recursion runs lazily after this returns.
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)

@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints TWO JSON lines (VERDICT r08 #1: round 8's single line outgrew the
+driver's ~2 KB stdout-tail capture and BENCH_r08 recorded parsed:null):
+  1. a DETAIL line {"detail": ..., "calibration": ..., "queries_warm3":
+     ..., "queries_calibrated": ...} — probe runs, per-query warm-third
+     (the adjudication instrument VERDICT r08 #3 asked for), calibrated
+     times; arbitrarily long, NOT for the driver;
+  2. LAST, the compact driver-facing line {"metric", "value", "unit",
+     "sf", "machine_factor", "queries"} kept under ~1.5 KB (2-decimal
+     medians) so the tail capture always contains it whole.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side result transfer). The headline is the 63-set lineitem insight
@@ -121,6 +127,9 @@ def main() -> None:
     ).count().write.format("noop").mode("overwrite").save()
 
     # Calibration probe: 3 runs, warm-third, against the pinned reference.
+    # The factor is meaningful ONLY at the reference's sf (0.1) — at any
+    # other sf it is emitted as null so cross-round consumers can't ingest
+    # an invalid calibration (ADVICE r08).
     probe_runs = []
     for _ in range(3):
         t0 = time.time()
@@ -129,9 +138,10 @@ def main() -> None:
         ).save()
         probe_runs.append(round(time.time() - t0, 3))
     probe = probe_runs[-1]
-    factor = round(probe / REF_PROBE_SEC, 3)
+    factor = round(probe / REF_PROBE_SEC, 3) if float(sf) == 0.1 else None
 
     timings: dict[str, float] = {}
+    warm3: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name) or _EXTRA[name]
         runs = []
@@ -140,30 +150,43 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        warm3[name] = round(runs[-1], 3)
 
     total = round(sum(timings.values()), 3)
-    calibrated = {k: round(v / factor, 3) for k, v in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite-wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "calibration": {
-                    "probe_query": PROBE_QUERY,
-                    "probe_runs_sec": probe_runs,
-                    "probe_warm_third_sec": probe,
-                    "ref_probe_sec": REF_PROBE_SEC,
-                    "ref_sf": 0.1,  # factor is meaningful only when sf matches
-                    "machine_factor": factor,
-                },
-                "value_calibrated": round(sum(calibrated.values()), 3),
-                "queries_calibrated": calibrated,
-            }
-        )
+    calibrated = (
+        {k: round(v / factor, 3) for k, v in timings.items()} if factor else None
     )
+    detail = {
+        "detail": "bench-full",
+        "calibration": {
+            "probe_query": PROBE_QUERY,
+            "probe_runs_sec": probe_runs,
+            "probe_warm_third_sec": probe,
+            "ref_probe_sec": REF_PROBE_SEC,
+            "ref_sf": 0.1,
+            "machine_factor": factor,
+        },
+        "queries_warm3": warm3,
+        "value_calibrated": (
+            round(sum(calibrated.values()), 3) if calibrated else None
+        ),
+        "queries_calibrated": calibrated,
+    }
+    compact = {
+        "metric": "headline-suite-wall-clock",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "machine_factor": factor,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    print(json.dumps(detail))
+    # The driver-facing line goes LAST and must stay under the ~2 KB
+    # stdout-tail capture; assert so a future query addition fails loudly
+    # here instead of silently producing an unparseable BENCH artifact.
+    line = json.dumps(compact)
+    assert len(line) <= 1536, f"driver-facing bench line {len(line)}B > 1536B"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -558,3 +558,23 @@ def test_dedup_rate_by_source_conservation(spark, sf_dir):
     assert sum(r.n_dups for r in rows) == len(dup_ids)
     for r in rows:
         assert r.dup_bp == r.n_dups * 10000 // r.n_docs
+
+
+def test_lsh_recall_is_full_at_gate_tier(spark):
+    """ADVICE r08: dedup_rate_by_source_documents' oracle is exact
+    all-pairs Jaccard while the Spark side is banded MinHash LSH (64
+    hashes / 16 bands); the gate's equality rests on LSH recall being
+    EXACTLY 1.0 on the sf0.01 documents corpus at threshold 0.5. Pin that
+    as a named test so a parameter or corpus change that drops recall
+    surfaces here, not as a gate-hash mystery."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    truth = _true_pairs(spark, docs, 0.5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.near_dedup_minhash(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert got <= truth  # exact verification: no false positives, ever
+    missed = truth - got
+    assert not missed, f"LSH recall < 1.0 at the gated tier: missed {missed}"

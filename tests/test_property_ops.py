@@ -235,3 +235,17 @@ def test_pack_next_fit_sql_twin_matches_grouped_map_semantics(spark):
         for w_idx, (nd, fill) in enumerate(wins):
             expect[(shard, w_idx)] = (nd, fill, max(_PACK_BUDGET - fill, 0))
     assert got == expect
+
+
+def test_pack_next_fit_sql_restores_recursion_limit(spark, sf_dir):
+    """ADVICE r08: building the recursive-CTE plan must not leak the
+    raised spark.sql.cteRecursionLevelLimit to the rest of the session —
+    and the restored default must still cover execution (depth is 25)."""
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        pack_next_fit_sql_documents,
+    )
+
+    before = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    df = pack_next_fit_sql_documents(spark, sf_dir)
+    assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == before
+    assert df.count() > 0  # executes fine under the restored limit
