@@ -33,3 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
     return dict(Q.ORACLES)
+
+
+def oracle_tiers() -> dict[str, str]:
+    """Deepest scale factor each oracle compare routinely runs at:
+    "sf0.1" (default) or "sf0.01" (the oracle — not the operator — is
+    intractable above the gate tier, e.g. O(n^2) exact all-pairs truth
+    sets). Machine-readable tier annotation, round 9; informational for
+    the driver — the gate itself runs at sf0.01 either way."""
+    return dict(Q.ORACLE_TIERS)

@@ -17,14 +17,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Highest scale factor at which each query's cross-engine oracle compare
+#: is routinely run (machine-readable since round 9 — previously this
+#: lived only in docstring prose, the dedup_rate_by_source precedent).
+#: "sf0.1" (default): deep local checks pass at sf0.01 AND sf0.1.
+#: "sf0.01": the ORACLE (not the operator) is intractable above the gate
+#: tier — e.g. the O(n^2) exact all-pairs Jaccard truth set, where DuckDB
+#: did not finish 12.5M list-intersect pairs at sf0.1 in 45 min (measured
+#: round 8); the Spark side still gets a rows/bounds sanity run at sf0.1.
+ORACLE_TIERS: dict[str, str] = {}
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query; ``oracle=None`` -> driver does a rows-only check."""
+_VALID_TIERS = ("sf0.01", "sf0.1")
+
+
+def register(
+    name: str, oracle: str | None = None, tier: str = "sf0.1"
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` -> driver does a rows-only check.
+    ``tier`` records the deepest SF the oracle compare runs at (see
+    ORACLE_TIERS)."""
+    assert tier in _VALID_TIERS, f"{name}: unknown oracle tier {tier!r}"
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        ORACLE_TIERS[name] = tier
         return fn
 
     return deco
@@ -125,7 +143,9 @@ _GATE_PRIORITY = [
 # round's definitive gate sweep MUST be appended here the moment it is
 # registered; tests/test_registry.py pins "never-driver-sampled implies
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
-ROTATION_NEXT: list[str] = []
+ROTATION_NEXT: list[str] = [
+    "sparse_dense_agreement_documents",
+]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"

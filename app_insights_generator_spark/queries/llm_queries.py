@@ -128,6 +128,7 @@ def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
     FROM jac WHERE jaccard >= 0.5
     """,
+    tier="sf0.01",
 )
 def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs verified by exact Jaccard
@@ -166,6 +167,7 @@ def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, MIN(comp) AS component FROM walk GROUP BY node
     """,
+    tier="sf0.01",
 )
 def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: MinHash near-dup pairs -> connected
@@ -190,6 +192,7 @@ def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'emitted_outside_truth' AS chk, CAST(0 AS BIGINT) AS n
     """,
+    tier="sf0.01",
 )
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within hamming distance 3 via 16-bit-chunk
@@ -1090,6 +1093,7 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM jac, cut
     WHERE jaccard >= 0.5 AND (id_a >= cut.c OR id_b >= cut.c)
     """,
+    tier="sf0.01",
 )
 def dedup_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup — the daily-ingest mode: the first 4/5 of
@@ -1287,6 +1291,7 @@ def lm_quality_bigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comps c JOIN scored USING (doc_id)
     GROUP BY component
     """.replace("{Q}", _quality_score_sql()),
+    tier="sf0.01",
 )
 def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection — the decision real dedup pipelines
@@ -2432,6 +2437,7 @@ def ann_recall_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
     FROM jac WHERE jaccard >= 0.5
     """,
+    tier="sf0.01",
 )
 def jaccard_join_prefix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.5 self-join via prefix filtering
@@ -3344,6 +3350,7 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, MIN(comp) AS component FROM walk GROUP BY node
     """,
+    tier="sf0.01",
 )
 def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by ALTERNATING LARGE-STAR/SMALL-STAR
@@ -4369,10 +4376,12 @@ _IDF_VALUES_SQL = ", ".join(
 )
 
 
-@register(
-    "tfidf_neighbors_documents",
-    f"""
-    WITH tok AS (
+#: Shared oracle CTE block (tfidf top-3 per panel query doc, final CTE
+#: ``ttop(qid, cid, dot, cos_sim, rn)``): used verbatim by both
+#: tfidf_neighbors_documents and sparse_dense_agreement_documents so the
+#: two gates cannot drift apart on the sparse side's definition.
+_TFIDF_TOPK3_CTES = f"""
+    tok AS (
       SELECT doc_id, unnest(toks) AS term
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     ),
@@ -4388,28 +4397,37 @@ _IDF_VALUES_SQL = ", ".join(
     ),
     nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
             FROM w GROUP BY doc_id),
-    dots AS (
+    tdots AS (
       SELECT q.doc_id AS qid, c.doc_id AS cid,
              CAST(SUM(q.w * c.w) AS BIGINT) AS dot
       FROM w q JOIN w c ON q.term = c.term AND q.doc_id <> c.doc_id
       WHERE q.doc_id < 20
       GROUP BY 1, 2
     ),
-    scored AS (
+    tscored AS (
       SELECT d.qid, d.cid, d.dot,
              ROUND(d.dot / sqrt(CAST(a.n2 AS DOUBLE) * b.n2) + 1e-9, 6)
                AS cos_sim
-      FROM dots d JOIN nrm a ON a.doc_id = d.qid
-                  JOIN nrm b ON b.doc_id = d.cid
+      FROM tdots d JOIN nrm a ON a.doc_id = d.qid
+                   JOIN nrm b ON b.doc_id = d.cid
       WHERE a.n2 > 0 AND b.n2 > 0
+    ),
+    ttop AS (
+      SELECT qid, cid, dot, cos_sim, rn
+      FROM (SELECT qid, cid, dot, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, cid) AS rn
+            FROM tscored)
+      WHERE rn <= 3
     )
-    SELECT qid, cid, dot, cos_sim,
-           CAST(rn AS BIGINT) AS rank
-    FROM (SELECT qid, cid, dot, cos_sim,
-                 ROW_NUMBER() OVER (PARTITION BY qid
-                                    ORDER BY cos_sim DESC, cid) AS rn
-          FROM scored)
-    WHERE rn <= 3
+"""
+
+
+@register(
+    "tfidf_neighbors_documents",
+    f"""
+    WITH {_TFIDF_TOPK3_CTES}
+    SELECT qid, cid, dot, cos_sim, CAST(rn AS BIGINT) AS rank FROM ttop
     """,
 )
 def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4448,7 +4466,14 @@ def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no counterpart; §2.3 similarity extension.
 
     Registered as a round-8 rotation candidate (post-sweep addition)."""
-    docs = _docs(spark, sf_dir)
+    return _tfidf_topk3(spark, _docs(spark, sf_dir))
+
+
+def _tfidf_topk3(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shared builder for the panel's tfidf top-3 (see
+    tfidf_neighbors_documents for the exactness design); also feeds
+    sparse_dense_agreement_documents so both gates rank with the
+    identical sparse scorer."""
     tok = docs.select(
         "doc_id", F.explode(T.tokens(T.normalized_text(F.col("text")))).alias("term")
     )
@@ -4503,6 +4528,116 @@ def tfidf_neighbors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= 3)
         .select("qid", "cid", "dot", "cos_sim", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+# --- Sparse-vs-dense retrieval agreement audit ----------------------------------
+
+
+@register(
+    "sparse_dense_agreement_documents",
+    f"""
+    WITH {_TFIDF_TOPK3_CTES},
+    dv AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    AS vnorm
+           FROM embeddings),
+    dsc AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ROUND(CASE WHEN q.vnorm * c.vnorm > 0
+                   THEN list_dot_product(q.e, c.e) / (q.vnorm * c.vnorm)
+                   ELSE 0.0 END + 1e-9, 6) AS cos_sim
+      FROM dv q JOIN dv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    ),
+    dtop AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, cid) AS rn
+        FROM dsc) WHERE rn <= 3
+    ),
+    dsum AS (SELECT qid, CAST(SUM(cid) AS BIGINT) AS dense_idsum
+             FROM dtop GROUP BY qid)
+    SELECT t.qid,
+           CAST(COUNT(d.cid) AS BIGINT) AS n_agree,
+           CAST(COUNT(d.cid) * 10000 // 3 AS BIGINT) AS agree_bp,
+           CAST(SUM(t.cid) AS BIGINT) AS tfidf_idsum,
+           MIN(ds.dense_idsum) AS dense_idsum
+    FROM ttop t
+    LEFT JOIN dtop d ON d.qid = t.qid AND d.cid = t.cid
+    JOIN dsum ds ON ds.qid = t.qid
+    GROUP BY t.qid
+    """,
+)
+def sparse_dense_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-check of the repo's TWO similarity surfaces against each
+    other (VERDICT r08 item #7: tfidf neighbors and embedding top-k were
+    never compared): for the standard 20-doc query panel, compute top-3
+    neighbors by (a) the inverted-index TF-IDF scorer — via the SAME
+    shared builder the gated tfidf_neighbors_documents uses — and (b)
+    exact dense cosine over the embeddings table (doc_id == vec_id in
+    the synthetic corpus), and emit per query the overlap count,
+    agreement in basis points, and both neighbor-set id sums. The
+    retrieval-eval staple (sparse/dense agreement ~ how much a hybrid
+    retriever would gain) and a standing audit: a silent regression in
+    EITHER scorer moves the agreement row even if that scorer's own gate
+    query happens to still pass its invariants.
+
+    Exactness: the sparse side is the integer-weight machinery (exact
+    BIGINT dots, quantized-idf literals); the dense side is the
+    sequential-fold double cosine both engines evaluate identically
+    (the oracle_exact_cosine_pairs precedent), rounded 6dp with the
+    engine bias before the tie-safe (cos DESC, id) rank. Overlap counts
+    and id sums are integers — no new float surface.
+
+    Scale: the dense side joins the broadcast 20-row panel against the
+    corpus (one scan, TakeOrdered-per-query via the rank window after a
+    panel-keyed shuffle of 20*N rows); the sparse side is the gated
+    inverted-index plan. Both are panel-bounded — never corpus x corpus.
+
+    Reference parity: no counterpart; §2.3 similarity extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    t = _tfidf_topk3(spark, docs).select("qid", "cid")
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("dqid"), F.col("embedding").alias("qv")
+    )
+    c = embs.select(F.col("vec_id").alias("dcid"), F.col("embedding").alias("cv"))
+    dsc = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("dqid") != F.col("dcid"))
+        .select(
+            "dqid",
+            "dcid",
+            F.round(S.cosine(F.col("cv"), F.col("qv")) + F.lit(1e-9), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("dqid").orderBy(F.col("cos_sim").desc(), F.col("dcid"))
+    dtop = (
+        dsc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("dqid", "dcid")
+    )
+    dsum = dtop.groupBy(F.col("dqid").alias("qid")).agg(
+        F.sum("dcid").cast("long").alias("dense_idsum")
+    )
+    return (
+        t.join(
+            dtop,
+            (F.col("qid") == F.col("dqid")) & (F.col("cid") == F.col("dcid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("dcid").cast("long").alias("n_agree"),
+            F.expr("CAST(COUNT(dcid) * 10000 DIV 3 AS LONG)").alias("agree_bp"),
+            F.sum("cid").cast("long").alias("tfidf_idsum"),
+        )
+        .join(dsum, "qid")
     )
 
 
@@ -4891,6 +5026,7 @@ def knn_label_accuracy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
     GROUP BY d.source
     """,
+    tier="sf0.01",
 )
 def dedup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate rate PER SOURCE — the curation-dashboard staple

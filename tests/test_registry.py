@@ -181,3 +181,32 @@ def test_rotation_next_names_are_registered():
 
     unknown = [n for n in ROTATION_NEXT if n not in QUERIES]
     assert not unknown, f"ROTATION_NEXT names not in the registry: {unknown}"
+
+
+def test_oracle_tiers_cover_registry_with_valid_values():
+    """Every registered query carries a machine-readable oracle tier
+    (round 9: the sf0.01-only class lived in docstring prose before)."""
+    from app_insights_generator_spark.queries import ORACLE_TIERS
+
+    assert set(ORACLE_TIERS) == set(QUERIES)
+    assert set(ORACLE_TIERS.values()) <= {"sf0.01", "sf0.1"}
+
+
+def test_sf001_tier_is_exactly_the_allpairs_jaccard_family():
+    """The sf0.01-only tier must stay exactly the queries whose oracle is
+    the O(n^2) exact all-pairs Jaccard CTE (DuckDB measured intractable
+    at sf0.1, round 8) — a new query silently joining this tier, or one
+    of these silently claiming sf0.1, should be a deliberate diff here."""
+    from app_insights_generator_spark.queries import ORACLE_TIERS
+
+    got = {n for n, t in ORACLE_TIERS.items() if t == "sf0.01"}
+    assert got == {
+        "dedup_minhash_documents",
+        "dedup_components_documents",
+        "dedup_simhash_documents",
+        "dedup_incremental_minhash_documents",
+        "dedup_canonical_by_quality",
+        "jaccard_join_prefix_documents",
+        "dedup_components_star_documents",
+        "dedup_rate_by_source_documents",
+    }, got

@@ -519,3 +519,28 @@ def test_pin_conflicting_checkpoint_dir_warns_and_keeps_session_dir(
         warnings.simplefilter("always")
         pin(df, session_dir)
     assert not [w for w in caught if "checkpoint dir" in str(w.message)]
+
+
+def test_sparse_dense_agreement_invariants(spark, sf_dir):
+    """The agreement audit's integer surface must be internally
+    consistent: n_agree bounded by the panel k, agree_bp the exact
+    integer ratio, and each side's idsum reproducible from the
+    underlying top-3 machinery it claims to compose."""
+    from app_insights_generator_spark.queries.llm_queries import (
+        _tfidf_topk3,
+        sparse_dense_agreement_documents,
+    )
+
+    rows = {r.qid: r for r in sparse_dense_agreement_documents(spark, sf_dir).collect()}
+    assert rows, "empty agreement panel"
+    for r in rows.values():
+        assert 0 <= r.n_agree <= 3
+        assert r.agree_bp == r.n_agree * 10000 // 3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = _tfidf_topk3(spark, docs).collect()
+    tfidf_idsum = {}
+    for row in tf:
+        tfidf_idsum[row.qid] = tfidf_idsum.get(row.qid, 0) + row.cid
+    for qid, r in rows.items():
+        assert r.tfidf_idsum == tfidf_idsum[qid]
