@@ -145,6 +145,7 @@ _GATE_PRIORITY = [
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
 ROTATION_NEXT: list[str] = [
     "sparse_dense_agreement_documents",
+    "rrf_fusion_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -4531,13 +4531,40 @@ def _tfidf_topk3(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-# --- Sparse-vs-dense retrieval agreement audit ----------------------------------
+def _dense_topk3(embs: DataFrame) -> DataFrame:
+    """Shared builder: exact dense-cosine top-3 per 20-doc panel query ->
+    [dqid, dcid, drank]. The broadcast panel joins the corpus once (one
+    scan, panel-keyed rank window); sequential-fold double cosine rounded
+    6dp with the engine bias before the tie-safe (cos DESC, id) rank —
+    the oracle_exact_cosine_pairs float discipline. Feeds
+    sparse_dense_agreement_documents and rrf_fusion_documents."""
+    q = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("dqid"), F.col("embedding").alias("qv")
+    )
+    c = embs.select(F.col("vec_id").alias("dcid"), F.col("embedding").alias("cv"))
+    dsc = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("dqid") != F.col("dcid"))
+        .select(
+            "dqid",
+            "dcid",
+            F.round(S.cosine(F.col("cv"), F.col("qv")) + F.lit(1e-9), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("dqid").orderBy(F.col("cos_sim").desc(), F.col("dcid"))
+    return (
+        dsc.withColumn("drank", F.row_number().over(wr))
+        .filter(F.col("drank") <= 3)
+        .select("dqid", "dcid", "drank")
+    )
 
 
-@register(
-    "sparse_dense_agreement_documents",
-    f"""
-    WITH {_TFIDF_TOPK3_CTES},
+#: Shared oracle CTE block (dense exact-cosine top-3 per panel query,
+#: final CTE ``dtop(qid, cid, drank)``): twin of _dense_topk3, shared by
+#: sparse_dense_agreement_documents and rrf_fusion_documents.
+_DENSE_TOPK3_CTES = """
     dv AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                     AS vnorm
@@ -4551,12 +4578,23 @@ def _tfidf_topk3(spark: SparkSession, docs: DataFrame) -> DataFrame:
       WHERE q.vec_id < 20
     ),
     dtop AS (
-      SELECT qid, cid FROM (
+      SELECT qid, cid, CAST(rn AS BIGINT) AS drank FROM (
         SELECT qid, cid,
                ROW_NUMBER() OVER (PARTITION BY qid
                                   ORDER BY cos_sim DESC, cid) AS rn
         FROM dsc) WHERE rn <= 3
-    ),
+    )
+"""
+
+
+# --- Sparse-vs-dense retrieval agreement audit ----------------------------------
+
+
+@register(
+    "sparse_dense_agreement_documents",
+    f"""
+    WITH {_TFIDF_TOPK3_CTES},
+    {_DENSE_TOPK3_CTES},
     dsum AS (SELECT qid, CAST(SUM(cid) AS BIGINT) AS dense_idsum
              FROM dtop GROUP BY qid)
     SELECT t.qid,
@@ -4600,28 +4638,7 @@ def sparse_dense_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFr
     Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
     docs = _docs(spark, sf_dir)
     t = _tfidf_topk3(spark, docs).select("qid", "cid")
-    embs = _embs(spark, sf_dir)
-    q = embs.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("dqid"), F.col("embedding").alias("qv")
-    )
-    c = embs.select(F.col("vec_id").alias("dcid"), F.col("embedding").alias("cv"))
-    dsc = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("dqid") != F.col("dcid"))
-        .select(
-            "dqid",
-            "dcid",
-            F.round(S.cosine(F.col("cv"), F.col("qv")) + F.lit(1e-9), 6).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    wr = Window.partitionBy("dqid").orderBy(F.col("cos_sim").desc(), F.col("dcid"))
-    dtop = (
-        dsc.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 3)
-        .select("dqid", "dcid")
-    )
+    dtop = _dense_topk3(_embs(spark, sf_dir)).select("dqid", "dcid")
     dsum = dtop.groupBy(F.col("dqid").alias("qid")).agg(
         F.sum("dcid").cast("long").alias("dense_idsum")
     )
@@ -4638,6 +4655,77 @@ def sparse_dense_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("cid").cast("long").alias("tfidf_idsum"),
         )
         .join(dsum, "qid")
+    )
+
+
+# --- Reciprocal-rank-fusion hybrid retrieval -------------------------------------
+
+
+@register(
+    "rrf_fusion_documents",
+    f"""
+    WITH {_TFIDF_TOPK3_CTES},
+    {_DENSE_TOPK3_CTES},
+    contrib AS (
+      SELECT qid, cid, CAST(1000000 // (60 + rn) AS BIGINT) AS c FROM ttop
+      UNION ALL
+      SELECT qid, cid, CAST(1000000 // (60 + drank) AS BIGINT) AS c FROM dtop
+    ),
+    fused AS (
+      SELECT qid, cid, CAST(SUM(c) AS BIGINT) AS rrf_score
+      FROM contrib GROUP BY qid, cid
+    )
+    SELECT qid, cid, rrf_score, CAST(rn AS BIGINT) AS fused_rank
+    FROM (SELECT qid, cid, rrf_score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY rrf_score DESC, cid) AS rn
+          FROM fused)
+    WHERE rn <= 3
+    """,
+)
+def rrf_fusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the sparse (TF-IDF inverted index) and
+    dense (exact embedding cosine) top-3 lists per panel query with
+    score(d) = sum over lists of 1/(60 + rank_d), and emit the fused
+    top-3. THE standard way production search combines lexical and
+    vector retrieval — it completes the sparse/dense pair the agreement
+    audit measures into the operator a user would actually run.
+
+    Exactness: rank contributions are integers — 1e6 DIV (60 + rank)
+    with rank in 1..3 gives exactly {{16393, 16129, 15873}}; fused
+    scores are small integer sums and the fused order is (score DESC,
+    cid), so there is NO float anywhere in this query beyond the two
+    upstream builders' already-gated 6dp ranking. Both engines compute
+    the identical integers.
+
+    Scale: both inputs are the shared panel-bounded builders (broadcast
+    panel x corpus, never corpus x corpus); fusion itself touches at
+    most 2 * k * |panel| rows — driver-negligible at any corpus size.
+
+    Reference parity: no counterpart; §2.3 similarity extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    t = _tfidf_topk3(spark, docs).select(
+        "qid", "cid", F.expr("CAST(1000000 DIV (60 + rank) AS LONG)").alias("c")
+    )
+    d = _dense_topk3(_embs(spark, sf_dir)).select(
+        F.col("dqid").alias("qid"),
+        F.col("dcid").alias("cid"),
+        F.expr("CAST(1000000 DIV (60 + drank) AS LONG)").alias("c"),
+    )
+    fused = (
+        t.unionByName(d)
+        .groupBy("qid", "cid")
+        .agg(F.sum("c").cast("long").alias("rrf_score"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("rrf_score").desc(), F.col("cid"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "qid", "cid", "rrf_score", F.col("rn").cast("long").alias("fused_rank")
+        )
     )
 
 

@@ -544,3 +544,45 @@ def test_sparse_dense_agreement_invariants(spark, sf_dir):
         tfidf_idsum[row.qid] = tfidf_idsum.get(row.qid, 0) + row.cid
     for qid, r in rows.items():
         assert r.tfidf_idsum == tfidf_idsum[qid]
+
+
+def test_rrf_fusion_invariants(spark, sf_dir):
+    """RRF fusion: fused candidates come only from the two input top-3
+    lists; scores are exact sums of the three possible integer rank
+    contributions; a doc present in BOTH lists always outscores any
+    single-list doc (min both-lists score 16129+15873 > max single
+    16393); per-query fused list is <= 3 rows, ranks dense from 1."""
+    from app_insights_generator_spark.queries.llm_queries import (
+        _dense_topk3,
+        _embs,
+        _tfidf_topk3,
+        rrf_fusion_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sparse = {(r.qid, r.cid): r.rank for r in _tfidf_topk3(spark, docs).collect()}
+    dense = {
+        (r.dqid, r.dcid): r.drank
+        for r in _dense_topk3(_embs(spark, sf_dir)).collect()
+    }
+    contrib = {1: 16393, 2: 16129, 3: 15873}
+
+    out = rrf_fusion_documents(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+        want = contrib.get(sparse.get((r.qid, r.cid)), 0) + contrib.get(
+            dense.get((r.qid, r.cid)), 0
+        )
+        assert want > 0, f"fused candidate {(r.qid, r.cid)} in neither list"
+        assert r.rrf_score == want
+    for qid, rows in by_q.items():
+        assert len(rows) <= 3
+        assert sorted(r.fused_rank for r in rows) == list(range(1, len(rows) + 1))
+        both = {c for (q, c) in sparse if q == qid} & {
+            c for (q, c) in dense if q == qid
+        }
+        scores = {r.cid: r.rrf_score for r in rows}
+        for cid, s in scores.items():
+            if cid in both:
+                assert s >= 16129 + 15873
