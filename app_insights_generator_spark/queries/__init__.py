@@ -146,6 +146,7 @@ _GATE_PRIORITY = [
 ROTATION_NEXT: list[str] = [
     "sparse_dense_agreement_documents",
     "rrf_fusion_documents",
+    "cohens_kappa_quality_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

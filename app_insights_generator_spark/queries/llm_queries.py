@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from app_insights_generator_spark.operators import dedup as D
 from app_insights_generator_spark.operators import similarity as S
 from app_insights_generator_spark.operators import text as T
-from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries import ORACLES, register
 from app_insights_generator_spark.queries._exact import sql_hex_to_int
 from app_insights_generator_spark.sources import load_table
 
@@ -2710,6 +2710,115 @@ def quality_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFra
         score.alias("score_micro"),
         (score >= 510000).alias("keep"),
     )
+
+
+# --- Inter-labeler agreement (Cohen's kappa) ----------------------------------
+
+
+@register(
+    "cohens_kappa_quality_documents",
+    f"""
+    WITH g AS (SELECT doc_id, ok_word_count AS gk
+               FROM ({{GOPHER}})),
+    l AS (SELECT doc_id, keep AS lk
+          FROM ({{LINEAR}})),
+    j AS (SELECT gk, lk FROM g JOIN l USING (doc_id)),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN gk AND lk THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN gk AND NOT lk THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN NOT gk AND lk THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN NOT gk AND NOT lk THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM j)
+    SELECT n, n11, n10, n01, n00,
+           CAST((n11 + n00) * 10000 // n AS BIGINT) AS po_bp,
+           CAST(((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) * 10000 // (n*n)
+             AS BIGINT) AS pe_bp,
+           CAST(CASE WHEN n*n = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) THEN 0
+                ELSE (n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+                     * 10000
+                     // (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+                END AS BIGINT) AS kappa_bp
+    FROM c
+    """,
+)
+def cohens_kappa_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the repo's two deterministic
+    quality labelers — the Gopher panel's word-count rule (the one rule
+    that VARIES on this corpus: the full `keep` conjunction is
+    constant-false here because ok_stopwords never fires on the
+    stopword-free synthetic text, which would degenerate kappa to the
+    trivial 0) and the linear scorer's threshold verdict: the standard inter-annotator /
+    inter-filter agreement statistic a curation team reads before
+    swapping one filter for another (raw agreement po overstates
+    consensus when both labelers mostly say keep; kappa corrects for the
+    chance-agreement floor pe).
+
+    Exactness: the full 2x2 contingency table is integer counts; po, pe
+    and kappa = (po - pe)/(1 - pe) are emitted in basis points via pure
+    int64 arithmetic — kappa_bp = (N*agree - E) * 10000 DIV (N^2 - E)
+    with E = r1*c1 + r0*c0, truncation toward zero identical in both
+    engines (negative kappa included; the degenerate pe=1 case — both
+    labelers constant — encodes 0, guarded by CASE in both). Headroom:
+    N^2 * 10000 ~ 2.5e11 at sf0.1, ~1e7x margin.
+
+    The ORACLE embeds the two scorers' own registered oracle SQL as
+    derived tables, so the three gates can never drift apart on a
+    labeler's definition; the Spark side composes the registered query
+    callables the same way.
+
+    Scale: two shuffle-free scorer scans + one doc_id-keyed join + a
+    1-row aggregate; the join is the only exchange.
+
+    Reference parity: no counterpart; §2.6 curation extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    g = gopher_quality_rules_documents(spark, sf_dir).select(
+        "doc_id", F.col("ok_word_count").alias("gk")
+    )
+    lin = quality_linear_scores_documents(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("lk")
+    )
+    c = (
+        g.join(lin, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CASE WHEN gk AND lk THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n11"),
+            F.sum(F.expr("CASE WHEN gk AND NOT lk THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n10"),
+            F.sum(F.expr("CASE WHEN NOT gk AND lk THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n01"),
+            F.sum(F.expr("CASE WHEN NOT gk AND NOT lk THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n00"),
+        )
+    )
+    e = "((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))"
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST((n11 + n00) * 10000 DIV n AS LONG)").alias("po_bp"),
+        F.expr(f"CAST({e} * 10000 DIV (n*n) AS LONG)").alias("pe_bp"),
+        F.expr(
+            f"CAST(CASE WHEN n*n = {e} THEN 0 "
+            f"ELSE (n*(n11+n00) - {e}) * 10000 DIV (n*n - {e}) END AS LONG)"
+        ).alias("kappa_bp"),
+    )
+
+
+# Splice the two labelers' registered oracles in AFTER registration so the
+# kappa gate provably shares their definitions (f-string interpolation at
+# decoration time would race the dict insert order).
+ORACLES["cohens_kappa_quality_documents"] = (
+    ORACLES["cohens_kappa_quality_documents"]
+    .replace("{GOPHER}", ORACLES["gopher_quality_rules_documents"])
+    .replace("{LINEAR}", ORACLES["quality_linear_scores_documents"])
+)
 
 
 # --- Image perceptual near-dup (dHash over real decoded pixels) --------------

@@ -356,3 +356,41 @@ def test_bigram_nll_matches_naive_float_scoring(spark, sf_dir):
         if truth_ppm > 0:
             rel_errs.append(abs(r.avg_nll_ppm - truth_ppm) / max(truth_ppm, 1))
     assert sum(rel_errs) / len(rel_errs) < 0.03, sum(rel_errs) / len(rel_errs)
+
+
+def test_cohens_kappa_matches_python_recompute(spark, sf_dir):
+    """The kappa gate row must equal a pure-Python recomputation from the
+    two labelers' own outputs (pins the integer-bp formula, including the
+    truncation direction, against an independent implementation)."""
+    from app_insights_generator_spark.queries.llm_queries import (
+        cohens_kappa_quality_documents,
+        gopher_quality_rules_documents,
+        quality_linear_scores_documents,
+    )
+
+    gk = {
+        r.doc_id: r.ok_word_count
+        for r in gopher_quality_rules_documents(spark, sf_dir).collect()
+    }
+    lk = {
+        r.doc_id: r.keep
+        for r in quality_linear_scores_documents(spark, sf_dir).collect()
+    }
+    n11 = sum(1 for d in gk if gk[d] and lk[d])
+    n10 = sum(1 for d in gk if gk[d] and not lk[d])
+    n01 = sum(1 for d in gk if not gk[d] and lk[d])
+    n00 = sum(1 for d in gk if not gk[d] and not lk[d])
+    n = len(gk)
+    e = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+
+    def tdiv(a, b):  # truncate toward zero, the Spark DIV / DuckDB // law
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    row = cohens_kappa_quality_documents(spark, sf_dir).collect()[0]
+    assert (row.n, row.n11, row.n10, row.n01, row.n00) == (n, n11, n10, n01, n00)
+    assert row.po_bp == tdiv((n11 + n00) * 10000, n)
+    assert row.pe_bp == tdiv(e * 10000, n * n)
+    want_kappa = 0 if n * n == e else tdiv((n * (n11 + n00) - e) * 10000, n * n - e)
+    assert row.kappa_bp == want_kappa
+    assert -10000 <= row.kappa_bp <= 10000
