@@ -147,6 +147,7 @@ ROTATION_NEXT: list[str] = [
     "sparse_dense_agreement_documents",
     "rrf_fusion_documents",
     "cohens_kappa_quality_documents",
+    "dedup_cluster_profile_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

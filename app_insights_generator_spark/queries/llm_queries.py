@@ -2712,6 +2712,74 @@ def quality_linear_scores_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- Duplicate-cluster size profile (dedup-health dashboard) -------------------
+
+
+@register(
+    "dedup_cluster_profile_documents",
+    """
+    WITH comp AS (SELECT * FROM ({COMPONENTS})),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_total FROM sizes)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) * 10000 // MIN(tot.n_total) AS BIGINT) AS doc_share_bp
+    FROM sizes, tot
+    GROUP BY sz
+    """,
+    tier="sf0.01",
+)
+def dedup_cluster_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the dedup-health dashboard
+    row (is the corpus mostly singletons with a thin near-dup tail, or
+    is one boilerplate template swallowing it? The shape decides whether
+    keep-one-per-cluster dedup saves 2% or 40% of the token budget):
+    histogram of connected-component sizes over the MinHash near-dup
+    graph -> [cluster_size, n_clusters, n_docs, doc_share_bp], docs
+    covered exactly once (singletons are size-1 components).
+
+    Composes the gated dedup_components_documents (the oracle embeds
+    that query's registered recursive-CTE oracle as a derived table, the
+    cohens_kappa pattern, so the two gates share one component
+    definition); sf0.01 oracle tier inherited from the all-pairs truth
+    set.
+
+    Scale: one component-keyed count + one size-keyed count over the
+    (corpus-sized) label table, plus a 1-row total broadcast back — the
+    histogram is bounded by the largest cluster size, tiny at any scale.
+
+    Reference parity: no counterpart; §2.3 curation extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    comp = dedup_components_documents(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    tot = sizes.agg(F.sum("sz").cast("long").alias("n_total"))
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.expr("CAST(n_docs * 10000 DIV n_total AS LONG)").alias(
+                "doc_share_bp"
+            ),
+        )
+    )
+
+
+ORACLES["dedup_cluster_profile_documents"] = ORACLES[
+    "dedup_cluster_profile_documents"
+].replace("{COMPONENTS}", ORACLES["dedup_components_documents"])
+
+
 # --- Inter-labeler agreement (Cohen's kappa) ----------------------------------
 
 

@@ -578,3 +578,26 @@ def test_lsh_recall_is_full_at_gate_tier(spark):
     assert got <= truth  # exact verification: no false positives, ever
     missed = truth - got
     assert not missed, f"LSH recall < 1.0 at the gated tier: missed {missed}"
+
+
+def test_dedup_cluster_profile_conservation(spark, sf_dir):
+    """The size histogram must cover every document exactly once
+    (sum n_docs == corpus size; n_docs == cluster_size * n_clusters per
+    row) and agree with a Python recount of the component labels."""
+    from app_insights_generator_spark.queries.llm_queries import (
+        dedup_cluster_profile_documents,
+        dedup_components_documents,
+    )
+
+    rows = dedup_cluster_profile_documents(spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.doc_share_bp == r.n_docs * 10000 // n_corpus
+
+    from collections import Counter
+
+    comp = dedup_components_documents(spark, sf_dir).collect()
+    sizes = Counter(Counter(r.component for r in comp).values())
+    assert {(r.cluster_size, r.n_clusters) for r in rows} == set(sizes.items())

@@ -209,4 +209,5 @@ def test_sf001_tier_is_exactly_the_allpairs_jaccard_family():
         "jaccard_join_prefix_documents",
         "dedup_components_star_documents",
         "dedup_rate_by_source_documents",
+        "dedup_cluster_profile_documents",
     }, got
