@@ -148,6 +148,7 @@ ROTATION_NEXT: list[str] = [
     "rrf_fusion_documents",
     "cohens_kappa_quality_documents",
     "dedup_cluster_profile_documents",
+    "mutual_information_source_lang_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -4835,6 +4835,123 @@ def sparse_dense_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --- Mutual information between corpus facets ----------------------------------
+
+
+@register(
+    "mutual_information_source_lang_documents",
+    f"""
+    WITH nll(bucket, nll_ppm) AS (VALUES {{NLL_VALUES}}),
+    cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY source, lang),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    hx AS (
+      SELECT CAST(SUM((sc * 1000000 // n) * nll_ppm) AS BIGINT) AS v
+      FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS sc FROM cells GROUP BY source),
+           tot JOIN nll ON nll.bucket = sc * 1024 // n
+    ),
+    hy AS (
+      SELECT CAST(SUM((lc * 1000000 // n) * nll_ppm) AS BIGINT) AS v
+      FROM (SELECT lang, CAST(SUM(c) AS BIGINT) AS lc FROM cells GROUP BY lang),
+           tot JOIN nll ON nll.bucket = lc * 1024 // n
+    ),
+    hxy AS (
+      SELECT CAST(SUM((c * 1000000 // n) * nll_ppm) AS BIGINT) AS v
+      FROM cells, tot JOIN nll ON nll.bucket = c * 1024 // n
+    )
+    SELECT 'h_source_ppm2' AS component, v AS value_ppm2 FROM hx
+    UNION ALL SELECT 'h_lang_ppm2', v FROM hy
+    UNION ALL SELECT 'h_joint_ppm2', v FROM hxy
+    UNION ALL SELECT 'mi_ppm2', hx.v + hy.v - hxy.v FROM hx, hy, hxy
+    """,
+)
+def mutual_information_source_lang_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between the corpus's source and language
+    facets, MI = H(source) + H(lang) - H(source, lang) — the curation
+    statistic that says whether ingest feeds are language-specialized
+    (high MI: dropping a source silently drops a language) or mixed
+    (MI ~ 0: source-level reweighting is language-neutral). Emitted as
+    four rows [component, value_ppm2]: the three entropies and their MI
+    combination, each in ppm^2 units (divide by 1e12 for nats).
+
+    Exactness: the JSD/tfidf quantized-log recipe — every probability is
+    snapped to 1/1024 share buckets by integer arithmetic (cnt*1024 DIV
+    N) and mapped through the Python-precomputed _IDF_PPM_1024 table
+    (entry b = -ln((b+1)/1025) in ppm), so each entropy term is
+    (cnt*1e6 DIV N) * nll_ppm — pure int64 products, no ln in either
+    engine. Quantization makes the MI combination approximate as a
+    STATISTIC (error ~ entropy resolution at 1/1024, and tiny negatives
+    are possible for near-independent facets) but EXACT as a gate: both
+    engines compute identical integers. int64 headroom: terms <=
+    1e6 * 7e6 = 7e12 per bucket, ~1e6x margin on the summed entropies.
+
+    Scale: one corpus scan to the (source x lang) cell table (bounded by
+    facet cardinalities, here 100 rows — pinned so the three entropy
+    branches don't re-scan the corpus), then three tiny aggregates and
+    broadcast table lookups.
+
+    Reference parity: no counterpart; §2.4 corpus-analytics extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # fan-out: 3 entropy branches below
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    nll = spark.createDataFrame(
+        list(enumerate(_IDF_PPM_1024)), "bucket long, nll_ppm long"
+    )
+
+    def entropy(counts: DataFrame, cnt_col: str) -> DataFrame:
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .withColumn("bucket", F.expr(f"{cnt_col} * 1024 DIV n"))
+            .join(F.broadcast(nll), "bucket")
+            .agg(
+                F.sum(F.expr(f"({cnt_col} * 1000000 DIV n) * nll_ppm"))
+                .cast("long")
+                .alias("v")
+            )
+        )
+
+    hx = entropy(
+        cells.groupBy("source").agg(F.sum("c").cast("long").alias("sc")), "sc"
+    )
+    hy = entropy(
+        cells.groupBy("lang").agg(F.sum("c").cast("long").alias("lc")), "lc"
+    )
+    hxy = entropy(cells, "c")
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("component"), F.col("v").alias("value_ppm2")
+        )
+
+    mi = (
+        hx.select(F.col("v").alias("vx"))
+        .crossJoin(hy.select(F.col("v").alias("vy")))
+        .crossJoin(hxy.select(F.col("v").alias("vxy")))
+        .select(
+            F.lit("mi_ppm2").alias("component"),
+            F.expr("vx + vy - vxy").cast("long").alias("value_ppm2"),
+        )
+    )
+    return (
+        tag(hx, "h_source_ppm2")
+        .unionByName(tag(hy, "h_lang_ppm2"))
+        .unionByName(tag(hxy, "h_joint_ppm2"))
+        .unionByName(mi)
+    )
+
+
+ORACLES["mutual_information_source_lang_documents"] = ORACLES[
+    "mutual_information_source_lang_documents"
+].replace("{NLL_VALUES}", _IDF_VALUES_SQL)
+
+
 # --- Reciprocal-rank-fusion hybrid retrieval -------------------------------------
 
 

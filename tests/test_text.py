@@ -394,3 +394,41 @@ def test_cohens_kappa_matches_python_recompute(spark, sf_dir):
     want_kappa = 0 if n * n == e else tdiv((n * (n11 + n00) - e) * 10000, n * n - e)
     assert row.kappa_bp == want_kappa
     assert -10000 <= row.kappa_bp <= 10000
+
+
+def test_mutual_information_matches_python_recompute(spark, sf_dir):
+    """The quantized-entropy rows must equal a pure-Python recomputation
+    through the same 1/1024 log table, and behave like entropies:
+    non-negative, H(joint) <= H(x) + H(y), MI row = the combination."""
+    import math
+    from collections import Counter
+
+    from app_insights_generator_spark.queries.llm_queries import (
+        _IDF_PPM_1024,
+        mutual_information_source_lang_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = len(docs)
+    cx = Counter(d.source for d in docs)
+    cy = Counter(d.lang for d in docs)
+    cxy = Counter((d.source, d.lang) for d in docs)
+
+    def h(counter):
+        return sum(
+            (c * 1000000 // n) * _IDF_PPM_1024[c * 1024 // n]
+            for c in counter.values()
+        )
+
+    got = {
+        r.component: r.value_ppm2
+        for r in mutual_information_source_lang_documents(spark, sf_dir).collect()
+    }
+    assert got["h_source_ppm2"] == h(cx)
+    assert got["h_lang_ppm2"] == h(cy)
+    assert got["h_joint_ppm2"] == h(cxy)
+    assert got["mi_ppm2"] == h(cx) + h(cy) - h(cxy)
+    assert got["h_joint_ppm2"] <= got["h_source_ppm2"] + got["h_lang_ppm2"]
+    # quantized entropy stays within ~2 bucket-widths of the true value
+    true_hx = -sum(c / n * math.log(c / n) for c in cx.values()) * 1e12
+    assert abs(got["h_source_ppm2"] - true_hx) < 0.02e12
