@@ -149,6 +149,7 @@ ROTATION_NEXT: list[str] = [
     "cohens_kappa_quality_documents",
     "dedup_cluster_profile_documents",
     "mutual_information_source_lang_documents",
+    "token_budget_waterfill_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

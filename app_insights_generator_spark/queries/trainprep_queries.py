@@ -645,6 +645,133 @@ def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Water-filling token-budget allocation ------------------------------------
+
+
+@register(
+    "token_budget_waterfill_documents",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x != ''))) AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source, t,
+             CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS rn,
+             CAST(SUM(t) OVER (ORDER BY t, source
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(t) OVER () AS BIGINT) AS total
+      FROM s
+    ),
+    b AS (SELECT MIN(total) * 6 // 10 AS budget, MIN(n) AS n_src,
+                 MIN(total) AS total, MAX(t) AS tmax
+          FROM r),
+    k AS (SELECT COALESCE(MAX(rn), 0) AS kstar
+          FROM r, b WHERE p + (r.n - rn) * t <= budget),
+    cap AS (
+      SELECT CASE
+               WHEN k.kstar = b.n_src THEN b.tmax
+               WHEN k.kstar = 0 THEN b.budget // b.n_src
+               ELSE (b.budget - (SELECT p FROM r WHERE rn = k.kstar))
+                    // (b.n_src - k.kstar)
+             END AS cap_tokens
+      FROM k, b)
+    SELECT source, t AS n_tokens,
+           LEAST(t, cap_tokens) AS alloc_tokens,
+           (t > cap_tokens) AS capped,
+           cap_tokens
+    FROM r, cap
+    """,
+)
+def token_budget_waterfill_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATER-FILLING allocation of a global token budget across sources
+    — the mixture primitive that answers "we can only train on 60% of
+    the corpus's tokens; how many do we take from each feed so small
+    sources are never starved and big ones absorb the cut?": allocate
+    a_i = min(T_i, cap) with cap the LARGEST integer water level whose
+    total allocation fits the budget. Small sources are fully funded,
+    every capped source gets exactly cap tokens — the max-min-fair
+    allocation (classic water-filling / progressive filling), the same
+    shape DoReMi-style mixture tuning starts from.
+
+    Exactness: one sort of the source-grain table by (tokens, source),
+    prefix sums, and k* = the largest rank where fully-funding ranks
+    <= k* and capping the rest AT T_k* still fits — then cap =
+    (budget - prefix(k*)) DIV (n - k*). Pure int64 throughout (budget =
+    total * 6 DIV 10); the k* = 0 (cap below the smallest source) and
+    k* = n (budget covers everything) edges take their closed forms.
+    Feasibility cap >= T_k* follows from k*'s defining inequality, so
+    min(T_i, cap) = T_i for every fully-funded rank — the allocation is
+    well-defined without iteration, which is what makes the driver-loop-
+    free SQL twin possible.
+
+    Scale: the window runs on the SOURCE-GRAIN aggregate (facet
+    cardinality rows, ~20 here — never the corpus), so the single-
+    partition sort is bounded by the number of ingest feeds; the corpus
+    is touched once by the token-count aggregate with map-side combine.
+
+    Reference parity: no counterpart; §2.6 trainprep extension next to
+    mixture_weights (uniform target) and mixture_temperature (alpha
+    scaling) — this is the budget-constrained third member.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    s = docs.groupBy("source").agg(F.sum(toks.cast("long")).alias("t"))
+    w_rank = Window.orderBy("t", "source")
+    r = s.select(
+        "source",
+        "t",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.sum("t").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("p"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+        F.sum("t").over(Window.partitionBy()).cast("long").alias("total"),
+    ).localCheckpoint(eager=True)  # fan-out: b/k/kstar-row lookups below
+    b = r.agg(
+        F.expr("MIN(total) * 6 DIV 10").alias("budget"),
+        F.min("n").alias("n_src"),
+        F.max("t").alias("tmax"),
+    )
+    k = (
+        r.crossJoin(F.broadcast(b))
+        .filter(F.expr("p + (n - rn) * t <= budget"))
+        .agg(F.coalesce(F.max("rn"), F.lit(0)).cast("long").alias("kstar"))
+    )
+    pk = (
+        r.select(F.col("rn").alias("krn"), F.col("p").alias("pk"))
+        .join(F.broadcast(k), F.col("krn") == F.col("kstar"), "right")
+        .select("kstar", F.coalesce("pk", F.lit(0)).cast("long").alias("pk"))
+    )
+    cap = (
+        pk.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(
+                "CASE WHEN kstar = n_src THEN tmax "
+                "WHEN kstar = 0 THEN budget DIV n_src "
+                "ELSE (budget - pk) DIV (n_src - kstar) END"
+            )
+            .cast("long")
+            .alias("cap_tokens")
+        )
+    )
+    return r.crossJoin(F.broadcast(cap)).select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        F.least(F.col("t"), F.col("cap_tokens")).alias("alloc_tokens"),
+        (F.col("t") > F.col("cap_tokens")).alias("capped"),
+        "cap_tokens",
+    )
+
+
 # --- Deterministic systematic weighted sampling ------------------------------
 
 

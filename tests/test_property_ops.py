@@ -249,3 +249,27 @@ def test_pack_next_fit_sql_restores_recursion_limit(spark, sf_dir):
     df = pack_next_fit_sql_documents(spark, sf_dir)
     assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == before
     assert df.count() > 0  # executes fine under the restored limit
+
+
+def test_waterfill_allocation_properties(spark, sf_dir):
+    """Water-filling invariants: allocations never exceed source tokens
+    or the cap; uncapped sources are fully funded; total allocation fits
+    the budget AND the cap is MAXIMAL (cap+1 would overflow it); capped
+    sources all receive exactly the cap (max-min fairness)."""
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        token_budget_waterfill_documents,
+    )
+
+    rows = token_budget_waterfill_documents(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 6 // 10
+    cap = rows[0].cap_tokens
+    assert all(r.cap_tokens == cap for r in rows)
+    alloc = sum(r.alloc_tokens for r in rows)
+    assert alloc <= budget
+    # maximality: raising the water level by 1 must exceed the budget
+    assert sum(min(r.n_tokens, cap + 1) for r in rows) > budget
+    for r in rows:
+        assert r.alloc_tokens == min(r.n_tokens, cap)
+        assert r.capped == (r.n_tokens > cap)
