@@ -150,6 +150,7 @@ ROTATION_NEXT: list[str] = [
     "dedup_cluster_profile_documents",
     "mutual_information_source_lang_documents",
     "token_budget_waterfill_documents",
+    "listagg_top_customers_orders",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

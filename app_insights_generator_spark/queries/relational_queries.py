@@ -2773,6 +2773,71 @@ def pipe_syntax_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "listagg_top_customers_orders",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_custkey AS VARCHAR) AS cust,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT priority, cust, n,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY n DESC, CAST(cust AS BIGINT)) AS rn
+      FROM c
+    )
+    SELECT priority,
+           CAST(SUM(n) AS BIGINT) AS n_orders_top5,
+           string_agg(cust, ',' ORDER BY rn) AS top_customers
+    FROM r WHERE rn <= 5
+    GROUP BY priority
+    """,
+)
+def listagg_top_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (SQL:2016 T625; Spark 4.0, SPARK-42746):
+    the ordered string-aggregation surface — per order priority, the
+    top-5 customers by order count concatenated in rank order. DuckDB's
+    twin spells it string_agg(x, sep ORDER BY ...); the WITHIN GROUP
+    ordering is what makes the concatenation deterministic (an unordered
+    listagg is partition-order-dependent and could never be gated).
+    Ties in the customer ranking break by numeric key, so the rank — and
+    therefore the string — is total-order stable in both engines.
+
+    Scale: one (priority, customer) aggregate with map-side combine, a
+    priority-partitioned rank window on the aggregate (bounded by the
+    customer-count grain, not the fact table), and a 5-row-per-priority
+    string fold.
+
+    Reference parity: none (main.py has no string aggregation); SQL
+    surface extension next to GROUP BY ALL / pipe syntax / collations.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("la_orders_v")
+    return spark.sql(
+        """
+        WITH c AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(o_custkey AS STRING) AS cust,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM la_orders_v GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT priority, cust, n,
+                 ROW_NUMBER() OVER (PARTITION BY priority
+                                    ORDER BY n DESC, CAST(cust AS BIGINT)) AS rn
+          FROM c
+        )
+        SELECT priority,
+               CAST(SUM(n) AS BIGINT) AS n_orders_top5,
+               listagg(cust, ',') WITHIN GROUP (ORDER BY rn) AS top_customers
+        FROM r WHERE rn <= 5
+        GROUP BY priority
+        """
+    )
+
+
+@register(
     "sql_group_by_all_orders",
     f"""
     SELECT o_orderstatus,

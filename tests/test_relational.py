@@ -27,3 +27,27 @@ def test_approx_ndv_sweep_audit_tight_bound(spark, sf_dir):
     out = approx_ndv_sweep_audit_lineitem(spark, sf_dir).collect()
     assert all(r.n_violations == 0 for r in out)
     assert len(out) == len(est)
+
+
+def test_listagg_top_customers_deterministic_order(spark, sf_dir):
+    """The listagg string must be the rank order (count DESC, custkey) —
+    recomputed independently — and identical across two runs."""
+    from collections import Counter
+
+    from app_insights_generator_spark.queries.relational_queries import (
+        listagg_top_customers_orders,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    rows = {r.priority: r for r in listagg_top_customers_orders(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    per = {}
+    for o in orders:
+        per.setdefault(o.o_orderpriority, Counter())[o.o_custkey] += 1
+    for prio, cnt in per.items():
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert rows[prio].top_customers == ",".join(str(k) for k, _ in top)
+        assert rows[prio].n_orders_top5 == sum(v for _, v in top)
+    again = {r.priority: r.top_customers
+             for r in listagg_top_customers_orders(spark, sf_dir).collect()}
+    assert again == {p: r.top_customers for p, r in rows.items()}
