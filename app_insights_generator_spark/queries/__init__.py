@@ -151,6 +151,7 @@ ROTATION_NEXT: list[str] = [
     "mutual_information_source_lang_documents",
     "token_budget_waterfill_documents",
     "listagg_top_customers_orders",
+    "roc_auc_quality_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

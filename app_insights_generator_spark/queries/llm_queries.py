@@ -2889,6 +2889,104 @@ ORACLES["cohens_kappa_quality_documents"] = (
 )
 
 
+# --- Quality-scorer ROC-AUC against the rule label -----------------------------
+
+
+@register(
+    "roc_auc_quality_documents",
+    """
+    WITH gq AS (SELECT doc_id, ok_word_count AS y FROM ({GOPHER})),
+    lq AS (SELECT doc_id, score_micro AS s FROM ({LINEAR})),
+    t AS (SELECT s, CASE WHEN y THEN 1 ELSE 0 END AS is_p
+          FROM gq JOIN lq USING (doc_id)),
+    g AS (SELECT s, CAST(SUM(is_p) AS BIGINT) AS cp,
+                 CAST(SUM(1 - is_p) AS BIGINT) AS cn,
+                 CAST(COUNT(*) AS BIGINT) AS cv
+          FROM t GROUP BY s),
+    c AS (SELECT cp, cn, cv,
+                 CAST(COALESCE(SUM(cv) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS f_below
+          FROM g),
+    m AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+                 CAST(SUM(cp * (2 * f_below + cv + 1)) AS BIGINT) AS r2_p
+          FROM c)
+    SELECT np, nn,
+           CAST(r2_p - np * (np + 1) AS BIGINT) AS u2_p,
+           CAST(CASE WHEN np * nn = 0 THEN 0
+                ELSE (r2_p - np * (np + 1)) * 500000 // (np * nn)
+                END AS BIGINT) AS auc_ppm
+    FROM m
+    """,
+)
+def roc_auc_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the linear quality score as a CLASSIFIER for the Gopher
+    word-count rule — the threshold-free companion to
+    cohens_kappa_quality_documents (kappa compares the two labelers at
+    their shipped thresholds; AUC asks whether the continuous score
+    RANKS rule-passing docs above failing ones at any threshold — the
+    number a curation team reads before moving a filter cutoff).
+
+    Exactness: AUC == Mann-Whitney U / (n_pos * n_neg), computed on the
+    doubled-midrank integer lattice (mannwhitney_drift's discipline: a
+    score with f_below smaller rows and cv ties has doubled average rank
+    2*f_below + cv + 1), so ties in score_micro are midranked exactly
+    and no float enters the gate; auc_ppm = 500000 means chance. The
+    oracle embeds both scorers' registered oracle SQL (the kappa
+    pattern) so the three quality gates share one definition; the
+    n_pos*n_neg = 0 degenerate encodes 0 by CASE in both engines.
+
+    Scale: two shuffle-free scorer scans, one doc_id join, one shuffle
+    to the distinct-score grid, one window over that bounded grid, one
+    scalar aggregate — the mannwhitney plan with a join in front.
+
+    Reference parity: no counterpart; §2.6 curation extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    gq = gopher_quality_rules_documents(spark, sf_dir).select(
+        "doc_id", F.expr("CASE WHEN ok_word_count THEN 1 ELSE 0 END").alias("is_p")
+    )
+    lq = quality_linear_scores_documents(spark, sf_dir).select(
+        "doc_id", F.col("score_micro").alias("s")
+    )
+    g = (
+        gq.join(lq, "doc_id")
+        .groupBy("s")
+        .agg(
+            F.sum("is_p").cast("long").alias("cp"),
+            F.sum(F.expr("1 - is_p")).cast("long").alias("cn"),
+            F.count(F.lit(1)).cast("long").alias("cv"),
+        )
+    )
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "cp",
+        "cn",
+        "cv",
+        F.coalesce(F.sum("cv").over(wcum), F.lit(0)).cast("long").alias("f_below"),
+    )
+    m = c.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cn").cast("long").alias("nn"),
+        F.sum(F.expr("cp * (2 * f_below + cv + 1)")).cast("long").alias("r2_p"),
+    )
+    return m.select(
+        "np",
+        "nn",
+        F.expr("CAST(r2_p - np * (np + 1) AS LONG)").alias("u2_p"),
+        F.expr(
+            "CAST(CASE WHEN np * nn = 0 THEN 0 "
+            "ELSE (r2_p - np * (np + 1)) * 500000 DIV (np * nn) END AS LONG)"
+        ).alias("auc_ppm"),
+    )
+
+
+ORACLES["roc_auc_quality_documents"] = (
+    ORACLES["roc_auc_quality_documents"]
+    .replace("{GOPHER}", ORACLES["gopher_quality_rules_documents"])
+    .replace("{LINEAR}", ORACLES["quality_linear_scores_documents"])
+)
+
+
 # --- Image perceptual near-dup (dHash over real decoded pixels) --------------
 
 

@@ -432,3 +432,34 @@ def test_mutual_information_matches_python_recompute(spark, sf_dir):
     # quantized entropy stays within ~2 bucket-widths of the true value
     true_hx = -sum(c / n * math.log(c / n) for c in cx.values()) * 1e12
     assert abs(got["h_source_ppm2"] - true_hx) < 0.02e12
+
+
+def test_roc_auc_matches_sklearn_free_recompute(spark, sf_dir):
+    """AUC row must equal the pairwise-comparison definition computed in
+    pure Python (wins + half-ties over n_pos*n_neg) — the independent
+    check that the doubled-midrank lattice IS the Mann-Whitney AUC."""
+    from app_insights_generator_spark.queries.llm_queries import (
+        gopher_quality_rules_documents,
+        quality_linear_scores_documents,
+        roc_auc_quality_documents,
+    )
+
+    y = {
+        r.doc_id: r.ok_word_count
+        for r in gopher_quality_rules_documents(spark, sf_dir).collect()
+    }
+    s = {
+        r.doc_id: r.score_micro
+        for r in quality_linear_scores_documents(spark, sf_dir).collect()
+    }
+    pos = [s[d] for d in y if y[d]]
+    neg = [s[d] for d in y if not y[d]]
+    assert pos and neg, "degenerate corpus: one class empty"
+    wins2 = sum(
+        2 * (p > q) + (p == q) for p in pos for q in neg
+    )  # doubled to keep ties integral
+    row = roc_auc_quality_documents(spark, sf_dir).collect()[0]
+    assert (row.np, row.nn) == (len(pos), len(neg))
+    assert row.u2_p == wins2
+    assert row.auc_ppm == wins2 * 500000 // (len(pos) * len(neg))
+    assert 0 <= row.auc_ppm <= 1000000
