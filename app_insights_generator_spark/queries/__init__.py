@@ -152,6 +152,7 @@ ROTATION_NEXT: list[str] = [
     "token_budget_waterfill_documents",
     "listagg_top_customers_orders",
     "roc_auc_quality_documents",
+    "oov_ngram_rate_by_split_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

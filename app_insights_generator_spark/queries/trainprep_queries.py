@@ -645,6 +645,116 @@ def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- OOV n-gram rate across the train/val/test split ---------------------------
+
+
+@register(
+    "oov_ngram_rate_by_split_documents",
+    """
+    WITH h AS (
+      SELECT doc_id, text,
+             substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100 < 80
+                  THEN 'train'
+                  WHEN ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM h
+    ),
+    tok AS (SELECT split, string_split(trim(text), ' ') AS t FROM sp),
+    ngr AS (
+      SELECT split, array_to_string(t[i:i+2], ' ') AS ng
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) s
+    ),
+    vocab AS (SELECT DISTINCT ng FROM ngr WHERE split = 'train'),
+    ev AS (
+      SELECT e.split, e.ng, (v.ng IS NULL) AS oov
+      FROM ngr e LEFT JOIN vocab v ON v.ng = e.ng
+      WHERE e.split <> 'train'
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+             AS BIGINT) AS oov_bp,
+           CAST(COUNT(DISTINCT ng) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CASE WHEN oov THEN ng END) AS BIGINT)
+             AS n_oov_types
+    FROM ev GROUP BY split
+    """,
+)
+def oov_ngram_rate_by_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary TRIGRAM rate of the val/test splits against the
+    train split's trigram vocabulary — the coverage statistic that says
+    whether the held-out splits actually exercise unseen context (an
+    eval set whose n-grams are all in-train measures memorization, not
+    generalization) and, symmetrically, whether a tokenizer/LM trained
+    on the train split will face unseen contexts at eval time. Emitted
+    per non-train split: occurrence and type counts, OOV counts, and the
+    occurrence-level OOV rate in basis points. (Unigram OOV is pinned 0
+    by this corpus's 30-word vocabulary — trigram types are where the
+    coverage question is non-trivial; the same lattice Heaps growth
+    measures.)
+
+    Split assignment is the portable sha256-bucket convention
+    (train_val_test_split_documents: buckets 0-79/80-89/90-99), so the
+    gate composes with every other split-keyed audit. Pure integer
+    counts end to end.
+
+    Scale: trigram explosion is one Generate per corpus scan; the vocab
+    anti-membership is a broadcast-or-shuffled left join keyed on the
+    gram (Zipf-skewed keys are AQE territory); the rollup is 2 groups.
+    No O(n^2) anywhere.
+
+    Reference parity: no counterpart; §2.6 trainprep extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    sp = docs.select(
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.split(F.trim(F.col("text")), " ").alias("t"),
+    )
+    ngr = sp.select(
+        "split",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")
+        ).alias("ng"),
+    )
+    vocab = ngr.filter(F.col("split") == "train").select("ng").distinct()
+    ev = (
+        ngr.filter(F.col("split") != "train")
+        .join(vocab.select(F.col("ng").alias("vng")), F.col("ng") == F.col("vng"), "left")
+        .select("split", "ng", F.col("vng").isNull().alias("oov"))
+    )
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum(F.expr("CASE WHEN oov THEN 1 ELSE 0 END")).cast("long").alias("n_oov"),
+        F.expr(
+            "CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) * 10000 DIV COUNT(1) AS LONG)"
+        ).alias("oov_bp"),
+        F.count_distinct("ng").cast("long").alias("n_types"),
+        F.count_distinct(F.expr("CASE WHEN oov THEN ng END"))
+        .cast("long")
+        .alias("n_oov_types"),
+    )
+
+
 # --- Water-filling token-budget allocation ------------------------------------
 
 

@@ -273,3 +273,41 @@ def test_waterfill_allocation_properties(spark, sf_dir):
     for r in rows:
         assert r.alloc_tokens == min(r.n_tokens, cap)
         assert r.capped == (r.n_tokens > cap)
+
+
+def test_oov_ngram_rate_matches_python_recompute(spark, sf_dir):
+    """OOV trigram rows must equal a pure-Python recomputation using the
+    same sha-bucket split and space tokenization."""
+    import hashlib
+    from collections import Counter
+
+    from app_insights_generator_spark.queries.trainprep_queries import (
+        oov_ngram_rate_by_split_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def split_of(doc_id):
+        b = int(hashlib.sha256(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    grams = {"train": [], "val": [], "test": []}
+    for d in docs:
+        t = d.text.strip().split(" ")
+        grams[split_of(d.doc_id)].extend(
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        )
+    vocab = set(grams["train"])
+    got = {r.split: r for r in oov_ngram_rate_by_split_documents(spark, sf_dir).collect()}
+    for split in ("val", "test"):
+        gs = grams[split]
+        if not gs:
+            assert split not in got
+            continue
+        oov = [g for g in gs if g not in vocab]
+        r = got[split]
+        assert r.n_ngrams == len(gs)
+        assert r.n_oov == len(oov)
+        assert r.oov_bp == len(oov) * 10000 // len(gs)
+        assert r.n_types == len(set(gs))
+        assert r.n_oov_types == len(set(oov))
