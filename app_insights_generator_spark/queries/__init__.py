@@ -153,6 +153,7 @@ ROTATION_NEXT: list[str] = [
     "listagg_top_customers_orders",
     "roc_auc_quality_documents",
     "oov_ngram_rate_by_split_documents",
+    "split_centroid_drift_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -2889,6 +2889,136 @@ ORACLES["cohens_kappa_quality_documents"] = (
 )
 
 
+# --- Embedding centroid drift across the train/val/test split ------------------
+
+
+@register(
+    "split_centroid_drift_embeddings",
+    """
+    WITH e AS (
+      SELECT vid, d, CAST(floor(x * 1000000) AS BIGINT) + 1000000 AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    sp AS (
+      SELECT vid,
+             CASE WHEN ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100 < 80
+                  THEN 'train'
+                  WHEN ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT DISTINCT vid,
+                   substring(sha256(CAST(vid AS VARCHAR)), 1, 4) AS hx
+            FROM e)
+    ),
+    cent AS (
+      SELECT split, d, CAST(SUM(v) // COUNT(*) AS BIGINT) - 1000000 AS c
+      FROM e JOIN sp USING (vid) GROUP BY split, d
+    ),
+    agg AS (
+      SELECT b.split AS other_split,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot_q,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS n2_train,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS n2_other
+      FROM cent a JOIN cent b ON a.d = b.d
+      WHERE a.split = 'train' AND b.split <> 'train'
+      GROUP BY b.split
+    )
+    SELECT 'train_vs_' || other_split AS pair, dot_q, n2_train, n2_other,
+           ROUND(CASE WHEN n2_train > 0 AND n2_other > 0
+                 THEN dot_q / sqrt(CAST(n2_train AS DOUBLE) * n2_other)
+                 ELSE 0.0 END + 1e-9, 6) AS cos_centroid
+    FROM agg
+    """,
+)
+def split_centroid_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between dataset splits: cosine between the
+    TRAIN split's mean embedding and each held-out split's — the
+    representation-level companion to the scalar drift family (a val set
+    whose centroid swings away from train means the split is not iid in
+    embedding space, e.g. a topic or language landed disproportionately
+    on one side of the hash). Emitted per pair: exact integer centroid
+    dot/norms and the 6dp cosine.
+
+    Exactness: vectors go through the ONE quantization home
+    (quantized_long_form: floor(x*1e6)+1e6 — the offset keeps every
+    per-dim sum positive so DIV is floor in both engines; subtracting
+    the offset AFTER the integer mean recovers the signed centroid
+    exactly). Per-dim centroid sums/means and all three inner products
+    are pure int64 — the only float is the final scalar cosine, the
+    tfidf/sqrt discipline. Headroom: c <= 2e6, c^2 * 64 dims ~ 2.6e14.
+
+    Split assignment is the portable sha256-bucket convention keyed on
+    vec_id, so the audit composes with the split-keyed document gates
+    (doc_id == vec_id in this corpus).
+
+    Scale: one corpus scan to (split, dim) partial sums (map-side
+    combine, 3*64 groups), then a dim-keyed join of two 64-row centroid
+    tables — nothing downstream of the first aggregate sees corpus-sized
+    data.
+
+    Reference parity: no counterpart; §2.4 drift extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    e = S.quantized_long_form(_embs(spark, sf_dir))
+    bucket = (
+        F.conv(
+            F.substring(F.sha2(F.col("vec_id").cast("string"), 256), 1, 4), 16, 10
+        )
+        .cast("int")
+        % 100
+    )
+    # split tags come from the source id column directly — tagging off the
+    # exploded long form would re-run the explosion for the distinct pass
+    sp = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("vid"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cent = (
+        e.join(sp, "vid")
+        .groupBy("split", "d")
+        .agg(F.expr("CAST(SUM(v) DIV COUNT(1) AS LONG) - 1000000").alias("c"))
+    )
+    a = cent.filter(F.col("split") == "train").select(
+        F.col("d").alias("ad"), F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("split") != "train").select(
+        F.col("split").alias("other_split"), "d", F.col("c").alias("cb")
+    )
+    agg = (
+        b.join(F.broadcast(a), F.col("d") == F.col("ad"))
+        .groupBy("other_split")
+        .agg(
+            F.sum(F.expr("ca * cb")).cast("long").alias("dot_q"),
+            F.sum(F.expr("ca * ca")).cast("long").alias("n2_train"),
+            F.sum(F.expr("cb * cb")).cast("long").alias("n2_other"),
+        )
+    )
+    return agg.select(
+        F.concat(F.lit("train_vs_"), F.col("other_split")).alias("pair"),
+        "dot_q",
+        "n2_train",
+        "n2_other",
+        F.round(
+            F.when(
+                (F.col("n2_train") > 0) & (F.col("n2_other") > 0),
+                F.col("dot_q")
+                / F.sqrt(F.col("n2_train").cast("double") * F.col("n2_other")),
+            ).otherwise(F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("cos_centroid"),
+    )
+
+
 # --- Quality-scorer ROC-AUC against the rule label -----------------------------
 
 

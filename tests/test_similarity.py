@@ -586,3 +586,44 @@ def test_rrf_fusion_invariants(spark, sf_dir):
         for cid, s in scores.items():
             if cid in both:
                 assert s >= 16129 + 15873
+
+
+def test_split_centroid_drift_matches_python_recompute(spark, sf_dir):
+    """Centroid rows must equal a pure-Python recomputation through the
+    same quantization (floor(x*1e6)+offset, floor-mean, offset removed),
+    and near-iid hash splits should give high centroid cosine."""
+    import hashlib
+
+    from app_insights_generator_spark.queries.llm_queries import (
+        split_centroid_drift_embeddings,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+
+    def split_of(vid):
+        b = int(hashlib.sha256(str(vid).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    import math
+
+    by_split = {}
+    for e in embs:
+        by_split.setdefault(split_of(e.vec_id), []).append(e.embedding)
+    cents = {}
+    for sp, vecs in by_split.items():
+        dim = len(vecs[0])
+        cents[sp] = [
+            sum(math.floor(float(v[d]) * 1_000_000) + 1_000_000 for v in vecs)
+            // len(vecs)
+            - 1_000_000
+            for d in range(dim)
+        ]
+    got = {r.pair: r for r in split_centroid_drift_embeddings(spark, sf_dir).collect()}
+    for other in ("val", "test"):
+        if other not in cents:
+            continue
+        a, b = cents["train"], cents[other]
+        r = got[f"train_vs_{other}"]
+        assert r.dot_q == sum(x * y for x, y in zip(a, b))
+        assert r.n2_train == sum(x * x for x in a)
+        assert r.n2_other == sum(y * y for y in b)
