@@ -154,6 +154,7 @@ ROTATION_NEXT: list[str] = [
     "roc_auc_quality_documents",
     "oov_ngram_rate_by_split_documents",
     "split_centroid_drift_embeddings",
+    "weighted_median_lineitem",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

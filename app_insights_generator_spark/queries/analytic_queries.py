@@ -83,6 +83,76 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact + approximate percentiles -----------------------------------------
 
 @register(
+    "weighted_median_lineitem",
+    f"""
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             {_x.sql_cents('l_extendedprice')} AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+          FROM t GROUP BY flag, cents),
+    c AS (
+      SELECT flag, cents, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag, MIN(cents) AS wmedian_cents, MIN(tw) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower weighted median): per return flag,
+    the smallest extended-price value whose cumulative quantity weight
+    reaches half the group's total — the robust center that answers
+    "half the UNITS ship at or below this price" (a plain median of line
+    items answers about rows, which overweights small orders). Spark has
+    no weighted percentile built-in; the distributed formulation is a
+    groupBy to the (group, value) grain, one partitioned cumulative-sum
+    window over that bounded grid, and a threshold pick — the same
+    pre-aggregate-then-window shape as ks_drift.
+
+    Exactness: prices in integer cents (the _exact discipline), weights
+    as exact integer quantities, and the lower-median rule 2*cw >= tw is
+    pure integer comparison — no interpolation, no floats, no ties to
+    break (the pick is MIN over a set defined by the inequality).
+
+    Scale: the window runs over distinct (flag, cents) — bounded by the
+    price grid, not the fact table; one exchange keyed flag.
+
+    Reference parity: none; §2.2 sorts/top-k extension next to the
+    interpolated percentile anchors.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    t = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(_x.sql_cents("l_extendedprice")).alias("cents"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("w"),
+    )
+    g = t.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
+    wcum = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("w").over(wall).cast("long").alias("tw"),
+    )
+    return (
+        c.filter(F.expr("2 * cw >= tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
     "percentiles_orders_price",
     """
     SELECT o_orderpriority,

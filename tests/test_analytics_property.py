@@ -344,3 +344,30 @@ def test_zipf_head_is_sorted_and_exact(spark, sf_dir):
     for r in rows:
         assert true_counts[r.term] == r.n
         assert r.rank_times_n == r.rank * r.n
+
+
+def test_weighted_median_matches_python_recompute(spark, sf_dir):
+    """Lower weighted median must equal the brute-force definition:
+    smallest value whose cumulative weight reaches half the total."""
+    from collections import defaultdict
+
+    from app_insights_generator_spark.queries.analytic_queries import (
+        weighted_median_lineitem,
+    )
+    from app_insights_generator_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    groups = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        cents = round(r.l_extendedprice * 100)
+        groups[r.l_returnflag][cents] += round(r.l_quantity)
+    got = {r.flag: r for r in weighted_median_lineitem(spark, sf_dir).collect()}
+    for flag, wmap in groups.items():
+        tw = sum(wmap.values())
+        cw = 0
+        for cents in sorted(wmap):
+            cw += wmap[cents]
+            if 2 * cw >= tw:
+                break
+        assert got[flag].wmedian_cents == cents
+        assert got[flag].total_weight == tw
