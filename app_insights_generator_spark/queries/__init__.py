@@ -155,6 +155,7 @@ ROTATION_NEXT: list[str] = [
     "oov_ngram_rate_by_split_documents",
     "split_centroid_drift_embeddings",
     "weighted_median_lineitem",
+    "lang_confusion_matrix_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

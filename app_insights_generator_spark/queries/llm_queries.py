@@ -291,6 +291,63 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_confusion_oracle() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT lang AS lang_true, {_lang_case_sql()} AS lang_pred,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT lang, {_lang_scores_sql()} FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT lang_true, lang_pred, n,
+           CAST(SUM(n) OVER (PARTITION BY lang_true) AS BIGINT) AS n_true,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang_true) AS BIGINT)
+             AS cell_bp
+    FROM cells
+    """
+
+
+@register("lang_confusion_matrix_documents", _lang_confusion_oracle())
+def lang_confusion_matrix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-stopword language classifier
+    against the corpus's TRUE lang column — the classifier-eval row the
+    plain prediction histogram (lang_id_documents) cannot give: which
+    languages the heuristic confuses with which (and how much lands in
+    'und'), per-true-language recall on the diagonal in basis points.
+    The eval every curation team runs before trusting a cheap lang
+    filter to route documents.
+
+    Exactness: integer cell counts; cell_bp = n * 10000 DIV row total —
+    the diagonal cell's bp IS the per-language recall. The oracle reuses
+    the registered lang_id score/argmax SQL builders, so the classifier
+    under eval is definitionally the gated one.
+
+    Scale: one corpus scan to the |langs|^2-bounded cell table, then one
+    window over that tiny grid.
+
+    Reference parity: no counterpart; §2.6 curation extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    cells = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("lang").alias("lang_true"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.sum("n").over(wrow).cast("long").alias("n_true"),
+        F.expr("CAST(n * 10000 DIV (SUM(n) OVER (PARTITION BY lang_true)) AS LONG)").alias(
+            "cell_bp"
+        ),
+    )
+
+
 def _quality_score_sql() -> str:
     """The composite quality-score expression over a ``text`` column."""
     n_toks = f"len({_TOKS})"

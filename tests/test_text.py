@@ -463,3 +463,30 @@ def test_roc_auc_matches_sklearn_free_recompute(spark, sf_dir):
     assert row.u2_p == wins2
     assert row.auc_ppm == wins2 * 500000 // (len(pos) * len(neg))
     assert 0 <= row.auc_ppm <= 1000000
+
+
+def test_lang_confusion_matrix_invariants(spark, sf_dir):
+    """Confusion cells must tile the corpus (sum n == n_docs), row
+    marginals must be consistent, and the predictions must agree with
+    the gated per-doc lang_id operator recounted independently."""
+    from collections import Counter
+
+    from app_insights_generator_spark.operators.text import lang_id
+    from app_insights_generator_spark.queries.llm_queries import (
+        lang_confusion_matrix_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    preds = docs.select(
+        F.col("lang").alias("t"), lang_id(F.col("text")).alias("p")
+    ).collect()
+    want = Counter((r.t, r.p) for r in preds)
+    rows = lang_confusion_matrix_documents(spark, sf_dir).collect()
+    assert {(r.lang_true, r.lang_pred): r.n for r in rows} == dict(want)
+    assert sum(r.n for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_true == sum(
+            n for (t, _), n in want.items() if t == r.lang_true
+        )
+        assert r.cell_bp == r.n * 10000 // r.n_true
