@@ -606,3 +606,48 @@ def test_dedup_rate_by_source_no_forced_broadcast(spark, sf_dir):
     df = QUERIES["dedup_rate_by_source_documents"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in plan, plan
+
+
+def test_round9_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-9 additions: no Cartesian
+    products, no Python evaluation anywhere (every one is built from
+    JVM expressions; scalar totals arrive as 1-row broadcasts)."""
+    for name in (
+        "sparse_dense_agreement_documents",
+        "rrf_fusion_documents",
+        "cohens_kappa_quality_documents",
+        "roc_auc_quality_documents",
+        "dedup_cluster_profile_documents",
+        "mutual_information_source_lang_documents",
+        "token_budget_waterfill_documents",
+        "oov_ngram_rate_by_split_documents",
+        "split_centroid_drift_embeddings",
+        "weighted_median_lineitem",
+        "lang_confusion_matrix_documents",
+        "listagg_top_customers_orders",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_weighted_median_window_over_grid_not_facts(spark, sf_dir):
+    """The cumulative window must consume the (flag, cents) pre-aggregate
+    (grid-bounded input), never raw lineitem: the deepest aggregate
+    prints BELOW the Window, and only the two expected hash exchanges
+    appear (grid groupBy + flag window)."""
+    plan = _plan(spark, sf_dir, "weighted_median_lineitem")
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and agg_pos != -1 and win_pos < agg_pos, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_lang_confusion_single_grid_window(spark, sf_dir):
+    """The recall window runs over the |langs|^2 cell table: the corpus
+    is scanned once, and the Window consumes the aggregate."""
+    plan = _plan(spark, sf_dir, "lang_confusion_matrix_documents")
+    assert plan.count("FileScan parquet") == 1, plan
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert win_pos != -1 and win_pos < agg_pos, plan
