@@ -1758,3 +1758,233 @@ def heaps_vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tokens", F.sum("batch_tokens").over(w).cast("long"))
         .select("batch", "new_types", "cum_types", "batch_tokens", "cum_tokens")
     )
+
+
+# --- Mann-Kendall trend test over the daily-revenue series ---------------------
+
+
+@register(
+    "mann_kendall_daily_revenue_orders",
+    f"""
+    WITH d AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_idx,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b ON b.day_idx > a.day_idx
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    tt AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY x) g
+      WHERE t > 1
+    ),
+    ss AS (SELECT CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS s_stat FROM p)
+    SELECT n AS n_days, s_stat,
+           n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+           CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                     / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z_mk
+    FROM nn, tt, ss
+    """,
+)
+def mann_kendall_daily_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test (Mann 1945, Kendall 1975)
+    on the daily order-revenue series: S = sum over day pairs i<j of
+    sign(x_j - x_i), with the tie-corrected variance
+    Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 and the standard
+    continuity-corrected normal score. The monotone-trend complement of
+    cusum_changepoint (level shift) and acf (serial correlation): MK
+    asks "is revenue drifting up or down at all?" with no linearity or
+    distribution assumption — the drift-watch statistic a curation
+    dashboard runs per source over ingest volume.
+
+    Exactness: S, n, tie18 and var18 = 18*Var(S) are pure int64 (signs
+    via an identical CASE in both engines — no SIGN() builtin, whose
+    return TYPE differs across engines); the only float is the final
+    continuity-corrected z = (S -/+ 1)/sqrt(var18/18.0) — one identical
+    IEEE division+sqrt chain on identical integers (acf discipline).
+    int64 headroom: var18 ~ 2n³ is 2.8e10 at n=2,400 days; the pair sum
+    |S| <= n(n-1)/2 ~ 2.9e6. Both calendar-bounded, not row-bounded.
+
+    Plan: one map-side-combined shuffle reduces orders to the daily
+    series (bounded by the CALENDAR, ~2,400 rows, like acf/ewma); the
+    i<j pair expansion is a broadcast nested-loop self-join of that
+    bounded grid — grid² = 5.8M sign comparisons regardless of corpus
+    size — then three 1-row aggregates. At 100 TB the daily series is
+    the same size; per-source MK adds a partition key to every step.
+
+    Reference parity: no counterpart; §2.6 time-series extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_idx")
+    ).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias("x")
+    )
+    d = d.localCheckpoint(eager=True)  # fan-out: pairs, n, ties below
+    b = d.select(F.col("day_idx").alias("b_day"), F.col("x").alias("y"))
+    p = d.join(F.broadcast(b), F.col("b_day") > F.col("day_idx")).select(
+        F.expr(
+            "CASE WHEN y > x THEN 1 WHEN y < x THEN -1 ELSE 0 END"
+        ).alias("sgn")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tt = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    ss = p.agg(
+        F.coalesce(F.sum("sgn"), F.lit(0)).cast("long").alias("s_stat")
+    )
+    return (
+        nn.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie18").alias("var18"),
+            F.expr(
+                "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+                " / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie18 AS DOUBLE) / 18.0)"
+                " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+                " / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie18 AS DOUBLE) / 18.0)"
+                " ELSE 0.0 END"
+            ).alias("z_mk"),
+        )
+    )
+
+
+# --- Holt linear-trend smoothing of the weekly-revenue series -------------------
+
+
+@register(
+    "holt_trend_weekly_revenue_orders",
+    f"""
+    WITH RECURSIVE wk AS (
+      SELECT CAST(epoch_us(o_orderdate) // 604800000000 AS BIGINT) AS week_idx,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT week_idx, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY week_idx) AS BIGINT) AS rn
+      FROM wk
+    ),
+    rec AS (
+      SELECT CAST(1 AS BIGINT) AS rn, d1.week_idx, d1.rev,
+             d1.rev AS l, d2.rev - d1.rev AS b
+      FROM d d1 JOIN d d2 ON d1.rn = 1 AND d2.rn = 2
+      UNION ALL
+      SELECT n.rn, n.week_idx, n.rev,
+             (2 * n.rev + 8 * (r.l + r.b)) // 10 AS l,
+             (((2 * n.rev + 8 * (r.l + r.b)) // 10) - r.l + 9 * r.b) // 10 AS b
+      FROM rec r JOIN d n ON n.rn = r.rn + 1
+    )
+    SELECT rn, week_idx, rev AS rev_cents, l AS level_c, b AS trend_c,
+           l + b AS forecast_c
+    FROM rec WHERE rn % 4 = 0
+    """,
+)
+def holt_trend_weekly_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt double exponential smoothing (Holt 1957) — level + linear
+    trend — over the weekly order-revenue series, alpha = 0.2, beta =
+    0.1 as exact integer rationals: l_t = (2*y_t + 8*(l+b)) / 10 and
+    b_t = ((l_t - l) + 9*b) / 10 with TRUNCATING integer division (both
+    engines truncate toward zero: Spark's grouped-map core uses an
+    explicit trunc-div — Python's // FLOORS, the cross-engine trap this
+    docstring exists to record — and DuckDB's integer // truncates).
+    Seeded l_1 = y_1, b_1 = y_2 - y_1; every 4th week emitted with its
+    one-step forecast l + b. The trend-aware upgrade of the EWMA pair
+    (ewma_daily = FIR form, ewma_user = IIR fold): Holt's recursion is
+    DATA-DEPENDENT in two coupled states, which neither a window
+    function nor a fold expresses — so the Spark side is a grouped-map
+    over the bounded series and the oracle is a WITH RECURSIVE chain,
+    the pack_next_fit twin pattern applied to time series.
+
+    Exactness: pure int64 cents throughout — no float in either engine;
+    the recursion is bit-identical by construction (trunc-div + exact
+    integer adds).
+
+    Scale: one map-side-combined shuffle reduces orders to the ~350-row
+    weekly series (CALENDAR-bounded, like acf/ewma — the series does
+    not grow with corpus size); the recursion runs in one grouped-map
+    task over that bounded series (O(weeks) Python, trivially small).
+    At 100 TB with many series, the group key becomes series_id and
+    shards parallelize exactly like pack_next_fit's.
+
+    Reference parity: no counterpart; §2.6 time-series extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000000"
+        ).alias("week_idx")
+    ).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+            "rev"
+        )
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("week_idx").reset_index(drop=True)
+        y = [int(v) for v in pdf["rev"]]
+        wkx = [int(v) for v in pdf["week_idx"]]
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=[
+                    "rn", "week_idx", "rev_cents", "level_c", "trend_c",
+                    "forecast_c",
+                ]
+            )
+
+        def tdiv(a: int, d: int) -> int:
+            # Truncate toward zero (Spark DIV / DuckDB // semantics);
+            # Python's // floors, which differs on negatives.
+            q = abs(a) // d
+            return q if a >= 0 else -q
+
+        lev, tr = y[0], y[1] - y[0]
+        out = []
+        for t in range(1, len(y)):
+            lev_new = tdiv(2 * y[t] + 8 * (lev + tr), 10)
+            tr = tdiv((lev_new - lev) + 9 * tr, 10)
+            lev = lev_new
+            rn = t + 1
+            if rn % 4 == 0:
+                out.append((rn, wkx[t], y[t], lev, tr, lev + tr))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "rn", "week_idx", "rev_cents", "level_c", "trend_c",
+                "forecast_c",
+            ],
+        )
+
+    return (
+        wk.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            _holt,
+            "rn long, week_idx long, rev_cents long, level_c long,"
+            " trend_c long, forecast_c long",
+        )
+    )
