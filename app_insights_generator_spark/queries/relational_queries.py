@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.queries import _exact as _x
-from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries import ORACLES, register
 from app_insights_generator_spark.sources import load_table
 
 
@@ -3883,6 +3883,299 @@ def clustering_coefficient_nation_trade(
             ).alias("lcc_bp"),
         )
     )
+
+
+# --- Kruskal-Wallis H test across order priorities -----------------------------------
+
+
+@register(
+    "kruskal_wallis_orders_priority",
+    f"""
+    WITH t AS (
+      SELECT o_orderpriority AS grp, {_x.sql_cents('o_totalprice')} AS x
+      FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    r AS (
+      SELECT x,
+             CAST(2 * COALESCE(SUM(cv) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cv + 1 AS BIGINT) AS r2,
+             cv
+      FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cv FROM t GROUP BY x)
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(r2) AS BIGINT) AS ranksum2
+      FROM t JOIN r USING (x) GROUP BY grp
+    ),
+    nn AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM g),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(cv * cv * cv - cv), 0) AS BIGINT) AS tie_sum
+      FROM r WHERE cv > 1
+    ),
+    sq AS (
+      SELECT CAST(SUM(ranksum2 * ranksum2 // (4 * n_i)) AS BIGINT) AS s_q
+      FROM g
+    ),
+    h AS (
+      SELECT 12 * (s_q * 1000000 // (n * (n + 1))) - 3000000 * (n + 1)
+               AS h_micro,
+             tie_sum * 1000000 // (n * n * n - n) AS c_ppm
+      FROM sq, nn, ties
+    )
+    SELECT g.grp AS o_orderpriority, g.n_i, g.ranksum2,
+           nn.n AS n_total, ties.tie_sum,
+           h.h_micro,
+           h.h_micro * 1000000 // (1000000 - h.c_ppm) AS h_corr_micro
+    FROM g, nn, ties, h
+    """,
+)
+def kruskal_wallis_orders_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) — does order price
+    differ across the five order priorities? The K-GROUP generalization
+    of the Mann-Whitney U drift test already gated: rank everything
+    jointly, H = 12/(N(N+1)) * sum R_i^2/n_i - 3(N+1), tie-corrected by
+    1 - sum(t^3-t)/(N^3-N). Emitted per group with the per-group rank
+    sums plus the shared H, so the gate pins both the sufficient
+    statistics and the statistic itself.
+
+    Exactness: tie-averaged ranks via the spearman doubled-rank grid
+    (r2 = 2*below + cv + 1, exact integers over the DISTINCT-value
+    grid); H is computed in integer micro-units with explicit
+    truncating DIVs — S_q = sum(ranksum2^2 DIV 4n_i) quantizes each
+    group term by < 1 rank unit and the DIV chain adds < 12 micro,
+    negligible against H ~ 1e6 micro, and IDENTICAL in both engines
+    (no float until nothing — the statistic itself stays integer).
+
+    int64 headroom: the 1995 calendar slice keeps N ~ 23k at sf0.1, so
+    ranksum2^2 <= (2N * n_i)^2 ~ 1.1e18 under the 9.2e18 cap (and
+    s_q * 1e6 ~ 3e18); above ~sf0.3 the per-year strata fallback (the
+    acf/bm25 discipline) splits the test by year. The year filter is
+    also the predicate-pushdown surface (PushedFilters on the scan).
+
+    Plan: one distinct-value-grid window (bounded by price cardinality),
+    one keyed join back, one 5-row group aggregate; every H input is a
+    broadcast 1-row aggregate. Nothing Cartesian, nothing Python.
+
+    Reference parity: no counterpart; §2.4 statistics extension — the
+    k-sample member of the MW-U/KS/PSI drift family.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders").filter(F.expr("year(o_orderdate) = 1995"))
+    t = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(_x.sql_cents("o_totalprice")).alias("x"),
+    )
+    cnt = t.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cv"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = cnt.select(
+        "x",
+        (2 * F.coalesce(F.sum("cv").over(wcum), F.lit(0)) + F.col("cv") + 1)
+        .cast("long")
+        .alias("r2"),
+        "cv",
+    ).localCheckpoint(eager=True)  # fan-out: group sums + tie term
+    g = (
+        t.join(r.select("x", "r2"), "x")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("r2").cast("long").alias("ranksum2"),
+        )
+        .localCheckpoint(eager=True)  # fan-out: N, S_q, output rows
+    )
+    nn = g.agg(F.sum("n_i").cast("long").alias("n"))
+    ties = (
+        r.filter(F.col("cv") > 1)
+        .agg(
+            F.coalesce(F.sum(F.expr("cv * cv * cv - cv")), F.lit(0))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    sq = g.agg(
+        F.sum(F.expr("ranksum2 * ranksum2 DIV (4 * n_i)"))
+        .cast("long")
+        .alias("s_q")
+    )
+    h = (
+        sq.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.expr(
+                "12 * (s_q * 1000000 DIV (n * (n + 1))) - 3000000 * (n + 1)"
+            ).alias("h_micro"),
+            F.expr("tie_sum * 1000000 DIV (n * n * n - n)").alias("c_ppm"),
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_i",
+            "ranksum2",
+            F.col("n").alias("n_total"),
+            "tie_sum",
+            "h_micro",
+            F.expr("h_micro * 1000000 DIV (1000000 - c_ppm)").alias(
+                "h_corr_micro"
+            ),
+        )
+    )
+
+
+# --- Adamic-Adar link prediction over the heavy-trade graph -------------------------
+
+#: Quantized reciprocal-log lookup for Adamic-Adar: degree d in [2, 1024]
+#: maps to round(1e6 / ln(d)) ppm, precomputed in PYTHON and inlined as
+#: integer literals into BOTH engines (the _IDF_PPM_1024 treatment) so no
+#: engine evaluates ln at query time; degrees above 1024 clamp to the last
+#: bucket (documented quantization, deterministic both sides). A common
+#: neighbor is adjacent to both endpoints, so its degree is >= 2 and the
+#: d < 2 singularity is unreachable.
+_AA_RECIP_PPM_SQL = ", ".join(
+    f"({d}, {round(1_000_000 / __import__('math').log(d))})"
+    for d in range(2, 1025)
+)
+
+
+@register(
+    "adamic_adar_nation_trade",
+    f"""
+    WITH aa_tbl(degree, recip_ppm) AS (VALUES {{AA_VALUES}}),
+    pairrev AS (
+      SELECT LEAST(cn.n_name, sn.n_name) AS a,
+             GREATEST(cn.n_name, sn.n_name) AS b,
+             CAST(SUM({{CENTS}}) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(cents) AS BIGINT) AS tc FROM pairrev),
+    heavy AS (SELECT a, b FROM pairrev, tot WHERE cents * np >= tc),
+    adj AS (SELECT a AS v, b AS n FROM heavy
+            UNION ALL SELECT b AS v, a AS n FROM heavy),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY v),
+    wedge AS (
+      SELECT x.n AS u, y.n AS w, x.v AS z
+      FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+      WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.a = x.n AND h.b = y.n)
+    )
+    SELECT wedge.u AS node_a, wedge.w AS node_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(t.recip_ppm) AS BIGINT) AS aa_ppm
+    FROM wedge
+    JOIN deg ON deg.v = wedge.z
+    JOIN aa_tbl t ON t.degree = LEAST(deg.degree, 1024)
+    GROUP BY wedge.u, wedge.w
+    """,
+)
+def adamic_adar_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the HEAVY
+    trade graph: undirected nation pairs whose total trade revenue is at
+    or above the all-pairs mean (integer cross-multiply cents*np >= tc —
+    no division) form the observed graph; for every NON-adjacent pair
+    the score sums 1/ln(deg(z)) over common neighbors z — shared
+    well-connected partners predict a missing link, but a hub partner
+    (high degree) counts for less than an exclusive one. The standard
+    link-prediction baseline (the graph-ML complement of the
+    descriptive graph family: pagerank ranks, LPA clusters, AA
+    PREDICTS), and the curation use is recommending which under-traded
+    lanes to investigate.
+
+    Exactness: 1/ln(d) comes from the Python-precomputed _AA_RECIP_PPM
+    integer table joined on degree (clamped at 1024), so the score is a
+    pure int64 sum — no ln in either engine (the _IDF_PPM_1024
+    discipline); the threshold, wedge enumeration, and NOT EXISTS
+    anti-join are all integer/string-keyed.
+
+    Scale: the pair-revenue aggregate is the 6-table Q7 join shape
+    (scale-bearing, map-side combined to the nation-pair grain); the
+    wedge join is keyed on the common neighbor z — sum-of-deg² work,
+    the triangle-count cost envelope — and the anti-join is keyed on
+    the candidate pair. Nothing is Cartesian; at a larger node universe
+    the known hub mitigation (cap or sample a hub's neighbor list)
+    applies per z.
+
+    Reference parity: no counterpart; §2.3 graph-family extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    pairrev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n.alias("cn"), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n.alias("sn"), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(F.col("cn.n_name") != F.col("sn.n_name"))
+        .select(
+            F.least(F.col("cn.n_name"), F.col("sn.n_name")).alias("a"),
+            F.greatest(F.col("cn.n_name"), F.col("sn.n_name")).alias("b"),
+            F.expr(_x.sql_cents("l_extendedprice")).alias("cents0"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cents0").cast("long").alias("cents"))
+    )
+    tot = pairrev.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("cents").cast("long").alias("tc"),
+    )
+    heavy = (
+        pairrev.crossJoin(F.broadcast(tot))
+        .filter(F.expr("cents * np >= tc"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # fan-out: adj, deg, anti-join below
+    )
+    adj = heavy.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        heavy.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    x = adj.select(F.col("v").alias("z"), F.col("n").alias("u"))
+    y = adj.select(F.col("v").alias("z2"), F.col("n").alias("w"))
+    wedge = (
+        x.join(y, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("w")))
+        .join(
+            heavy,
+            (F.col("a") == F.col("u")) & (F.col("b") == F.col("w")),
+            "left_anti",
+        )
+        .select("u", "w", "z")
+    )
+    aa_tbl = spark.createDataFrame(
+        [(d, round(1_000_000 / __import__("math").log(d))) for d in range(2, 1025)],
+        "d_key long, recip_ppm long",
+    )
+    return (
+        wedge.join(deg, wedge.z == deg.v)
+        .join(
+            F.broadcast(aa_tbl),
+            F.least(F.col("degree"), F.lit(1024)) == aa_tbl.d_key,
+        )
+        .groupBy(F.col("u").alias("node_a"), F.col("w").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("recip_ppm").cast("long").alias("aa_ppm"),
+        )
+    )
+
+
+ORACLES["adamic_adar_nation_trade"] = (
+    ORACLES["adamic_adar_nation_trade"]
+    .replace("{AA_VALUES}", _AA_RECIP_PPM_SQL)
+    .replace("{CENTS}", _x.sql_cents("l_extendedprice"))
+)
 
 
 # --- Herfindahl-Hirschman supplier concentration per nation ------------------------
