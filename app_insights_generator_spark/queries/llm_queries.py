@@ -5744,3 +5744,305 @@ def dedup_rate_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# --- DSIR importance-resampling weights ------------------------------------------
+
+
+@register(
+    "dsir_importance_documents",
+    f"""
+    WITH nll(bucket, nll_ppm) AS (VALUES {{NLL_VALUES}}),
+    tok AS (
+      SELECT d.doc_id, unnest({_TOKS}) AS term, d.lang
+      FROM documents d
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             {{HEX4}} % 128 AS bucket
+      FROM tok
+    ),
+    rawb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM h GROUP BY bucket),
+    tgtb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+             FROM h WHERE lang = 'en' GROUP BY bucket),
+    rtot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt FROM rawb),
+    ttot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM tgtb),
+    delta AS (
+      SELECT r.bucket,
+             nr.nll_ppm - nt.nll_ppm AS delta_ppm
+      FROM rawb r LEFT JOIN tgtb t ON t.bucket = r.bucket, rtot, ttot
+      JOIN nll nr ON nr.bucket = r.rc * 1024 // rt
+      JOIN nll nt ON nt.bucket = COALESCE(t.tc, 0) * 1024 // tt
+    ),
+    docbkt AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM h GROUP BY doc_id, bucket
+    ),
+    docw AS (
+      SELECT db.doc_id, CAST(SUM(db.c * d.delta_ppm) AS BIGINT) AS logw_ppm
+      FROM docbkt db JOIN delta d ON d.bucket = db.bucket
+      GROUP BY db.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, logw_ppm,
+             CAST(ROW_NUMBER() OVER (ORDER BY logw_ppm DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM docw
+    )
+    SELECT r.rank, r.doc_id, d.source, d.lang, r.logw_ppm
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rank <= 50
+    """,
+)
+def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023) — over hashed unigram features: build a 128-bucket
+    bag-of-words model of the TARGET distribution (the lang='en' slice,
+    standing in for "looks like the high-quality reference corpus") and
+    of the RAW corpus, score every document by its estimated importance
+    log w(x) = sum_tokens [log p_target(bucket) - log p_raw(bucket)],
+    and emit the top-50 selection — the distribution-matching data
+    selector that picks pretraining documents resembling a target
+    domain without training a classifier.
+
+    Exactness: token -> bucket is the feature_hashing md5 recipe
+    (first 4 hex digits mod 128 — cross-engine stable, no engine hash
+    builtin); each model probability is snapped to 1/1024 share buckets
+    by integer arithmetic and mapped through the Python-precomputed
+    _IDF_PPM_1024 table, so delta(bucket) = nll_raw - nll_target and
+    every doc score is a pure int64 sum of count * delta_ppm — no ln
+    and no float anywhere (the JSD/MI recipe). Buckets unseen in the
+    target snap to share-bucket 0 (nll = ln 1025), the quantizer's
+    built-in smoothing — no explicit add-one needed. int64 headroom:
+    |delta| <= 7e6 ppm, so a 1M-token doc stays below 7e12.
+
+    Scale: one explode + two bucket-grain aggregates (128 rows each —
+    the model tables BROADCAST no matter the corpus size; that fixed
+    feature width is DSIR's whole point) + one (doc, bucket) aggregate
+    joined against the broadcast delta table, then a global top-50
+    (TakeOrderedAndProject, no full sort materialization).
+
+    Reference parity: no counterpart; §2.6 curation extension — the
+    distribution-MATCHING selector next to the threshold selectors
+    (quality_linear_scores, bigram_nll) and the mixture reweighters.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(T.normalized_text(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    h = tok.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % 128)
+        .alias("bucket"),
+    ).localCheckpoint(eager=True)  # fan-out: raw model, target model, doc counts
+    rawb = h.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    tgtb = (
+        h.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    rtot = rawb.agg(F.sum("rc").cast("long").alias("rt"))
+    ttot = tgtb.agg(F.sum("tc").cast("long").alias("tt"))
+    nll = spark.createDataFrame(
+        list(enumerate(_IDF_PPM_1024)), "b long, nll_ppm long"
+    )
+    nr = nll.select(F.col("b").alias("br"), F.col("nll_ppm").alias("nllr"))
+    nt = nll.select(F.col("b").alias("bt"), F.col("nll_ppm").alias("nllt"))
+    delta = (
+        rawb.join(tgtb, "bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .join(F.broadcast(nr), F.expr("rc * 1024 DIV rt") == F.col("br"))
+        .join(
+            F.broadcast(nt),
+            F.expr("COALESCE(tc, 0) * 1024 DIV tt") == F.col("bt"),
+        )
+        .select("bucket", F.expr("nllr - nllt").alias("delta_ppm"))
+    )
+    docbkt = h.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    docw = (
+        docbkt.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("c * delta_ppm")).cast("long").alias("logw_ppm"))
+    )
+    w_rank = Window.orderBy(F.col("logw_ppm").desc(), F.col("doc_id"))
+    ranked = docw.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "doc_id",
+        "logw_ppm",
+    ).filter(F.col("rank") <= 50)
+    return ranked.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
+        "rank", "doc_id", "source", "lang", "logw_ppm"
+    )
+
+
+ORACLES["dsir_importance_documents"] = (
+    ORACLES["dsir_importance_documents"]
+    .replace("{NLL_VALUES}", _IDF_VALUES_SQL)
+    .replace(
+        "{HEX4}",
+        sql_hex_to_int("substring(md5(term), 1, 4)", 4),
+    )
+)
+
+
+# --- KMV (bottom-k) distinct-vocabulary sketch with exact audit -------------------
+
+
+@register(
+    "kmv_vocab_ndv_sources",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT d.source, unnest({_TOKS}) AS term
+      FROM documents d
+    ),
+    h AS (
+      SELECT DISTINCT source,
+             {{HEX8}} + 1 AS hv
+      FROM tok
+    ),
+    ranked AS (
+      SELECT source, hv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv)
+                  AS BIGINT) AS rk
+      FROM h
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_ndv
+      FROM tok GROUP BY source
+    ),
+    kth AS (
+      SELECT source,
+             CAST(MAX(CASE WHEN rk = 64 THEN hv END) AS BIGINT) AS kth_hash
+      FROM ranked GROUP BY source
+    ),
+    persrc AS (
+      SELECT e.source, e.exact_ndv, k.kth_hash
+      FROM exact e JOIN kth k ON k.source = e.source
+    ),
+    uh AS (
+      SELECT hv, CAST(ROW_NUMBER() OVER (ORDER BY hv) AS BIGINT) AS rk
+      FROM (SELECT DISTINCT hv FROM h)
+    ),
+    uni AS (
+      SELECT '__union__' AS source,
+             (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM tok) AS exact_ndv,
+             CAST(MAX(CASE WHEN rk = 64 THEN hv END) AS BIGINT) AS kth_hash
+      FROM uh
+    ),
+    allrows AS (
+      SELECT * FROM persrc UNION ALL SELECT * FROM uni
+    )
+    SELECT source, exact_ndv, COALESCE(kth_hash, 0) AS kth_hash,
+           CASE WHEN kth_hash IS NULL THEN exact_ndv
+                ELSE 63 * 4294967296 // kth_hash END AS kmv_est
+    FROM allrows
+    """,
+)
+def kmv_vocab_ndv_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002;
+    the theta-sketch core) over each source's token vocabulary, with
+    the exact NDV alongside as the audit anchor: hash every distinct
+    (source, term) into a 32-bit space (md5 first 8 hex digits — the
+    cross-engine-stable feature_hashing recipe), keep each source's 64
+    smallest distinct hash values, and estimate NDV = (k-1) * 2^32 /
+    h_(k). The '__union__' row merges the sketches the KMV way — the
+    union's bottom-64 IS the bottom-64 of the pooled hash sets — which
+    is the mergeability that makes bottom-k the distributed-NDV
+    workhorse (and, unlike HLL, the estimate is pure integer
+    arithmetic, so BOTH engines compute the identical sketch, kth
+    value, and estimate — no invariant-framing needed, the gap the
+    HLL queries had to audit around).
+
+    Exactness: everything is int64 — hashes in [1, 2^32], the rank-64
+    selection, and the (k-1)*2^32 DIV h_k estimate (max 63*2^32 ~
+    2.7e11). Sources with vocabulary < 64 fall back to their exact
+    count (kth IS NULL -> exact, emitted with kth_hash 0).
+
+    Scale: one explode + distinct to the (source, term) grain, one
+    distinct hash projection, and a per-source window on values that a
+    TOP-64-per-key aggregation bounds; the exact-NDV audit column is
+    the gate-scale anchor (at 100 TB the sketch IS the product and the
+    exact side runs on samples — the ann_recall/percentile_sketch
+    audit discipline).
+
+    Reference parity: no counterpart; §2.4 sketch-family extension —
+    the mergeable-bottom-k member next to HLL (bitmap), CMS (counts),
+    and the percentile sketch.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(T.normalized_text(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # fan-out: hashes + exact NDV audits
+    )
+    h = tok.select(
+        "source",
+        (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") + 1)
+        .alias("hv"),
+    ).distinct()
+    w_src = Window.partitionBy("source").orderBy("hv")
+    ranked = h.select(
+        "source", "hv", F.row_number().over(w_src).cast("long").alias("rk")
+    )
+    kth = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == 64, F.col("hv")))
+        .cast("long")
+        .alias("kth_hash")
+    )
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("term").cast("long").alias("exact_ndv")
+    )
+    persrc = exact.join(kth, "source")
+    uh = (
+        h.select("hv")
+        .distinct()
+        .select(
+            "hv",
+            F.row_number().over(Window.orderBy("hv")).cast("long").alias("rk"),
+        )
+    )
+    ukth = uh.agg(
+        F.max(F.when(F.col("rk") == 64, F.col("hv")))
+        .cast("long")
+        .alias("kth_hash")
+    )
+    uexact = tok.agg(F.countDistinct("term").cast("long").alias("exact_ndv"))
+    uni = uexact.crossJoin(F.broadcast(ukth)).select(
+        F.lit("__union__").alias("source"), "exact_ndv", "kth_hash"
+    )
+    allrows = persrc.select("source", "exact_ndv", "kth_hash").unionByName(uni)
+    return allrows.select(
+        "source",
+        "exact_ndv",
+        F.coalesce("kth_hash", F.lit(0)).cast("long").alias("kth_hash"),
+        F.expr(
+            "CASE WHEN kth_hash IS NULL THEN exact_ndv"
+            " ELSE 63 * 4294967296 DIV kth_hash END"
+        )
+        .cast("long")
+        .alias("kmv_est"),
+    )
+
+
+ORACLES["kmv_vocab_ndv_sources"] = ORACLES["kmv_vocab_ndv_sources"].replace(
+    "{HEX8}", sql_hex_to_int("substring(md5(term), 1, 8)", 8)
+)
