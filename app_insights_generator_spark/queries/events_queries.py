@@ -1924,3 +1924,142 @@ def discrete_hazard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "hazard_bp", F.expr("CAST(n_events * 10000 DIV n_risk AS LONG)")
     )
+
+
+# --- Markov next-event prediction accuracy (train/test eval) -------------------
+
+
+@register(
+    "markov_next_event_accuracy_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS to_type,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    step AS (
+      SELECT from_type, to_type,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS m
+      FROM seq WHERE to_type IS NOT NULL
+    ),
+    train AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM step WHERE rn * 10 <= m * 8
+      GROUP BY from_type, to_type
+    ),
+    pred AS (
+      SELECT from_type, to_type AS pred_type
+      FROM (SELECT from_type, to_type,
+                   ROW_NUMBER() OVER (PARTITION BY from_type
+                                      ORDER BY n DESC, to_type) AS pr
+            FROM train) p
+      WHERE pr = 1
+    ),
+    ntr AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_train
+      FROM train GROUP BY from_type
+    ),
+    test AS (SELECT from_type, to_type FROM step WHERE rn * 10 > m * 8)
+    SELECT t.from_type,
+           COALESCE(ntr.n_train, 0) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.to_type = p.pred_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.to_type = p.pred_type THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS acc_bp
+    FROM test t
+    LEFT JOIN pred p ON p.from_type = t.from_type
+    LEFT JOIN ntr ON ntr.from_type = t.from_type
+    GROUP BY t.from_type, ntr.n_train
+    """,
+)
+def markov_next_event_accuracy_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Next-event prediction accuracy of the first-order Markov model —
+    the EVALUATED companion of markov_transitions_events: train the
+    transition matrix on each user's first 80% of steps (integer split
+    rn*10 <= m*8, no float thresholds), predict the next event type as
+    the argmax transition (ties broken lexicographically), and score
+    top-1 accuracy on the held-out last 20%. This is the
+    model-eval-inside-the-engine pattern (the knn_label_accuracy /
+    roc_auc discipline): the engine both fits and scores the baseline
+    sequence model a product team would sanity-check journeys against.
+
+    Exactness: the split, argmax (ROW_NUMBER over (n DESC, to_type)),
+    match counts, and acc_bp = correct * 10000 DIV n_test are all
+    integer; test steps whose from_type never appears in train get a
+    NULL prediction and score as misses (COALESCE(n_train, 0) keeps the
+    row). Step order is (event time, event_id) — the markov_transitions
+    tie-break.
+
+    Plan: the same single per-user window shuffle as the transition
+    matrix (ROW_NUMBER/COUNT reuse its exchange), then all modeling
+    happens on the |types|^2 matrix; the test-side join is keyed on
+    from_type against a broadcast-size prediction table. Nothing after
+    the first aggregation scales with event volume.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", _us(F.col("ts")).alias("ts_us")
+    )
+    w_step = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (
+        ev.withColumn("to_type", F.lead("event_type").over(w_step))
+        .filter(F.col("to_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            "to_type",
+            "ts_us",
+            "event_id",
+        )
+    )
+    step = seq.select(
+        "from_type",
+        "to_type",
+        F.row_number().over(w_step).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("long")
+        .alias("m"),
+    ).localCheckpoint(eager=True)  # fan-out: train matrix + test steps
+    train = (
+        step.filter(F.expr("rn * 10 <= m * 8"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_arg = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type")
+    )
+    pred = (
+        train.withColumn("pr", F.row_number().over(w_arg))
+        .filter(F.col("pr") == 1)
+        .select("from_type", F.col("to_type").alias("pred_type"))
+    )
+    ntr = train.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_train")
+    )
+    test = step.filter(F.expr("rn * 10 > m * 8")).select("from_type", "to_type")
+    return (
+        test.join(F.broadcast(pred), "from_type", "left")
+        .join(F.broadcast(ntr), "from_type", "left")
+        .groupBy("from_type", F.coalesce("n_train", F.lit(0)).alias("n_train"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.expr("CASE WHEN to_type = pred_type THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "acc_bp", F.expr("CAST(n_correct * 10000 DIV n_test AS LONG)")
+        )
+    )

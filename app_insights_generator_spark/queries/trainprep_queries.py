@@ -882,6 +882,99 @@ def token_budget_waterfill_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# --- Largest-remainder (Hamilton) quota apportionment --------------------------
+
+
+@register(
+    "apportion_largest_remainder_documents",
+    """
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s),
+    q AS (
+      SELECT source, n_docs,
+             1000 * n_docs // total AS floor_quota,
+             1000 * n_docs - (1000 * n_docs // total) * total AS remainder
+      FROM s, t
+    ),
+    l AS (SELECT 1000 - CAST(SUM(floor_quota) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT source, n_docs, floor_quota, remainder,
+             CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                  AS BIGINT) AS rn
+      FROM q
+    )
+    SELECT source, n_docs, floor_quota, remainder,
+           floor_quota + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r, l
+    """,
+)
+def apportion_largest_remainder_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed 1,000-doc
+    sample budget across sources: quota_i = floor(K * c_i / N), then the
+    K - sum(floor) leftover seats go to the largest fractional
+    remainders (ties broken by source name). The EXACT-TOTAL counterpart
+    of the proportional allocators already registered: stratified/
+    systematic sampling hit each stratum's share only in expectation,
+    water-filling caps by a level — Hamilton is what a curation job uses
+    when the downstream contract is "exactly K documents, shares as
+    proportional as integer counts allow" (the classic apportionment /
+    quota method; Hamilton 1792, the same scheme behind seat allocation
+    and stratified-quota sampling).
+
+    Exactness: remainder_i = K*c_i - floor_quota_i*N is the exact
+    fractional part scaled by N — pure int64 (K*c_i <= 1e3 * corpus
+    count; at 100 TB with 1e12 docs that is 1e15, inside int64), so the
+    seat ranking is integer-deterministic in both engines; no float
+    appears anywhere in the query.
+
+    Scale: one map-side-combined count aggregate over the corpus to the
+    source grain (~20 rows); the ranking window runs on that bounded
+    facet table, never the corpus.
+
+    Reference parity: no counterpart; §2.6 trainprep extension — the
+    fourth member of the mixture/allocation family (uniform target,
+    temperature, water-filling, exact-quota).
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    t = s.agg(F.sum("n_docs").cast("long").alias("total"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.expr("1000 * n_docs DIV total").alias("floor_quota"),
+        F.expr(
+            "1000 * n_docs - (1000 * n_docs DIV total) * total"
+        ).alias("remainder"),
+    ).localCheckpoint(eager=True)  # fan-out: leftover sum + seat ranking
+    l = q.agg(
+        F.expr("1000 - CAST(SUM(floor_quota) AS BIGINT)").alias("leftover")
+    )
+    w_seat = Window.orderBy(F.col("remainder").desc(), F.col("source"))
+    r = q.select(
+        "source",
+        "n_docs",
+        "floor_quota",
+        "remainder",
+        F.row_number().over(w_seat).cast("long").alias("rn"),
+    )
+    return r.crossJoin(F.broadcast(l)).select(
+        "source",
+        "n_docs",
+        "floor_quota",
+        "remainder",
+        F.expr(
+            "floor_quota + CASE WHEN rn <= leftover THEN 1 ELSE 0 END"
+        ).alias("alloc"),
+    )
+
+
 # --- Deterministic systematic weighted sampling ------------------------------
 
 
