@@ -156,6 +156,14 @@ ROTATION_NEXT: list[str] = [
     "split_centroid_drift_embeddings",
     "weighted_median_lineitem",
     "lang_confusion_matrix_documents",
+    "mann_kendall_daily_revenue_orders",
+    "apportion_largest_remainder_documents",
+    "adamic_adar_nation_trade",
+    "dsir_importance_documents",
+    "markov_next_event_accuracy_events",
+    "kruskal_wallis_orders_priority",
+    "holt_trend_weekly_revenue_orders",
+    "kmv_vocab_ndv_sources",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -651,3 +651,55 @@ def test_lang_confusion_single_grid_window(spark, sf_dir):
     win_pos = plan.find("Window")
     agg_pos = plan.rfind("HashAggregate")
     assert win_pos != -1 and win_pos < agg_pos, plan
+
+
+def test_round9b_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-9 second-batch additions:
+    no Cartesian products, no Python evaluation (1-row totals arrive as
+    broadcast nested-loop joins, never CartesianProduct). Holt is
+    excluded — its grouped-map core is asserted separately."""
+    for name in (
+        "mann_kendall_daily_revenue_orders",
+        "apportion_largest_remainder_documents",
+        "adamic_adar_nation_trade",
+        "dsir_importance_documents",
+        "markov_next_event_accuracy_events",
+        "kruskal_wallis_orders_priority",
+        "kmv_vocab_ndv_sources",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_mann_kendall_pairs_over_daily_grid(spark, sf_dir):
+    """The i<j pair expansion must consume the calendar-bounded daily
+    pre-aggregate (an aggregate prints BELOW the nested-loop join), so
+    the grid-squared comparison never sees raw order volume."""
+    plan = _plan(spark, sf_dir, "mann_kendall_daily_revenue_orders")
+    bnlj = plan.find("BroadcastNestedLoopJoin")
+    assert bnlj != -1, plan
+    assert "HashAggregate" in plan[bnlj:], plan
+
+
+def test_holt_single_grouped_map_over_weekly_preagg(spark, sf_dir):
+    """Holt's recursion runs in exactly ONE grouped-map over the
+    calendar-bounded weekly aggregate: the plan has one
+    FlatMapGroupsInPandas and an aggregate below it (the corpus is
+    reduced BEFORE any Python), and no other Python evaluation."""
+    plan = _plan(spark, sf_dir, "holt_trend_weekly_revenue_orders")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    fmap = plan.find("FlatMapGroupsInPandas")
+    assert "HashAggregate" in plan[fmap:], plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dsir_model_tables_broadcast(spark, sf_dir):
+    """The 128-bucket delta model must reach the (doc, bucket) table as
+    a broadcast build side — a shuffled join on the model table would
+    mean the fixed-width model was not recognized as broadcastable."""
+    counts = _node_counts(spark, sf_dir, "dsir_importance_documents")
+    n_bhj = sum(v for k, v in counts.items() if "BroadcastHashJoin" in k)
+    assert n_bhj >= 3, counts  # nll x2 into delta + delta into docbkt
+    assert not any("CartesianProduct" in k for k in counts), counts

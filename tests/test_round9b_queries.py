@@ -1,0 +1,133 @@
+"""Invariant tests for the round-9 second-batch additions (Mann-Kendall,
+Hamilton apportionment, Adamic-Adar, DSIR, Markov accuracy eval,
+Kruskal-Wallis, Holt trend, KMV sketch). The cross-engine value gate is
+check_oracle/the driver; these pin the MATHEMATICAL invariants that a
+hash compare alone can't name when it fails.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from app_insights_generator_spark.queries import QUERIES
+
+
+def test_apportionment_sums_to_budget_exactly(spark, sf_dir):
+    rows = QUERIES["apportion_largest_remainder_documents"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r.alloc for r in rows) == 1000  # the Hamilton contract
+    for r in rows:
+        assert r.alloc - r.floor_quota in (0, 1), r
+        assert 0 <= r.remainder, r
+
+
+def test_mann_kendall_bounds(spark, sf_dir):
+    r = QUERIES["mann_kendall_daily_revenue_orders"](spark, sf_dir).collect()[0]
+    assert r.var18 > 0
+    assert abs(r.s_stat) <= r.n_days * (r.n_days - 1) // 2
+    # z sign agrees with S sign
+    assert (r.z_mk > 0) == (r.s_stat > 0) or r.s_stat == 0
+
+
+def test_adamic_adar_pairs_are_nonadjacent_and_positive(spark, sf_dir):
+    rows = QUERIES["adamic_adar_nation_trade"](spark, sf_dir).collect()
+    assert rows, "heavy-trade graph produced no non-adjacent candidate pairs"
+    for r in rows:
+        assert r.node_a < r.node_b
+        assert r.n_common >= 1
+        assert r.aa_ppm > 0
+
+
+def test_markov_accuracy_in_range(spark, sf_dir):
+    rows = QUERIES["markov_next_event_accuracy_events"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert 0 <= r.acc_bp <= 10000
+
+
+def test_kruskal_wallis_h_nonnegative_and_shared(spark, sf_dir):
+    rows = QUERIES["kruskal_wallis_orders_priority"](spark, sf_dir).collect()
+    assert len(rows) == 5  # the five order priorities
+    assert len({(r.h_micro, r.h_corr_micro, r.n_total) for r in rows}) == 1
+    r = rows[0]
+    # H is chi-square-like: nonnegative up to the documented < 12-micro
+    # quantization slack; tie correction (divide by 1-c) grows |H|.
+    assert r.h_micro >= -12
+    assert abs(r.h_corr_micro) >= abs(r.h_micro)
+    assert sum(x.n_i for x in rows) == r.n_total
+
+
+def test_kmv_estimate_brackets_exact_ndv(spark, sf_dir):
+    rows = QUERIES["kmv_vocab_ndv_sources"](spark, sf_dir).collect()
+    by_src = {r.source: r for r in rows}
+    assert "__union__" in by_src
+    uni = by_src.pop("__union__")
+    # union exact NDV is at most the sum and at least the max of sources
+    assert uni.exact_ndv <= sum(r.exact_ndv for r in by_src.values())
+    assert uni.exact_ndv >= max(r.exact_ndv for r in by_src.values())
+    for r in list(by_src.values()) + [uni]:
+        if r.exact_ndv >= 64:
+            # k=64 bottom-k: 1-sigma relative error ~ 1/sqrt(62) ~ 12.7%;
+            # factor-2 brackets are ~8 sigma, deterministic on this corpus.
+            assert r.exact_ndv / 2 <= r.kmv_est <= r.exact_ndv * 2, r
+        else:
+            assert r.kmv_est == r.exact_ndv, r
+
+
+def test_dsir_top50_enriched_for_target_lang(spark, sf_dir):
+    """The importance selection must actually tilt toward the target
+    (lang='en') distribution: the en share of the top-50 must beat the
+    corpus base rate (computed from the same table, so the assertion
+    holds at every SF's mix)."""
+    rows = QUERIES["dsir_importance_documents"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    en = sum(1 for r in rows if r.lang == "en")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter("lang = 'en'").count() / docs.count()
+    assert en / 50 > base, f"top-50 en share {en}/50 not above base {base:.2f}"
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, 51)
+    )
+
+
+def test_holt_trunc_div_matches_duckdb_on_negative_trend():
+    """The cross-engine trap this operator exists to document: Python //
+    FLOORS while Spark DIV and DuckDB // TRUNCATE toward zero. Replay
+    the Holt recursion on a DECREASING synthetic series (trend stays
+    negative, so the division sign case is exercised every step) with
+    the grouped-map core's trunc-div and compare state-by-state against
+    DuckDB's recursive CTE."""
+
+    def tdiv(a: int, d: int) -> int:
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    y = [1000, 900, 790, 700, 580, 500, 410, 300, 220, 100]
+    lev, tr = y[0], y[1] - y[0]
+    py_states = []
+    for t in range(1, len(y)):
+        lev_new = tdiv(2 * y[t] + 8 * (lev + tr), 10)
+        tr = tdiv((lev_new - lev) + 9 * tr, 10)
+        lev = lev_new
+        py_states.append((t + 1, lev, tr))
+
+    vals = ", ".join(f"({i + 1}, {v})" for i, v in enumerate(y))
+    sql = f"""
+    WITH RECURSIVE d(rn, rev) AS (VALUES {vals}),
+    rec AS (
+      SELECT CAST(1 AS BIGINT) AS rn, d1.rev AS l,
+             CAST(d2.rev - d1.rev AS BIGINT) AS b
+      FROM d d1 JOIN d d2 ON d1.rn = 1 AND d2.rn = 2
+      UNION ALL
+      SELECT CAST(n.rn AS BIGINT),
+             (2 * n.rev + 8 * (r.l + r.b)) // 10,
+             (((2 * n.rev + 8 * (r.l + r.b)) // 10) - r.l + 9 * r.b) // 10
+      FROM rec r JOIN d n ON n.rn = r.rn + 1
+    )
+    SELECT rn, l, b FROM rec WHERE rn > 1 ORDER BY rn
+    """
+    duck_states = [tuple(map(int, r)) for r in duckdb.sql(sql).fetchall()]
+    assert duck_states == py_states
+    assert any(tr < 0 for _, _, tr in py_states), "test series never went negative"
