@@ -164,6 +164,9 @@ ROTATION_NEXT: list[str] = [
     "kruskal_wallis_orders_priority",
     "holt_trend_weekly_revenue_orders",
     "kmv_vocab_ndv_sources",
+    "wasserstein_drift_orders_price",
+    "simpson_diversity_sources",
+    "vocab_coverage_curve_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -6046,3 +6046,93 @@ def kmv_vocab_ndv_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kmv_vocab_ndv_sources"] = ORACLES["kmv_vocab_ndv_sources"].replace(
     "{HEX8}", sql_hex_to_int("substring(md5(term), 1, 8)", 8)
 )
+
+
+# --- Vocabulary coverage curve (tokenizer budget planning) ------------------------
+
+
+@register(
+    "vocab_coverage_curve_documents",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS term FROM documents
+    ),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rn,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_types
+      FROM tc
+    ),
+    ks AS (SELECT CAST(unnest([64, 256, 1024, 4096, 16384]) AS BIGINT) AS k)
+    SELECT ks.k,
+           r.rn AS types_used,
+           r.cum AS covered_tokens,
+           r.total AS total_tokens,
+           r.cum * 10000 // r.total AS coverage_bp
+    FROM ks JOIN ranked r ON r.rn = LEAST(ks.k, r.n_types)
+    """,
+)
+def vocab_coverage_curve_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary coverage curve — what share of all corpus TOKENS a
+    top-k TYPE vocabulary covers, for k in {{64, 256, 1k, 4k, 16k}} —
+    the tokenizer-budget planning curve (how big a word-level vocab
+    must be before <unk> rates are tolerable; the empirical face of
+    Zipf's law the way heaps_vocab_growth is of Heaps'). Ranks ties
+    deterministically by (count DESC, term), and a k beyond the
+    observed vocabulary clamps to the full-vocab row (LEAST(k,
+    n_types) — coverage 100% with types_used = n_types, rather than a
+    silently missing row).
+
+    Exactness: counts, ranks, cumulative sums, and coverage_bp =
+    cum * 10000 DIV total are all int64; no float anywhere.
+
+    Plan: one explode + term-grain aggregate (map-side combined), one
+    window over the VOCABULARY grid (bounded by distinct types, not
+    token volume), one broadcast 5-row join. At 100 TB the vocab grid
+    window is the only single-partition step and is vocabulary-bounded;
+    the standard mitigation (pre-bucket by count then window within
+    bucket) applies if the type space itself explodes.
+
+    Reference parity: no counterpart; §2.6 curation extension next to
+    zipf_rank_frequency / heaps_vocab_growth / tokenizer_fertility.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(T.normalized_text(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term")
+    )
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    wall = Window.partitionBy()
+    ranked = tc.select(
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.sum("cnt")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_types"),
+    )
+    ks = spark.createDataFrame(
+        [(64,), (256,), (1024,), (4096,), (16384,)], "k long"
+    )
+    return (
+        F.broadcast(ks)
+        .join(ranked, F.expr("rn = LEAST(k, n_types)"))
+        .select(
+            "k",
+            F.col("rn").alias("types_used"),
+            F.col("cum").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.expr("cum * 10000 DIV total").alias("coverage_bp"),
+        )
+    )

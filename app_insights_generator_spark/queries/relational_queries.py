@@ -3885,6 +3885,178 @@ def clustering_coefficient_nation_trade(
     )
 
 
+# --- 1-D Wasserstein (earth mover's) drift, year over year ---------------------------
+
+
+@register(
+    "wasserstein_drift_orders_price",
+    f"""
+    WITH t AS (
+      SELECT {_x.sql_cents('o_totalprice')} AS cents,
+             CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS is_a
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    c AS (
+      SELECT cents,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      FROM t GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             LEAD(cents) OVER (ORDER BY cents) AS next_cents,
+             CAST(SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ka,
+             CAST(SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS kb,
+             CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM c
+    )
+    SELECT na, nb,
+           CAST(SUM(abs(ka * nb - kb * na) * (next_cents - cents)) AS BIGINT)
+             AS w1_scaled,
+           CAST(SUM(abs(ka * nb - kb * na) * (next_cents - cents)) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * nb) AS w1_cents
+    FROM cum WHERE next_cents IS NOT NULL
+    GROUP BY na, nb
+    """,
+)
+def wasserstein_drift_orders_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the 1995 and
+    1996 order-price distributions — the INTEGRAL drift statistic
+    completing the family: KS takes the max CDF gap (one bad quantile
+    dominates), PSI/JSD bucket first (resolution-bound), W1 integrates
+    the full CDF gap in the variable's own units (cents of price moved
+    per order), the metric most monitoring literature now recommends
+    for numeric drift. Closed form on the merged value grid:
+    W1 = sum over grid gaps |F_a - F_b| * gap.
+
+    Exactness: the KS cross-multiply discipline extended with the gap
+    weight — |k_a*n_b - k_b*n_a| * (next - cents) is exact int64 and
+    W1_scaled = their sum; the only float is one final division by
+    n_a*n_b (identical IEEE both engines). int64 headroom: the sum is
+    bounded by n_a*n_b*range ~ 3e16 at sf0.1 (two ~23k-row years,
+    ~6e7-cent range) — ~sf1 before the per-year-strata fallback.
+
+    Plan: one scan with the year predicate pushed down, one grid
+    aggregate (bounded by distinct prices), one window over the grid,
+    one 1-row final aggregate. No Cartesian, no Python.
+
+    Reference parity: no counterpart; §2.4 drift-family extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1997-01-01'"
+        )
+    )
+    t = o.select(
+        F.expr(_x.sql_cents("o_totalprice")).alias("cents"),
+        F.expr(
+            "CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END"
+        ).alias("is_a"),
+    )
+    c = t.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(F.expr("1 - is_a")).cast("long").alias("cb"),
+    )
+    w_ord = Window.orderBy("cents")
+    wcum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = c.select(
+        "cents",
+        F.lead("cents").over(w_ord).alias("next_cents"),
+        F.sum("ca").over(wcum).cast("long").alias("ka"),
+        F.sum("cb").over(wcum).cast("long").alias("kb"),
+        F.sum("ca").over(wall).cast("long").alias("na"),
+        F.sum("cb").over(wall).cast("long").alias("nb"),
+    )
+    return (
+        cum.filter(F.col("next_cents").isNotNull())
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(F.expr("abs(ka * nb - kb * na) * (next_cents - cents)"))
+            .cast("long")
+            .alias("w1_scaled")
+        )
+        .select(
+            "na",
+            "nb",
+            "w1_scaled",
+            F.expr(
+                "CAST(w1_scaled AS DOUBLE) / (CAST(na AS DOUBLE) * nb)"
+            ).alias("w1_cents"),
+        )
+    )
+
+
+# --- Simpson diversity of languages within each source --------------------------------
+
+
+@register(
+    "simpson_diversity_sources",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, lang
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS sum_cc1
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, n_langs, sum_cc1,
+           CASE WHEN n_docs >= 2
+                THEN 10000 - sum_cc1 * 10000 // (n_docs * (n_docs - 1))
+                ELSE CAST(0 AS BIGINT) END AS simpson_bp
+    FROM s
+    """,
+)
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index (Simpson 1949) of languages within each
+    source, unbiased finite-sample form D = 1 - sum c(c-1) / (N(N-1)) —
+    the probability two documents drawn WITHOUT replacement from a
+    source differ in language. The log-free twin of the entropy-based
+    facet statistics (mutual_information, lang entropy): Simpson needs
+    only integer products, so it gates exactly with no quantized-log
+    table at all — the diversity number an ingest dashboard can compute
+    in pure SQL at any scale.
+
+    Exactness: everything int64 (c(c-1) sums, one integer bp division);
+    single-doc sources take the defined 0 via the n >= 2 CASE guard
+    (the HHI zero-denominator discipline).
+
+    Plan: one map-side-combined corpus aggregate to the (source, lang)
+    grain, one facet-bounded rollup. Two shuffles of facet-sized data.
+
+    Reference parity: no counterpart; §2.4 corpus-analytics extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    s = c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.expr("cnt * (cnt - 1)")).cast("long").alias("sum_cc1"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "sum_cc1",
+        F.expr(
+            "CASE WHEN n_docs >= 2"
+            " THEN 10000 - sum_cc1 * 10000 DIV (n_docs * (n_docs - 1))"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("simpson_bp"),
+    )
+
+
 # --- Kruskal-Wallis H test across order priorities -----------------------------------
 
 
@@ -3893,7 +4065,8 @@ def clustering_coefficient_nation_trade(
     f"""
     WITH t AS (
       SELECT o_orderpriority AS grp, {_x.sql_cents('o_totalprice')} AS x
-      FROM orders WHERE year(o_orderdate) = 1995
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
     ),
     r AS (
       SELECT x,
@@ -3962,7 +4135,12 @@ def kruskal_wallis_orders_priority(
     Reference parity: no counterpart; §2.4 statistics extension — the
     k-sample member of the MW-U/KS/PSI drift family.
     Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
-    o = _t(spark, sf_dir, "orders").filter(F.expr("year(o_orderdate) = 1995"))
+    o = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1995-01-01'"
+            " AND o_orderdate < TIMESTAMP '1996-01-01'"
+        )
+    )
     t = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.expr(_x.sql_cents("o_totalprice")).alias("x"),

@@ -703,3 +703,27 @@ def test_dsir_model_tables_broadcast(spark, sf_dir):
     n_bhj = sum(v for k, v in counts.items() if "BroadcastHashJoin" in k)
     assert n_bhj >= 3, counts  # nll x2 into delta + delta into docbkt
     assert not any("CartesianProduct" in k for k in counts), counts
+
+
+def test_round9c_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-9 third-batch additions."""
+    for name in (
+        "wasserstein_drift_orders_price",
+        "simpson_diversity_sources",
+        "vocab_coverage_curve_documents",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_wasserstein_year_filter_pushed_and_grid_window(spark, sf_dir):
+    """The year predicate must reach the parquet scan, and the CDF window
+    must consume the price-grid aggregate (an aggregate below the
+    Window), never raw orders."""
+    plan = _plan(spark, sf_dir, "wasserstein_drift_orders_price")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "o_orderdate" in pushed, f"year filter not pushed: [{pushed}]"
+    win_pos = plan.find("Window")
+    assert win_pos != -1 and "HashAggregate" in plan[win_pos:], plan

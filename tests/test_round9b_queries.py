@@ -131,3 +131,36 @@ def test_holt_trunc_div_matches_duckdb_on_negative_trend():
     duck_states = [tuple(map(int, r)) for r in duckdb.sql(sql).fetchall()]
     assert duck_states == py_states
     assert any(tr < 0 for _, _, tr in py_states), "test series never went negative"
+
+
+def test_wasserstein_nonnegative_and_bounded(spark, sf_dir):
+    r = QUERIES["wasserstein_drift_orders_price"](spark, sf_dir).collect()[0]
+    assert r.w1_scaled >= 0
+    assert r.w1_cents >= 0
+    # W1 can't exceed the price range of the pooled sample
+    assert r.w1_cents == r.w1_scaled / (r.na * r.nb)
+
+
+def test_simpson_diversity_in_range(spark, sf_dir):
+    rows = QUERIES["simpson_diversity_sources"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.simpson_bp <= 10000
+        # D = 0 iff one language dominates completely
+        if r.n_langs == 1 and r.n_docs >= 2:
+            assert r.simpson_bp == 0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = sorted(
+        QUERIES["vocab_coverage_curve_documents"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [64, 256, 1024, 4096, 16384]
+    for a, b in zip(rows, rows[1:]):
+        assert a.coverage_bp <= b.coverage_bp
+        assert a.types_used <= b.types_used
+    for r in rows:
+        assert r.types_used == min(r.k, rows[-1].types_used)
+        if r.types_used == rows[-1].types_used and r.k >= rows[-1].types_used:
+            assert r.coverage_bp == 10000
