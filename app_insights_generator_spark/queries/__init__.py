@@ -167,6 +167,9 @@ ROTATION_NEXT: list[str] = [
     "wasserstein_drift_orders_price",
     "simpson_diversity_sources",
     "vocab_coverage_curve_documents",
+    "quantile_normalize_doclen_sources",
+    "fano_burstiness_event_types",
+    "ab_srm_audit_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

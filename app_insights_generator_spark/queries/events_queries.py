@@ -2063,3 +2063,179 @@ def markov_next_event_accuracy_events(
             "acc_bp", F.expr("CAST(n_correct * 10000 DIV n_test AS LONG)")
         )
     )
+
+
+# --- Fano factor (burstiness) of daily event counts per type --------------------
+
+
+@register(
+    "fano_burstiness_event_types",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT CAST(COUNT(DISTINCT day_idx) AS BIGINT) AS n_days
+             FROM daily),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS sum_c,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, sum_c, sum_c2,
+           CAST(n_days * sum_c2 - sum_c * sum_c AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * sum_c) AS fano
+    FROM m, grid
+    """,
+)
+def fano_burstiness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of the per-type
+    daily event counts — the point-process burstiness diagnostic: ~1
+    means Poisson-like arrivals, >1 means bursty (incident storms,
+    batch imports), <1 means under-dispersed (rate-limited or scheduled
+    traffic). The complement of seasonal_dow (when) and lateness (how
+    delayed): Fano says whether volume CLUMPS at all. Days a type never
+    fired are true zeros: the day grid is the corpus's observed
+    distinct-day set, so zeros enter the variance through n_days while
+    contributing nothing to the sums.
+
+    Exactness: counts and both moments are exact int64; the Fano ratio
+    (n*sum_c2 - sum_c^2) / (n*sum_c) is ONE final float division of
+    exact integers (acf discipline). int64 headroom: sum_c^2 at sf0.1
+    is ~4e8; calendar-bounded n_days keeps every term far under the
+    cap at any corpus size with a per-year strata fallback.
+
+    Plan: one map-side-combined aggregate to the (type, day) grain, a
+    1-row day-grid count broadcast onto the |types|-row moment table.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", _us(F.col("ts")).alias("ts_us")
+    )
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us DIV 86400000000").alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.localCheckpoint(eager=True)  # fan-out: grid + moments
+    grid = daily.agg(
+        F.countDistinct("day_idx").cast("long").alias("n_days")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.expr("c * c")).cast("long").alias("sum_c2"),
+    )
+    return m.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        "n_days",
+        "sum_c",
+        "sum_c2",
+        F.expr(
+            "CAST(n_days * sum_c2 - sum_c * sum_c AS DOUBLE)"
+            " / (CAST(n_days AS DOUBLE) * sum_c)"
+        ).alias("fano"),
+    )
+
+
+# --- A/B sample-ratio-mismatch (SRM) audit over a deterministic split -----------
+
+
+@register(
+    "ab_srm_audit_events",
+    f"""
+    WITH arm AS (
+      SELECT DISTINCT user_id,
+             {{HEX4}} % 2 AS b
+      FROM events
+    ),
+    per_type AS (
+      SELECT e.event_type,
+             CAST(SUM(a.b) AS BIGINT) AS n_b,
+             CAST(SUM(1 - a.b) AS BIGINT) AS n_a
+      FROM events e JOIN arm a ON a.user_id = e.user_id
+      GROUP BY e.event_type
+    ),
+    users AS (
+      SELECT '__users__' AS event_type,
+             CAST(SUM(b) AS BIGINT) AS n_b,
+             CAST(SUM(1 - b) AS BIGINT) AS n_a
+      FROM arm
+    )
+    SELECT event_type, n_a, n_b,
+           (n_a - n_b) * (n_a - n_b) AS diff_sq,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS srm_chi2
+    FROM (SELECT * FROM users UNION ALL SELECT * FROM per_type) u
+    """,
+)
+def ab_srm_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of a deterministic 50/50 A/B split —
+    the first check every experimentation platform runs before reading
+    a metric: bucket users by md5(user_id) % 2 (the repo's
+    cross-engine-stable assignment — never engine hash builtins), then
+    test arm balance with the 1-df chi-square chi2 = (n_a - n_b)^2 /
+    (n_a + n_b), on the USER grain ('__users__' row — the actual SRM
+    test) and per event type (the guardrail-metric exposure counts,
+    where imbalance means the split correlates with behavior — a
+    randomization bug even when user counts balance).
+
+    Exactness: assignment, counts, and diff_sq are int64; chi2 is one
+    final float division of exact integers (acf discipline).
+
+    Plan: one distinct to the user grain, one broadcast-ably small arm
+    table joined back to events keyed on user_id (at 100 TB this is a
+    shuffled hash join on the natural key — no skew beyond the user
+    distribution itself), two facet-bounded aggregates.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    arm = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=True)  # fan-out: user row + per-type join
+    )
+    users = arm.agg(
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(F.expr("1 - b")).cast("long").alias("n_a"),
+    ).select(F.lit("__users__").alias("event_type"), "n_b", "n_a")
+    per_type = (
+        ev.select("user_id", "event_type")
+        .join(arm, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum("b").cast("long").alias("n_b"),
+            F.sum(F.expr("1 - b")).cast("long").alias("n_a"),
+        )
+    )
+    return users.unionByName(per_type).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("(n_a - n_b) * (n_a - n_b)").alias("diff_sq"),
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)"
+        ).alias("srm_chi2"),
+    )
+
+
+from app_insights_generator_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from app_insights_generator_spark.queries._exact import (  # noqa: E402
+    sql_hex_to_int as _hex,
+)
+
+_ORACLES["ab_srm_audit_events"] = _ORACLES["ab_srm_audit_events"].replace(
+    "{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4)
+)

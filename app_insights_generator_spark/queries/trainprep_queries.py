@@ -1618,3 +1618,106 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.cteRecursionLevelLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)
+
+
+# --- Quantile normalization of doc lengths across sources ------------------------
+
+
+@register(
+    "quantile_normalize_doclen_sources",
+    """
+    WITH pooled AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS pos,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ),
+    within AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      FROM documents
+    ),
+    mapped AS (
+      SELECT w.doc_id, w.source, w.v,
+             p.v AS v_norm
+      FROM within w
+      JOIN pooled p
+        ON p.pos = CASE WHEN w.ns >= 2
+                        THEN 1 + (w.rn - 1) * (p.n - 1) // (w.ns - 1)
+                        ELSE 1 + (p.n - 1) // 2 END
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v) AS BIGINT) AS sum_before,
+           CAST(SUM(v_norm) AS BIGINT) AS sum_after,
+           CAST(MAX(ABS(v_norm - v)) AS BIGINT) AS max_abs_shift
+    FROM mapped GROUP BY source
+    """,
+)
+def quantile_normalize_doclen_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of the document-length distribution across
+    sources — each source's lengths are remapped onto the POOLED
+    distribution at the same within-source quantile (the genomics
+    batch-effect correction, used in data prep to align per-shard score
+    or length distributions before a global threshold is applied, so no
+    source is over-filtered just because its crawler truncates
+    differently). Mapping: within-source rank rn of n_s maps to pooled
+    position 1 + (rn-1)(N-1) DIV (n_s-1) (exact lower interpolation);
+    singleton sources take the pooled median position. The gate pins
+    per-source (n, sum-before, sum-after, max shift) so every mapped
+    value participates via exact integer sums.
+
+    Exactness: ranks, the position arithmetic, and all aggregates are
+    int64; ties are totally ordered by (value, doc_id) in both engines.
+
+    Plan: one global window over the pooled order (single-partition but
+    CARRIES only (v, pos, n) — at 100 TB this becomes the standard
+    two-pass distributed ranking: per-partition counts then offset
+    join, or an approx-quantile grid; documented, the equidepth
+    discipline) + one per-source window, then a position-keyed join
+    back (one shuffle).
+
+    Reference parity: no counterpart; §2.6 trainprep extension — the
+    distribution-ALIGNMENT member next to the samplers and mixers.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    docs = _t(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    pooled = docs.select(
+        F.col("n_chars").cast("long").alias("pv"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    within = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("ns"),
+    )
+    mapped = within.join(
+        pooled,
+        F.expr(
+            "pos = CASE WHEN ns >= 2"
+            " THEN 1 + (rn - 1) * (n - 1) DIV (ns - 1)"
+            " ELSE 1 + (n - 1) DIV 2 END"
+        ),
+    )
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("v").cast("long").alias("sum_before"),
+        F.sum("pv").cast("long").alias("sum_after"),
+        F.max(F.abs(F.expr("pv - v"))).cast("long").alias("max_abs_shift"),
+    )

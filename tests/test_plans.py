@@ -727,3 +727,16 @@ def test_wasserstein_year_filter_pushed_and_grid_window(spark, sf_dir):
     assert "o_orderdate" in pushed, f"year filter not pushed: [{pushed}]"
     win_pos = plan.find("Window")
     assert win_pos != -1 and "HashAggregate" in plan[win_pos:], plan
+
+
+def test_round9d_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-9 fourth-batch additions."""
+    for name in (
+        "quantile_normalize_doclen_sources",
+        "fano_burstiness_event_types",
+        "ab_srm_audit_events",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name

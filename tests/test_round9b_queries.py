@@ -164,3 +164,43 @@ def test_vocab_coverage_monotone(spark, sf_dir):
         assert r.types_used == min(r.k, rows[-1].types_used)
         if r.types_used == rows[-1].types_used and r.k >= rows[-1].types_used:
             assert r.coverage_bp == 10000
+
+
+def test_quantile_normalize_preserves_count_and_bounds(spark, sf_dir):
+    rows = QUERIES["quantile_normalize_doclen_sources"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    lo, hi = docs.selectExpr("min(n_chars)", "max(n_chars)").collect()[0]
+    for r in rows:
+        # normalized values live inside the pooled value range
+        assert r.n_docs * lo <= r.sum_after <= r.n_docs * hi, r
+        assert r.max_abs_shift >= 0
+
+
+def test_fano_positive_and_consistent(spark, sf_dir):
+    rows = QUERIES["fano_burstiness_event_types"](spark, sf_dir).collect()
+    assert rows
+    n_days = {r.n_days for r in rows}
+    assert len(n_days) == 1  # shared observed-day grid
+    for r in rows:
+        assert r.sum_c > 0 and r.sum_c2 >= r.sum_c
+        assert r.fano == (r.n_days * r.sum_c2 - r.sum_c**2) / (
+            r.n_days * r.sum_c
+        )
+        assert r.fano >= 0
+
+
+def test_ab_srm_split_is_deterministic_and_balanced(spark, sf_dir):
+    rows = QUERIES["ab_srm_audit_events"](spark, sf_dir).collect()
+    by_type = {r.event_type: r for r in rows}
+    u = by_type["__users__"]
+    assert u.n_a > 0 and u.n_b > 0
+    # md5 is uniform: a 50/50 split's SRM chi2 should be far below the
+    # p=0.001 threshold (10.8) on this deterministic corpus
+    assert u.srm_chi2 < 10.8, (u.n_a, u.n_b)
+    rerun = {
+        r.event_type: (r.n_a, r.n_b)
+        for r in QUERIES["ab_srm_audit_events"](spark, sf_dir).collect()
+    }
+    assert rerun == {r.event_type: (r.n_a, r.n_b) for r in rows}
