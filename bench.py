@@ -112,6 +112,8 @@ HEADLINE = [
     "winnowing_fingerprints_documents",    # round-7: MOSS fingerprint selection
     "semdedup_embeddings",                 # round-7: cluster-partitioned dedup
     "containment_join_documents",          # round-7: prefix-filtered containment
+    "dsir_importance_documents",           # round-9: hashed-model data selection
+    "kmv_vocab_ndv_sources",               # round-9: bottom-k NDV sketch
 ]
 
 
