@@ -170,6 +170,8 @@ ROTATION_NEXT: list[str] = [
     "quantile_normalize_doclen_sources",
     "fano_burstiness_event_types",
     "ab_srm_audit_events",
+    "mcnemar_quality_documents",
+    "ab_conversion_chi2_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

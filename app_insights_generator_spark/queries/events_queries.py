@@ -2239,3 +2239,119 @@ from app_insights_generator_spark.queries._exact import (  # noqa: E402
 _ORACLES["ab_srm_audit_events"] = _ORACLES["ab_srm_audit_events"].replace(
     "{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4)
 )
+
+
+# --- A/B conversion readout: two-proportion chi-square between arms ---------------
+
+
+@register(
+    "ab_conversion_chi2_events",
+    f"""
+    WITH arm AS (
+      SELECT DISTINCT user_id,
+             {{HEX4}} % 2 AS b
+      FROM events
+    ),
+    conv AS (
+      SELECT a.user_id, a.b,
+             MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+      FROM arm a JOIN events e ON e.user_id = a.user_id
+      GROUP BY a.user_id, a.b
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN b = 0 AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN b = 0 AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+             CAST(SUM(CASE WHEN b = 1 AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN b = 1 AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0
+      FROM conv
+    )
+    SELECT a1, a0, b1, b0,
+           a1 * 10000 // (a1 + a0) AS conv_a_bp,
+           b1 * 10000 // (b1 + b0) AS conv_b_bp,
+           CASE WHEN (a1+a0) * (b1+b0) * (a1+b1) * (a0+b0) = 0 THEN 0.0
+                ELSE CAST((a1+a0+b1+b0) AS DOUBLE)
+                     * (a1*b0 - a0*b1) * (a1*b0 - a0*b1)
+                     / (CAST((a1+a0) AS DOUBLE) * (b1+b0) * (a1+b1) * (a0+b0))
+           END AS chi2
+    FROM c
+    """,
+)
+def ab_conversion_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B READOUT on top of the SRM split: purchase conversion per
+    arm (user converted = fired at least one purchase event) and the
+    2x2 Pearson chi-square for the two-proportion test — the number an
+    experimentation dashboard prints next to every metric. Shares the
+    md5(user_id) % 2 assignment with ab_srm_audit_events, so the audit
+    and the readout can never disagree on who is in which arm.
+
+    Exactness: the contingency table and conversion rates (integer bp)
+    are int64; chi2 = N*(ad-bc)^2 / (r1*r0*c1*c0) is computed with the
+    int64 cross term (|ad-bc| <= N^2/4, squared in DOUBLE after one
+    exact integer multiply — (a1*b0 - a0*b1) stays integer, its square
+    enters the float expression) and ONE final IEEE chain identical in
+    both engines; degenerate margins return 0 via the CASE guard.
+
+    Plan: distinct-to-user arm table, one user-keyed join + per-user
+    max, then a 1-row aggregate. Same exchange family as sessionize.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    arm = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("b"),
+        )
+    )
+    conv = (
+        arm.join(ev.select("user_id", "event_type"), "user_id")
+        .groupBy("user_id", "b")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            ).alias("cv")
+        )
+    )
+    c = conv.agg(
+        F.sum(F.expr("CASE WHEN b = 0 AND cv = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("a1"),
+        F.sum(F.expr("CASE WHEN b = 0 AND cv = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("a0"),
+        F.sum(F.expr("CASE WHEN b = 1 AND cv = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b1"),
+        F.sum(F.expr("CASE WHEN b = 1 AND cv = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b0"),
+    )
+    return c.select(
+        "a1",
+        "a0",
+        "b1",
+        "b0",
+        F.expr("a1 * 10000 DIV (a1 + a0)").alias("conv_a_bp"),
+        F.expr("b1 * 10000 DIV (b1 + b0)").alias("conv_b_bp"),
+        F.expr(
+            "CASE WHEN (a1+a0) * (b1+b0) * (a1+b1) * (a0+b0) = 0 THEN 0.0"
+            " ELSE CAST((a1+a0+b1+b0) AS DOUBLE)"
+            " * (a1*b0 - a0*b1) * (a1*b0 - a0*b1)"
+            " / (CAST((a1+a0) AS DOUBLE) * (b1+b0) * (a1+b1) * (a0+b0))"
+            " END"
+        ).alias("chi2"),
+    )
+
+
+_ORACLES["ab_conversion_chi2_events"] = _ORACLES[
+    "ab_conversion_chi2_events"
+].replace("{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4))

@@ -6136,3 +6136,89 @@ def vocab_coverage_curve_documents(
             F.expr("cum * 10000 DIV total").alias("coverage_bp"),
         )
     )
+
+
+# --- McNemar's paired test between the two quality labelers ------------------------
+
+
+@register(
+    "mcnemar_quality_documents",
+    f"""
+    WITH g AS (SELECT doc_id, ok_word_count AS gk
+               FROM ({{GOPHER}})),
+    l AS (SELECT doc_id, keep AS lk
+          FROM ({{LINEAR}})),
+    j AS (SELECT gk, lk FROM g JOIN l USING (doc_id)),
+    c AS (SELECT
+            CAST(SUM(CASE WHEN gk AND NOT lk THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN NOT gk AND lk THEN 1 ELSE 0 END) AS BIGINT) AS n01
+          FROM j)
+    SELECT n10, n01,
+           (n10 - n01) * (n10 - n01) AS diff_sq,
+           CASE WHEN n10 + n01 = 0 THEN 0.0
+                ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+           END AS mcnemar_chi2,
+           CASE WHEN n10 + n01 = 0 THEN 0.0
+                ELSE CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                          AS DOUBLE) / (n10 + n01)
+           END AS mcnemar_chi2_cc
+    FROM c
+    """,
+)
+def mcnemar_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (McNemar 1947) between the two quality labelers —
+    the DIRECTIONAL companion of cohens_kappa: kappa measures agreement,
+    McNemar asks whether the DISAGREEMENTS are one-sided (does the
+    linear scorer systematically keep what the word-count rule drops,
+    or vice versa?), which is the question that decides whether swapping
+    filters shifts corpus composition or just reshuffles noise. Only the
+    discordant cells matter: chi2 = (n10-n01)^2/(n10+n01), emitted raw
+    and with the Edwards continuity correction.
+
+    Exactness: counts and diff_sq are int64; the two chi-squares are
+    single final IEEE divisions of exact integers (acf discipline) with
+    the zero-discordance CASE guard. The oracle embeds both labelers'
+    registered oracle SQL as derived tables (the kappa discipline), so
+    the three gates can never drift on a labeler's definition.
+
+    Scale: identical shape to kappa — two scorer scans, one doc_id-keyed
+    join, a 1-row aggregate.
+
+    Reference parity: no counterpart; §2.6 curation extension.
+    Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
+    g = gopher_quality_rules_documents(spark, sf_dir).select(
+        "doc_id", F.col("ok_word_count").alias("gk")
+    )
+    lin = quality_linear_scores_documents(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("lk")
+    )
+    c = g.join(lin, "doc_id").agg(
+        F.sum(F.expr("CASE WHEN gk AND NOT lk THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.expr("CASE WHEN NOT gk AND lk THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n01"),
+    )
+    return c.select(
+        "n10",
+        "n01",
+        F.expr("(n10 - n01) * (n10 - n01)").alias("diff_sq"),
+        F.expr(
+            "CASE WHEN n10 + n01 = 0 THEN 0.0"
+            " ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)"
+            " END"
+        ).alias("mcnemar_chi2"),
+        F.expr(
+            "CASE WHEN n10 + n01 = 0 THEN 0.0"
+            " ELSE CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)"
+            " AS DOUBLE) / (n10 + n01) END"
+        ).alias("mcnemar_chi2_cc"),
+    )
+
+
+ORACLES["mcnemar_quality_documents"] = (
+    ORACLES["mcnemar_quality_documents"]
+    .replace("{GOPHER}", ORACLES["gopher_quality_rules_documents"])
+    .replace("{LINEAR}", ORACLES["quality_linear_scores_documents"])
+)

@@ -740,3 +740,12 @@ def test_round9d_queries_no_cartesian_no_python(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_round9e_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-9 fifth-batch additions."""
+    for name in ("mcnemar_quality_documents", "ab_conversion_chi2_events"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name

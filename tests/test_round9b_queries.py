@@ -204,3 +204,28 @@ def test_ab_srm_split_is_deterministic_and_balanced(spark, sf_dir):
         for r in QUERIES["ab_srm_audit_events"](spark, sf_dir).collect()
     }
     assert rerun == {r.event_type: (r.n_a, r.n_b) for r in rows}
+
+
+def test_mcnemar_consistent_with_kappa_table(spark, sf_dir):
+    """McNemar's discordant cells must equal kappa's n10/n01 — the two
+    queries compose the SAME labelers, so a drift here means one of
+    them changed a labeler definition unilaterally."""
+    k = QUERIES["cohens_kappa_quality_documents"](spark, sf_dir).collect()[0]
+    m = QUERIES["mcnemar_quality_documents"](spark, sf_dir).collect()[0]
+    assert (m.n10, m.n01) == (k.n10, k.n01)
+    assert m.diff_sq == (m.n10 - m.n01) ** 2
+    if m.n10 + m.n01:
+        assert m.mcnemar_chi2_cc <= m.mcnemar_chi2 or m.diff_sq == 0
+
+
+def test_ab_conversion_shares_srm_arms(spark, sf_dir):
+    """The readout's user margins must equal the SRM audit's arm counts
+    (shared md5 assignment)."""
+    srm = {
+        r.event_type: r
+        for r in QUERIES["ab_srm_audit_events"](spark, sf_dir).collect()
+    }["__users__"]
+    c = QUERIES["ab_conversion_chi2_events"](spark, sf_dir).collect()[0]
+    assert (c.a1 + c.a0, c.b1 + c.b0) == (srm.n_a, srm.n_b)
+    assert 0 <= c.conv_a_bp <= 10000 and 0 <= c.conv_b_bp <= 10000
+    assert c.chi2 >= 0
