@@ -172,6 +172,7 @@ ROTATION_NEXT: list[str] = [
     "ab_srm_audit_events",
     "mcnemar_quality_documents",
     "ab_conversion_chi2_events",
+    "topk_churn_customers_orders",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -4539,3 +4539,96 @@ def jsd_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term_ppm2"),
         )
     )
+
+
+# --- Top-k heavy-hitter churn, year over year ------------------------------------
+
+
+@register(
+    "topk_churn_customers_orders",
+    f"""
+    WITH r95 AS (
+      SELECT o_custkey, CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    ),
+    r96 AS (
+      SELECT o_custkey, CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey
+    ),
+    t95 AS (
+      SELECT o_custkey FROM
+        (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY c DESC, o_custkey) AS rn
+         FROM r95) x WHERE rn <= 20
+    ),
+    t96 AS (
+      SELECT o_custkey FROM
+        (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY c DESC, o_custkey) AS rn
+         FROM r96) x WHERE rn <= 20
+    ),
+    ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM t95 JOIN t96 USING (o_custkey)
+    )
+    SELECT CAST(20 AS BIGINT) AS k, n_overlap,
+           n_overlap * 10000 // (40 - n_overlap) AS jaccard_bp,
+           (20 - n_overlap) * 10000 // 20 AS churn_bp
+    FROM ov
+    """,
+)
+def topk_churn_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy-hitter churn between consecutive years: the overlap,
+    Jaccard, and churn rate of the top-20 revenue customers in 1995 vs
+    1996 — the 'dimension churn' monitor that tells a dashboard whether
+    its leaderboard is stable (cache the page) or rotating (alert: the
+    business mix moved). Ranking ties break by customer key, so the two
+    sets are total-order deterministic in both engines.
+
+    Exactness: revenue cents, ranks, overlap count, and the bp ratios
+    (Jaccard = |∩| / (|A|+|B|-|∩|)) are all int64.
+
+    Plan: two year-pruned aggregates (range predicates on the raw
+    column reach the parquet scan), two TOP-20 windows over the
+    customer-grain aggregates, one key join of 20-row sets. At 100 TB
+    the per-year aggregate is the only full-data pass and the window
+    input is customer-bounded.
+
+    Reference parity: no counterpart; §2.4 monitoring extension next to
+    heavy_hitters (within-period) and the drift family (distributional).
+    Registered on ROTATION_NEXT (round-10 window; post-ORACLE_FULL
+    addendum — own gate pass + 3-session sweep, the r08 precedent)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def topk(year: int) -> DataFrame:
+        yr = o.filter(
+            F.expr(
+                f"o_orderdate >= TIMESTAMP '{year}-01-01'"
+                f" AND o_orderdate < TIMESTAMP '{year + 1}-01-01'"
+            )
+        )
+        agg = yr.groupBy("o_custkey").agg(
+            F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+                "c"
+            )
+        )
+        w = Window.orderBy(F.col("c").desc(), F.col("o_custkey"))
+        return (
+            agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("o_custkey")
+        )
+
+    ov = topk(1995).join(topk(1996), "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return ov.select(
+        F.lit(20).cast("long").alias("k"),
+        "n_overlap",
+        F.expr("n_overlap * 10000 DIV (40 - n_overlap)").alias("jaccard_bp"),
+        F.expr("(20 - n_overlap) * 10000 DIV 20").alias("churn_bp"),
+    )

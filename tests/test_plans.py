@@ -749,3 +749,15 @@ def test_round9e_queries_no_cartesian_no_python(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_topk_churn_year_filters_pushed(spark, sf_dir):
+    """Both year-pruned scans must carry range predicates on the raw
+    o_orderdate column (two pushed scans), and no Cartesian/Python."""
+    plan = _plan(spark, sf_dir, "topk_churn_customers_orders")
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate)") == 2 or (
+        "o_orderdate" in plan.split("PushedFilters: [")[1].split("]")[0]
+        and "o_orderdate" in plan.split("PushedFilters: [")[2].split("]")[0]
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -229,3 +229,10 @@ def test_ab_conversion_shares_srm_arms(spark, sf_dir):
     assert (c.a1 + c.a0, c.b1 + c.b0) == (srm.n_a, srm.n_b)
     assert 0 <= c.conv_a_bp <= 10000 and 0 <= c.conv_b_bp <= 10000
     assert c.chi2 >= 0
+
+
+def test_topk_churn_bounds(spark, sf_dir):
+    r = QUERIES["topk_churn_customers_orders"](spark, sf_dir).collect()[0]
+    assert 0 <= r.n_overlap <= 20
+    assert r.jaccard_bp == r.n_overlap * 10000 // (40 - r.n_overlap)
+    assert r.churn_bp == (20 - r.n_overlap) * 10000 // 20
