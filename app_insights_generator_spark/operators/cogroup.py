@@ -57,10 +57,30 @@ def _asof_arrays(p_us: "np.ndarray", e_us: "np.ndarray"):
     return np.where(has_prior, gap, 0), has_prior, (idx - lo).astype("int64")
 
 
+def _pruned_error_ts(errors) -> bool:
+    """True when Spark's ColumnPruning removed ts_us from the errors side.
+
+    Measured on Spark 4.1 (round 9, SCALE_SPARK_r09): when NO output
+    column's VALUES are consumed downstream (``df.count()``), Catalyst
+    prunes the cogroup children to the grouping key, so the errors table
+    arrives as just ``[user_id]`` — for both applyInPandas and
+    applyInArrow. That plan only reads output CARDINALITY, which is one
+    row per purchase regardless of the error stream, so substituting an
+    empty error stream is exact for every plan that triggers the
+    pruning. ``collect()``/sinks receive the full columns and never take
+    this path (pinned by tests/test_cogroup.py)."""
+    names = (
+        errors.schema.names if hasattr(errors, "schema") else errors.columns
+    )
+    return "ts_us" not in names
+
+
 def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
     """For each purchase row: seconds since the user's most recent error
     at-or-before it (NULL if none) and the count of errors in the
     inclusive [ts - 1h, ts] window."""
+    if _pruned_error_ts(errors):
+        errors = pd.DataFrame({"ts_us": pd.Series(dtype="int64")})
     if purchases.empty:
         return pd.DataFrame(
             {
@@ -70,8 +90,13 @@ def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.
                 "errors_1h": pd.Series(dtype="int64"),
             }
         )
+    p_us = (
+        purchases["ts_us"].to_numpy(dtype="int64")
+        if "ts_us" in purchases.columns
+        else np.zeros(len(purchases), dtype="int64")  # pruned: values unread
+    )
     gap, has_prior, n1h = _asof_arrays(
-        purchases["ts_us"].to_numpy(dtype="int64"),
+        p_us,
         errors["ts_us"].to_numpy(dtype="int64"),
     )
     gap_col = pd.array(gap, dtype="Int64")
@@ -102,10 +127,14 @@ def _merge_purchase_errors_arrow(purchases, errors):
                 "errors_1h": pa.array([], pa.int64()),
             }
         )
-    p_us = purchases.column("ts_us").combine_chunks().to_numpy()
+    p_us = (
+        purchases.column("ts_us").combine_chunks().to_numpy()
+        if "ts_us" in purchases.schema.names
+        else np.zeros(purchases.num_rows, dtype="int64")  # pruned: unread
+    )
     e_us = (
         errors.column("ts_us").combine_chunks().to_numpy()
-        if errors.num_rows
+        if errors.num_rows and not _pruned_error_ts(errors)
         else np.empty(0, dtype="int64")
     )
     gap, has_prior, n1h = _asof_arrays(p_us, e_us)

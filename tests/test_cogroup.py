@@ -68,3 +68,21 @@ def test_arrow_variant_matches_pandas(spark, sf_dir):
     a = sorted(map(tuple, asof_error_context(purchases, errors).collect()))
     b = sorted(map(tuple, asof_error_context_arrow(purchases, errors).collect()))
     assert a == b and len(a) > 0
+
+
+def test_count_survives_column_pruning(spark, sf_dir):
+    """Spark 4.1's ColumnPruning pushes below the cogroup UDF when no
+    output VALUES are consumed (df.count()), delivering the errors side
+    as just [user_id] — both UDF cores must tolerate the pruned schema
+    and still return one row per purchase (found by the round-9 sf0.1
+    robustness sweep; collect()/sinks were never affected)."""
+    from app_insights_generator_spark.operators.cogroup import (
+        asof_error_context,
+        asof_error_context_arrow,
+        purchase_error_streams,
+    )
+
+    p, e = purchase_error_streams(spark, sf_dir)
+    expected = len(asof_error_context_arrow(p, e).collect())
+    assert asof_error_context_arrow(p, e).count() == expected
+    assert asof_error_context(p, e).count() == expected
