@@ -761,3 +761,13 @@ def test_topk_churn_year_filters_pushed(spark, sf_dir):
     ), plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_normalize_never_reads_text(spark, sf_dir):
+    """The length-only operator must not scan the wide text column — at
+    100 TB `text` IS the table; reading it for an n_chars computation
+    would multiply the scan cost by orders of magnitude."""
+    plan = _plan(spark, sf_dir, "quantile_normalize_doclen_sources")
+    for ln in plan.splitlines():
+        if "FileScan parquet" in ln:
+            assert "text" not in ln.split("ReadSchema")[0], ln
