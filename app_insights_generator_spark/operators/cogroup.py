@@ -90,9 +90,17 @@ def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.
                 "errors_1h": pd.Series(dtype="int64"),
             }
         )
+    # ANY non-key input column can be absent under cardinality-only plans
+    # (the SCALE.md house rule; ADVICE r09 item 2 extends the ts_us guard
+    # to event_id) — values are unread under such plans, so zeros are exact.
     p_us = (
         purchases["ts_us"].to_numpy(dtype="int64")
         if "ts_us" in purchases.columns
+        else np.zeros(len(purchases), dtype="int64")  # pruned: values unread
+    )
+    ev_id = (
+        purchases["event_id"].to_numpy(dtype="int64")
+        if "event_id" in purchases.columns
         else np.zeros(len(purchases), dtype="int64")  # pruned: values unread
     )
     gap, has_prior, n1h = _asof_arrays(
@@ -104,7 +112,7 @@ def _merge_purchase_errors(purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.
     return pd.DataFrame(
         {
             "user_id": purchases["user_id"].to_numpy(dtype="int64"),
-            "event_id": purchases["event_id"].to_numpy(dtype="int64"),
+            "event_id": ev_id,
             "gap_s": gap_col,
             "errors_1h": n1h,
         }
@@ -132,6 +140,13 @@ def _merge_purchase_errors_arrow(purchases, errors):
         if "ts_us" in purchases.schema.names
         else np.zeros(purchases.num_rows, dtype="int64")  # pruned: unread
     )
+    ev_id = (
+        purchases.column("event_id").combine_chunks()
+        if "event_id" in purchases.schema.names
+        else pa.array(  # pruned: values unread (ADVICE r09 item 2)
+            np.zeros(purchases.num_rows, dtype="int64"), pa.int64()
+        )
+    )
     e_us = (
         errors.column("ts_us").combine_chunks().to_numpy()
         if errors.num_rows and not _pruned_error_ts(errors)
@@ -141,7 +156,7 @@ def _merge_purchase_errors_arrow(purchases, errors):
     return pa.table(
         {
             "user_id": purchases.column("user_id").combine_chunks(),
-            "event_id": purchases.column("event_id").combine_chunks(),
+            "event_id": ev_id,
             "gap_s": pa.array(gap, pa.int64(), mask=~has_prior),
             "errors_1h": pa.array(n1h, pa.int64()),
         }
@@ -168,6 +183,24 @@ def purchase_error_streams(spark, sf_dir: str):
     return purchases, errors
 
 
+def _require_columns(df: DataFrame, needed: tuple[str, ...], side: str) -> None:
+    """Eager schema validation at the API boundary (ADVICE r09 item 3):
+    the worker-side cores tolerate ANY missing non-key column because
+    Catalyst legitimately prunes them under cardinality-only plans — so
+    a caller passing a genuinely mis-shaped DataFrame would otherwise
+    get silently wrong output (all gaps NULL, errors_1h=0) instead of
+    an error. Here the FULL pre-pruning schema is visible, so a missing
+    column is always a caller bug."""
+    missing = [c for c in needed if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"asof_error_context: {side} DataFrame is missing column(s) "
+            f"{missing}; required schema is {list(needed)} (got "
+            f"{df.columns}). Build inputs with purchase_error_streams() "
+            "or precompute ts_us = unix_micros(ts) JVM-side."
+        )
+
+
 def asof_error_context(purchases: DataFrame, errors: DataFrame) -> DataFrame:
     """Cogroup two per-user event streams and merge them as-of.
 
@@ -175,6 +208,8 @@ def asof_error_context(purchases: DataFrame, errors: DataFrame) -> DataFrame:
     needs (user_id, ts_us) — ts_us = unix_micros(ts), precomputed
     JVM-side so the Python worker never touches timestamp objects.
     """
+    _require_columns(purchases, ("user_id", "event_id", "ts_us"), "purchases")
+    _require_columns(errors, ("user_id", "ts_us"), "errors")
     return (
         purchases.groupBy("user_id")
         .cogroup(errors.groupBy("user_id"))
@@ -188,6 +223,8 @@ def asof_error_context_arrow(purchases: DataFrame, errors: DataFrame) -> DataFra
     serialization layer cheaper (no pandas Block construction per
     group); result equality is pinned in tests/test_cogroup.py and the
     per-round delta is measured in bench.py."""
+    _require_columns(purchases, ("user_id", "event_id", "ts_us"), "purchases")
+    _require_columns(errors, ("user_id", "ts_us"), "errors")
     return (
         purchases.groupBy("user_id")
         .cogroup(errors.groupBy("user_id"))

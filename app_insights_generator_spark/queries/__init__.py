@@ -61,89 +61,24 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02-r08's rows are exactly positions 0-49 of this dict).
+# CORRECTNESS_r02-r09's rows are exactly positions 0-49 of this dict).
 #
-# Round-9 rotation: (a) the 9 never-driver-sampled round-8 post-sweep
-# additions (the ROUND-9 ROTATION CHECKLIST — the only registry entries
-# without a driver row after the r08 window; all carry local oracle-green
-# at sf0.01 (+sf0.1 where the oracle is tractable) plus the 3-fresh-
-# session zero-flip sweep GATE_SWEEP_r08b). (b) 41 r-green padding rows,
-# preferring queries whose code paths round 9 touches: the graph family
-# (checkpoint_dir plumbing across all 10 algorithms, graph.py), the
-# kmeans/similarity family (checkpoint_dir + the semdedup empty-path
-# schema fix, similarity.py), the dedup family (shared pin helper,
-# operators/checkpointing.py), trainprep (the cteRecursionLevelLimit
-# restore), llm_queries (the dedup_rate broadcast fix lands in the same
-# file as tfidf/bigram scoring), the insights-sweep core (the wide-sweep
-# calibrated-number watch item, VERDICT r08 #3), and a core spread tail.
+# Round-10 rotation (VERDICT r09 item #1): (a) ALL 29 never-driver-sampled
+# round-9 post-sweep additions — the entire r09 ROTATION_NEXT, the only
+# registry entries without a driver row; each carries local oracle-green at
+# sf0.01 (+sf0.1 where the oracle is tractable), a 3-fresh-session
+# zero-flip sweep (GATE_SWEEP_r09b–g), and a clean sf0.1 Spark-side run
+# (SCALE_SPARK_r09). A green window makes the whole 322-query registry
+# driver-confirmed for the first time. (b) 21 r-green padding rows,
+# preferring queries whose code paths round 10 touches: the
+# similarity/ANN family (persist-and-refresh index surface lands in
+# similarity.py — VERDICT item #4), the cogroup as-of family (event_id
+# pruning guard + eager schema validation — ADVICE items 2–3), trainprep
+# (the quantile-normalization equi-join fix — ADVICE item 1 — plus the
+# packing family sharing that file), the incremental-dedup pattern the new
+# ANN probe mirrors, the insights-sweep core, and a core spread tail.
 _GATE_PRIORITY = [
-    # (a) the 9 round-9 rotation queries (r08 ROTATION_NEXT order)
-    "approx_ndv_sweep_audit_lineitem",
-    "pack_next_fit_documents",
-    "heaps_vocab_growth_documents",
-    "bigram_nll_quality_documents",
-    "top_pc_power_iteration_embeddings",
-    "knn_label_accuracy_embeddings",
-    "pack_next_fit_sql_documents",
-    "jsd_drift_orders_price",
-    "dedup_rate_by_source_documents",
-    # (b1) graph family -- re-confirmation after checkpoint_dir plumbing
-    "pagerank_nation_trade",
-    "bfs_depth_nation_trade",
-    "triangle_count_nation_trade",
-    "sssp_nation_trade",
-    "kcore_documents_graph",
-    "label_propagation_nation_trade",
-    "hits_nation_trade",
-    "ppr_nation_trade",
-    "clustering_coefficient_nation_trade",
-    "dedup_components_star_documents",
-    # (b2) kmeans/similarity family -- checkpoint_dir + semdedup empty path
-    "kmeans_clusters_embeddings",
-    "kmeans_parallel_init_embeddings",
-    "semdedup_embeddings",
-    "ann_topk_ivf_embeddings",
-    "ann_recall_ivf_embeddings",
-    "pq_codes_embeddings",
-    "pq_adc_search_embeddings",
-    "similarity_join_lsh_embeddings",
-    "oracle_exact_cosine_pairs",
-    "matryoshka_recall_embeddings",
-    # (b3) dedup family -- now on the shared pin helper
-    "dedup_exact_documents",
-    "dedup_minhash_documents",
-    "dedup_components_documents",
-    "dedup_simhash_documents",
-    "jaccard_join_prefix_documents",
-    "dedup_incremental_minhash_documents",
-    "containment_join_documents",
-    "winnowing_fingerprints_documents",
-    "curation_pipeline_documents",
-    # (b4) trainprep -- cteRecursionLevelLimit scope fix lives here
-    "pack_documents_token_budget",
-    "chunk_spans_documents",
-    "leakage_safe_split_documents",
-    # (b5) llm_queries co-residents of the dedup_rate fix
-    "tfidf_neighbors_documents",
-    "lm_quality_bigram_documents",
-    # (b6) insights-sweep core -- the calibrated wide-sweep watch item
-    "insights_sweep_lineitem",
-    "insights_sweep_lineitem_loop",
-    "insights_sweep_lineitem_wide",
-    "insights_sweep_lineitem_wide_lowcard",
-    "insights_sweep_orders",
-    # (b7) core spread
-    "q1_pricing_summary",
-    "tumbling_window_events",
-]
-
-# ROUND-10 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
-# lived in SURVEY.md prose, the bookkeeping class that silently dropped
-# multimodal_gif_codec_features in r06). Every query registered after this
-# round's definitive gate sweep MUST be appended here the moment it is
-# registered; tests/test_registry.py pins "never-driver-sampled implies
-# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
-ROTATION_NEXT: list[str] = [
+    # (a) the 29 round-10 rotation queries (r09 ROTATION_NEXT order)
     "sparse_dense_agreement_documents",
     "rrf_fusion_documents",
     "cohens_kappa_quality_documents",
@@ -173,10 +108,49 @@ ROTATION_NEXT: list[str] = [
     "mcnemar_quality_documents",
     "ab_conversion_chi2_events",
     "topk_churn_customers_orders",
+    # (b1) similarity/ANN family -- persist-and-refresh lands in this file
+    "ann_topk_ivf_embeddings",
+    "ann_recall_ivf_embeddings",
+    "pq_codes_embeddings",
+    "pq_adc_search_embeddings",
+    "semdedup_embeddings",
+    "kmeans_clusters_embeddings",
+    "similarity_join_lsh_embeddings",
+    "oracle_exact_cosine_pairs",
+    # (b2) cogroup as-of family -- pruning guard + eager validation
+    "cogroup_purchase_error_asof_events",
+    "asof_join_purchase_signup",
+    # (b3) trainprep -- quantile-norm equi-join fix lives in this file
+    "pack_documents_token_budget",
+    "chunk_spans_documents",
+    "leakage_safe_split_documents",
+    "pack_next_fit_sql_documents",
+    "pack_next_fit_documents",
+    # (b4) incremental-dedup pattern the new ANN probe mirrors
+    "dedup_incremental_minhash_documents",
+    "dedup_exact_documents",
+    # (b5) insights-sweep core + core spread
+    "insights_sweep_lineitem",
+    "insights_sweep_orders",
+    "q1_pricing_summary",
+    "tumbling_window_events",
 ]
+
+# ROUND-11 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
+# lived in SURVEY.md prose, the bookkeeping class that silently dropped
+# multimodal_gif_codec_features in r06). Every query registered after this
+# round's definitive gate sweep MUST be appended here the moment it is
+# registered; tests/test_registry.py pins "never-driver-sampled implies
+# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
+ROTATION_NEXT: list[str] = []
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"
+
+# ADVICE r09 item 4: a ROTATION_NEXT typo must fail at import time, not
+# surface a round later when the rotation is promoted into the window.
+_missing_rot = [n for n in ROTATION_NEXT if n not in QUERIES]
+assert not _missing_rot, f"ROTATION_NEXT names not registered: {_missing_rot}"
 
 _front = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _rest = {n: fn for n, fn in QUERIES.items() if n not in _front}

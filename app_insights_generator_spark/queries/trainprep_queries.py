@@ -1626,10 +1626,10 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quantile_normalize_doclen_sources",
     """
-    WITH pooled AS (
+    WITH total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    pooled AS (
       SELECT CAST(n_chars AS BIGINT) AS v,
-             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS pos,
-             CAST(COUNT(*) OVER () AS BIGINT) AS n
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS pos
       FROM documents
     ),
     within AS (
@@ -1639,14 +1639,18 @@ def pack_next_fit_sql_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
       FROM documents
     ),
-    mapped AS (
+    targeted AS (
       SELECT w.doc_id, w.source, w.v,
+             CASE WHEN w.ns >= 2
+                  THEN 1 + (w.rn - 1) * (t.n - 1) // (w.ns - 1)
+                  ELSE 1 + (t.n - 1) // 2 END AS target_pos
+      FROM within w CROSS JOIN total t
+    ),
+    mapped AS (
+      SELECT g.doc_id, g.source, g.v,
              p.v AS v_norm
-      FROM within w
-      JOIN pooled p
-        ON p.pos = CASE WHEN w.ns >= 2
-                        THEN 1 + (w.rn - 1) * (p.n - 1) // (w.ns - 1)
-                        ELSE 1 + (p.n - 1) // 2 END
+      FROM targeted g
+      JOIN pooled p ON p.pos = g.target_pos
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1675,24 +1679,29 @@ def quantile_normalize_doclen_sources(
     int64; ties are totally ordered by (value, doc_id) in both engines.
 
     Plan: one global window over the pooled order (single-partition but
-    CARRIES only (v, pos, n) — at 100 TB this becomes the standard
+    CARRIES only (v, pos) — at 100 TB this becomes the standard
     two-pass distributed ranking: per-partition counts then offset
     join, or an approx-quantile grid; documented, the equidepth
-    discipline) + one per-source window, then a position-keyed join
-    back (one shuffle).
+    discipline) + one per-source window; the 1-row corpus count is
+    broadcast-cross-joined onto the within side so target_pos is
+    computable there alone, and the map back to pooled is a true
+    EQUI-join on pos == target_pos (shuffled hash/sort-merge join, one
+    shuffle). ADVICE r09 item 1: the previous form referenced pooled's
+    n inside the CASE, which Catalyst could only plan as a
+    BroadcastNestedLoopJoin broadcasting the corpus-sized pooled table
+    — O(|within|x|pooled|). Plan-guarded in tests/test_plans.py.
 
     Reference parity: no counterpart; §2.6 trainprep extension — the
     distribution-ALIGNMENT member next to the samplers and mixers.
     Registered on ROTATION_NEXT (round-10 window; post-sweep addition)."""
     docs = _t(spark, sf_dir, "documents")
-    wall = Window.partitionBy()
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     pooled = docs.select(
         F.col("n_chars").cast("long").alias("pv"),
         F.row_number()
         .over(Window.orderBy("n_chars", "doc_id"))
         .cast("long")
         .alias("pos"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
     )
     within = docs.select(
         "doc_id",
@@ -1707,14 +1716,17 @@ def quantile_normalize_doclen_sources(
         .cast("long")
         .alias("ns"),
     )
-    mapped = within.join(
-        pooled,
+    targeted = within.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "source",
+        "v",
         F.expr(
-            "pos = CASE WHEN ns >= 2"
+            "CASE WHEN ns >= 2"
             " THEN 1 + (rn - 1) * (n - 1) DIV (ns - 1)"
             " ELSE 1 + (n - 1) DIV 2 END"
-        ),
+        ).alias("target_pos"),
     )
+    mapped = targeted.join(pooled, targeted.target_pos == pooled.pos)
     return mapped.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("v").cast("long").alias("sum_before"),

@@ -86,3 +86,55 @@ def test_count_survives_column_pruning(spark, sf_dir):
     expected = len(asof_error_context_arrow(p, e).collect())
     assert asof_error_context_arrow(p, e).count() == expected
     assert asof_error_context(p, e).count() == expected
+
+
+def test_cores_tolerate_fully_pruned_purchases():
+    """House rule (SCALE.md, ADVICE r09 item 2): ANY non-key input column
+    can be absent under cardinality-only plans — including event_id on
+    the purchases side, which no Spark version prunes TODAY but a future
+    one may (errors already arrives as [user_id] under count()). Both
+    UDF cores must produce one row per purchase from a purchases frame
+    carrying ONLY the grouping key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from app_insights_generator_spark.operators.cogroup import (
+        _merge_purchase_errors,
+        _merge_purchase_errors_arrow,
+    )
+
+    p_pd = pd.DataFrame({"user_id": np.array([7, 7, 7], dtype="int64")})
+    e_pd = pd.DataFrame({"user_id": np.array([7], dtype="int64")})
+    out = _merge_purchase_errors(p_pd, e_pd)
+    assert len(out) == 3 and list(out.columns) == [
+        "user_id", "event_id", "gap_s", "errors_1h",
+    ]
+
+    p_pa = pa.table({"user_id": pa.array([7, 7, 7], pa.int64())})
+    e_pa = pa.table({"user_id": pa.array([7], pa.int64())})
+    out_pa = _merge_purchase_errors_arrow(p_pa, e_pa)
+    assert out_pa.num_rows == 3
+
+
+def test_misshaped_input_raises_eagerly(spark, sf_dir):
+    """ADVICE r09 item 3: the permissive pruning fallback must be
+    reachable only via plan-level pruning — a CALLER passing a
+    DataFrame without ts_us/event_id gets a loud ValueError at the API
+    boundary (full pre-pruning schema visible there), never silently
+    NULL gaps."""
+    import pytest
+
+    from app_insights_generator_spark.operators.cogroup import (
+        asof_error_context,
+        asof_error_context_arrow,
+        purchase_error_streams,
+    )
+
+    p, e = purchase_error_streams(spark, sf_dir)
+    with pytest.raises(ValueError, match="errors DataFrame is missing"):
+        asof_error_context(p, e.select("user_id"))
+    with pytest.raises(ValueError, match="purchases DataFrame is missing"):
+        asof_error_context(p.drop("event_id"), e)
+    with pytest.raises(ValueError, match="errors DataFrame is missing"):
+        asof_error_context_arrow(p, e.select("user_id"))

@@ -608,6 +608,29 @@ def test_dedup_rate_by_source_no_forced_broadcast(spark, sf_dir):
     assert "strategy=broadcast" not in plan, plan
 
 
+def test_quantile_normalize_equijoin_not_bnlj(spark, sf_dir):
+    """ADVICE r09 item 1: the pooled-position map-back must be a keyed
+    equi-join (pos == target_pos, computable from the within side after
+    the 1-row count broadcast) — never a BroadcastNestedLoopJoin that
+    broadcasts the corpus-sized pooled table and evaluates the CASE
+    O(|within|x|pooled|)."""
+    plan = _plan(spark, sf_dir, "quantile_normalize_doclen_sources")
+    assert "CartesianProduct" not in plan, plan
+    # The pooled map-back must be hash-keyed on the position columns.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    # The only nested-loop node allowed is the Cross join whose build side
+    # is the 1-row global-count aggregate (IdentityBroadcastMode over a
+    # keyless HashAggregate) — never the corpus-sized pooled/window table.
+    nodes = _phys_tree(spark, sf_dir, "quantile_normalize_doclen_sources")
+    bnljs = [n for cls, n in nodes if cls == "BroadcastNestedLoopJoinExec"]
+    for j in bnljs:
+        side = 0 if "BuildLeft" in j.buildSide().toString() else 1
+        build = j.children().apply(side).toString()
+        assert "Window" not in build and "count(1)" in build, build[:400]
+
+
 def test_round9_queries_no_cartesian_no_python(spark, sf_dir):
     """Blanket structural guard for the round-9 additions: no Cartesian
     products, no Python evaluation anywhere (every one is built from
