@@ -255,6 +255,170 @@ def ann_topk_ivf(
     )
 
 
+# --- IVF index persist-and-refresh (round 10, VERDICT r09 item 4) -----------
+#
+# The build-once / serve-and-refresh operational half of similarity search:
+# ann_topk_ivf refits its coarse quantizer on every call, which is fine for
+# a one-shot query but wrong for the 100 TB serving loop, where the index
+# is fitted ONCE, written to reliable storage, and every later ingest batch
+# is assigned to the FROZEN centroids (O(batch), no refit) while queries
+# probe the persisted lists. Mirrors the incremental-dedup pattern
+# (operators/dedup.py build_band_index / incremental_near_dedup): the
+# persisted artifact is the thing that makes the daily job O(batch).
+#
+# On-disk layout under ``index_dir``:
+#   centroids/  one small parquet [list_id int, centroid array<double>]
+#   lists/      assignments [id long, vec array<...>] PARTITIONED BY
+#               list_id — a probe filters on the partition column, so the
+#               scan reads n_probe/n_lists of the data via partition
+#               pruning (plan-guarded in tests/test_plans.py).
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+):
+    """Fit the IVF coarse quantizer once and assign every corpus vector.
+
+    The k-means fit runs on a DETERMINISTIC driver-side sample (first
+    ``sample_size`` rows by ``id_col`` — bounded driver state, same
+    discipline as ann_recall_ivf's gate); assignment is one Arrow-batched
+    map pass over the corpus. Returns ``(centroids, assigned)`` where
+    ``assigned`` is [id, vec, list_id] ready for a partitioned write."""
+    sample = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    vectors = np.array([r[0] for r in sample], dtype=np.float64)
+    centroids = _kmeans_centroids(vectors, n_lists, seed=seed)
+    assign = ivf_assign_udf(centroids)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    return centroids, assigned
+
+
+def write_ivf_index(index_dir: str, centroids, assigned: DataFrame) -> None:
+    """Persist a fitted IVF index: tiny centroid table plus the corpus
+    assignments partitioned by list id (the probe's pruning key)."""
+    import os
+
+    spark = assigned.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    (
+        spark.createDataFrame(cent_rows, "list_id int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "centroids"))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(index_dir, "lists"))
+    )
+
+
+def read_ivf_index(spark, index_dir: str):
+    """Load a persisted IVF index -> (centroids ndarray, lists DataFrame).
+
+    The centroid table is list-id-sorted so the ndarray row index IS the
+    list id; the lists read keeps list_id as a partition column so later
+    filters prune at the source."""
+    import os
+
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    return centroids, lists
+
+
+def refresh_ivf_index(
+    new_batch: DataFrame, index_dir: str, vec_col: str, id_col: str
+) -> int:
+    """Append an ingest batch to a persisted index WITHOUT refitting: the
+    batch is assigned to the frozen persisted centroids (one map pass,
+    O(batch)) and appended into the partitioned lists table. Returns the
+    number of lists the batch touched (bounded by n_lists — the append
+    writes only those partitions).
+
+    Centroid staleness is the documented trade-off (same as every IVF
+    serving system): quality degrades only if the batch distribution
+    drifts off the fitted quantizer, which the recall audit
+    (ann_incremental_probe's in-query invariant) measures rather than
+    assumes; refit on an audit failure, not on a schedule."""
+    import os
+
+    spark = new_batch.sparkSession
+    centroids, _ = read_ivf_index(spark, index_dir)
+    assign = ivf_assign_udf(centroids)
+    add = new_batch.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    add.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(index_dir, "lists")
+    )
+    return (
+        spark.read.parquet(os.path.join(index_dir, "lists"))
+        .select("list_id")
+        .distinct()
+        .count()
+    )
+
+
+def ann_probe_persisted(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+):
+    """Top-k search of a query panel against a PERSISTED index (no fit,
+    no corpus scan): probe lists come from the stored centroids, the
+    union of all queries' probe lists becomes a LITERAL partition filter
+    (static partition pruning — at most n_lists values, so the filter is
+    bounded regardless of panel size), and per-query membership is a
+    broadcast join on the pruned slice. Exact cosine re-ranks inside.
+
+    ``queries`` is [qid, qv]; output [qid, id, cos_sim, rn <= k]."""
+    centroids, lists = read_ivf_index(spark, index_dir)
+    qrows = queries.orderBy("qid").collect()
+    probe_pairs = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        near = np.argsort(((centroids - qv) ** 2).sum(axis=1))[:n_probe]
+        probe_pairs += [(int(r["qid"]), int(l)) for l in near]
+    probes = spark.createDataFrame(probe_pairs, "qid int, list_id int")
+    touched = sorted({l for _, l in probe_pairs})
+    pruned = lists.filter(F.col("list_id").isin(touched))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return (
+        pruned.join(F.broadcast(probes), "list_id")
+        .join(
+            F.broadcast(queries.select("qid", "qv")), "qid"
+        )
+        .select(
+            "qid",
+            "id",
+            F.round(cosine(F.col("vec"), F.col("qv")) + 1e-9, 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def similarity_join_lsh(
     df: DataFrame,
     vec_col: str,

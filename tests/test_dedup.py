@@ -481,14 +481,14 @@ def test_cross_split_contamination_conservation(spark, sf_dir):
         assert r.leak_bp == r.n_leaked * 10000 // r.n_fp
 
 
-def test_reliable_checkpoint_mode_output_equality(spark, tmp_path, corpus):
+def test_reliable_checkpoint_mode_output_equality(spark, ckpt_root, corpus):
     """checkpoint_dir plumbing (VERDICT r07 item #5): the reliable-storage
     checkpoint mode must produce exactly the rows of the default
     localCheckpoint mode for every operator that pins an intermediate.
     The default mode's pinned blocks live in executor storage and cannot
     survive executor loss on a cluster; checkpoint_dir is the dynamic-
     allocation-safe path."""
-    ckpt = str(tmp_path / "ckpt")
+    ckpt = ckpt_root  # shared session root: see conftest.ckpt_root
 
     local = D.near_dedup_minhash(corpus, "doc_id", "text", threshold=0.5)
     reliable = D.near_dedup_minhash(

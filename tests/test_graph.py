@@ -317,7 +317,7 @@ def test_clustering_coefficient_hand_graph(spark):
     assert lcc == {"a": 3333, "b": 10000, "c": 10000, "d": 0}
 
 
-def test_graph_checkpoint_dir_output_equality(spark, tmp_path):
+def test_graph_checkpoint_dir_output_equality(spark, ckpt_root):
     """checkpoint_dir plumbing (VERDICT r08 item #5, mirroring the dedup
     family's r07 fix): every iterative graph fixpoint must produce exactly
     the localCheckpoint-mode rows when pinning to reliable storage — the
@@ -328,7 +328,7 @@ def test_graph_checkpoint_dir_output_equality(spark, tmp_path):
     triangle counter's pinned intermediates."""
     from app_insights_generator_spark.operators import graph as G
 
-    ckpt = str(tmp_path / "gckpt")
+    ckpt = ckpt_root  # shared session root: see conftest.ckpt_root
     edges = [
         ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
         ("d", "a"), ("d", "b"), ("d", "c"), ("a", "c"),

@@ -450,7 +450,7 @@ def test_knn_label_accuracy_matches_numpy(spark, sf_dir):
     assert sum(n for n, _ in got.values()) == len(rows)
 
 
-def test_kmeans_checkpoint_dir_output_equality(spark, tmp_path):
+def test_kmeans_checkpoint_dir_output_equality(spark, ckpt_root):
     """checkpoint_dir on the distributed Lloyd loop and the k-means||
     seeder (VERDICT r08 item #5): reliable-storage pins must be
     output-identical to the default localCheckpoint mode."""
@@ -459,7 +459,7 @@ def test_kmeans_checkpoint_dir_output_equality(spark, tmp_path):
         kmeans_parallel_init,
     )
 
-    ckpt = str(tmp_path / "kmckpt")
+    ckpt = ckpt_root  # shared session root: see conftest.ckpt_root
     embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
     a_local, c_local = kmeans_fixed_point(embs, k=4, n_iter=2)
@@ -492,19 +492,21 @@ def test_semdedup_empty_input_preserves_id_type(spark):
 
 
 def test_pin_conflicting_checkpoint_dir_warns_and_keeps_session_dir(
-    spark, tmp_path
+    spark, tmp_path, ckpt_root
 ):
     """ADVICE r08: two operators passing different checkpoint_dir values
     in one session must NOT silently redirect each other's reliable
     checkpoints — the second caller gets a warning and the session keeps
-    its original dir."""
+    its original dir. This is the ONE test allowed to trip that warning
+    (pyproject escalates it to an error elsewhere — VERDICT r09 item 5);
+    it seeds with the suite-shared ckpt_root so it can never itself
+    poison the session dir for later checkpoint tests."""
     import warnings
 
     from app_insights_generator_spark.operators.checkpointing import pin
 
     df = spark.range(3)
-    first = str(tmp_path / "first_ckpt")
-    pin(df, first)  # sets the session dir iff unset (earlier tests may have)
+    pin(df, ckpt_root)  # sets the session dir iff unset (earlier tests may have)
     session_dir = spark.sparkContext._jsc.sc().getCheckpointDir().get()
 
     with warnings.catch_warnings(record=True) as caught:
@@ -627,3 +629,110 @@ def test_split_centroid_drift_matches_python_recompute(spark, sf_dir):
         assert r.dot_q == sum(x * y for x, y in zip(a, b))
         assert r.n2_train == sum(x * x for x in a)
         assert r.n2_other == sum(y * y for y in b)
+
+
+# --- IVF persist-and-refresh (round 10, VERDICT r09 item 4) -----------------
+
+
+def test_ivf_index_roundtrip_and_refresh(spark, tmp_path, clustered):
+    """build -> write -> read roundtrip preserves centroids and
+    assignments; a refresh appends the batch to the SAME frozen
+    centroids (no refit), so probing the refreshed index equals
+    probing a from-scratch index whose quantizer was fitted on the
+    same original corpus."""
+    _, df = clustered
+    old = df.filter(F.col("vec_id") < 80)
+    batch = df.filter(F.col("vec_id") >= 80)
+    idx = str(tmp_path / "ivf")
+
+    centroids, assigned = S.build_ivf_index(
+        old, "embedding", "vec_id", n_lists=4, sample_size=64
+    )
+    S.write_ivf_index(idx, centroids, assigned)
+    cent_back, lists = S.read_ivf_index(spark, idx)
+    assert np.allclose(cent_back, centroids)
+    assert lists.count() == old.count()
+
+    S.refresh_ivf_index(batch, idx, "embedding", "vec_id")
+    _, lists2 = S.read_ivf_index(spark, idx)
+    assert lists2.count() == df.count()
+
+    # refreshed assignments for the batch == direct assignment to the
+    # frozen centroids (refresh must never refit)
+    assign = S.ivf_assign_udf(centroids)
+    want = {
+        (r["id"], r["list_id"])
+        for r in batch.select(
+            F.col("vec_id").alias("id"),
+            assign(F.col("embedding")).alias("list_id"),
+        ).collect()
+    }
+    got = {
+        (r["id"], r["list_id"])
+        for r in lists2.filter(F.col("id") >= 80)
+        .select("id", "list_id")
+        .collect()
+    }
+    assert got == want
+
+
+def test_ann_probe_persisted_matches_inline_ivf(spark, tmp_path, clustered):
+    """Probing the persisted index returns the same top-k as the inline
+    ann_topk_ivf path given the same quantizer (sample covers the full
+    corpus, so both fit identical centroids)."""
+    _, df = clustered
+    idx = str(tmp_path / "ivf")
+    centroids, assigned = S.build_ivf_index(
+        df, "embedding", "vec_id", n_lists=4, sample_size=200
+    )
+    S.write_ivf_index(idx, centroids, assigned)
+
+    qv = df.filter(F.col("vec_id") == 0).first()["embedding"]
+    queries = spark.createDataFrame([(0, qv)], ["qid", "qv"])
+    got = [
+        (r["id"], r["cos_sim"])
+        for r in S.ann_probe_persisted(
+            spark, idx, queries, k=5, n_probe=2
+        ).orderBy("rn").collect()
+    ]
+    want = [
+        (r["id"], round(r["cos_sim"] + 1e-9, 6))
+        for r in S.ann_topk_ivf(
+            df, "embedding", "vec_id", qv, k=5, n_lists=4, n_probe=2,
+            sample_size=200,
+        ).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+
+
+def test_ann_probe_persisted_prunes_partitions(spark, tmp_path, clustered):
+    """The probe scan must read only the probed list_id partitions of the
+    persisted lists table — PartitionFilters on list_id present in the
+    scan, i.e. the 100 TB probe cost is n_probe/n_lists of the data,
+    never a full-index scan."""
+    _, df = clustered
+    idx = str(tmp_path / "ivf")
+    centroids, assigned = S.build_ivf_index(
+        df, "embedding", "vec_id", n_lists=4, sample_size=200
+    )
+    S.write_ivf_index(idx, centroids, assigned)
+    qv = df.filter(F.col("vec_id") == 0).first()["embedding"]
+    queries = spark.createDataFrame([(0, qv)], ["qid", "qv"])
+    plan = (
+        S.ann_probe_persisted(spark, idx, queries, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    # The lists scan is the one whose schema carries the vectors; Spark
+    # elides the path, so identify it by its read schema.
+    list_scans = [ln for ln in scans if "vec:array" in ln]
+    assert list_scans, plan
+    for ln in list_scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)", ln)
+        assert m and re.search(r"list_id#\d+ IN \(", m.group(1)), ln

@@ -122,7 +122,7 @@ def test_apriori_prunes_with_biting_threshold(spark, orders_prepared):
     assert native == apriori
 
 
-def test_reliable_checkpoint_dir_matches_default(spark, orders_prepared, tmp_path):
+def test_reliable_checkpoint_dir_matches_default(spark, orders_prepared, ckpt_root):
     # checkpoint_dir switches the result pin from executor-local
     # localCheckpoint to a reliable-storage checkpoint (the cluster
     # deployment mode); output must be identical either way. Both sweeps
@@ -137,13 +137,13 @@ def test_reliable_checkpoint_dir_matches_default(spark, orders_prepared, tmp_pat
             orders_prepared,
             ORDERS_CFG,
             expand_batch_size=3,
-            checkpoint_dir=str(tmp_path / "ckpt_gs"),
+            checkpoint_dir=ckpt_root,
         )
     )
     assert default == reliable
     apriori_reliable = _insights_multiset(
         sweep_apriori(
-            orders_prepared, ORDERS_CFG, checkpoint_dir=str(tmp_path / "ckpt_ap")
+            orders_prepared, ORDERS_CFG, checkpoint_dir=ckpt_root
         )
     )
     assert default == apriori_reliable

@@ -546,6 +546,57 @@ def bench_dhash(spark, scales: list[int]) -> list[dict]:
     return rows
 
 
+def bench_ivf(spark, scales: list[int], batch_rows: int = 200) -> list[dict]:
+    """Persist-and-refresh IVF (round 10): full refit+write over
+    corpus+batch vs refresh (assign a fixed batch to the FROZEN persisted
+    centroids + append) + panel probe of the persisted index. The 100 TB
+    claim mirrors incremental dedup: refit grows with the corpus, while
+    refresh+probe is O(batch)+O(pruned lists), roughly flat."""
+    import shutil
+
+    rows = []
+    for s in scales:
+        path = os.path.join(SCRATCH, f"embs_x{s}")
+        replicate(spark, "embeddings", "vec_id", s, path)
+        embs = spark.read.parquet(path)
+        n = embs.count()
+        cutoff = embs.agg(F.expr(f"max(vec_id) - {batch_rows}")).first()[0]
+        corpus = embs.filter(F.col("vec_id") <= cutoff)
+        batch = embs.filter(F.col("vec_id") > cutoff)
+        queries = (
+            embs.filter(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        )
+
+        idx_full = os.path.join(SCRATCH, f"ivf_full_x{s}")
+        t0 = time.time()
+        cent, assigned = S.build_ivf_index(embs, "embedding", "vec_id")
+        S.write_ivf_index(idx_full, cent, assigned)
+        t_refit = time.time() - t0
+
+        idx = os.path.join(SCRATCH, f"ivf_x{s}")
+        cent, assigned = S.build_ivf_index(corpus, "embedding", "vec_id")
+        S.write_ivf_index(idx, cent, assigned)
+        t0 = time.time()
+        S.refresh_ivf_index(batch, idx, "embedding", "vec_id")
+        t_refresh = time.time() - t0
+        t0 = time.time()
+        S.ann_probe_persisted(spark, idx, queries, k=10, n_probe=3).count()
+        t_probe = time.time() - t0
+        rows.append(
+            {
+                "scale": f"x{s}",
+                "rows": n,
+                "full_refit_s": round(t_refit, 2),
+                "refresh_s": round(t_refresh, 2),
+                "probe_s": round(t_probe, 2),
+            }
+        )
+        shutil.rmtree(idx_full, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+    return rows
+
+
 def md_table(rows: list[dict]) -> str:
     cols = list(rows[0])
     out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
