@@ -144,6 +144,7 @@ _GATE_PRIORITY = [
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
 ROTATION_NEXT: list[str] = [
     "ann_incremental_probe_embeddings",
+    "trainprep_pipeline_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

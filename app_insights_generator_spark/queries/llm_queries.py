@@ -883,6 +883,159 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2E_BUDGET = 512
+_E2E_SHARDS = 4
+
+
+def _e2e_split_case_sql() -> str:
+    """The train/val/test bucket expression over doc_id (the
+    train_val_test_split_documents construction, inlined)."""
+    digit = (
+        lambda i, w: "(strpos('0123456789abcdef', substring(hx, "
+        f"{i}, 1)) - 1) * {w}"
+    )
+    bucket = f"(({digit(1, 4096)} + {digit(2, 256)} + {digit(3, 16)} + {digit(4, 1)}) % 100)"
+    return (
+        f"CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "trainprep_pipeline_documents",
+    f"""
+    WITH dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             ROUND({{Q}} + 1e-9, 1) AS q,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM dedup
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.7),
+    tagged AS (
+      SELECT doc_id, n_tokens, {_e2e_split_case_sql()} AS split
+      FROM (
+        SELECT *, substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+        FROM kept
+      )
+    ),
+    packed AS (
+      SELECT *,
+             CAST((SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+              - n_tokens) // {_E2E_BUDGET} AS BIGINT) AS bin_id,
+             CAST({sql_hex_to_int(
+                 "substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12)", 12
+             )} % {_E2E_SHARDS} AS INT) AS shard
+      FROM tagged
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_tokens) * 10000
+                // (COUNT(DISTINCT bin_id) * {_E2E_BUDGET}) AS BIGINT)
+             AS fill_bp
+    FROM packed GROUP BY split
+    """.replace("{Q}", _quality_score_sql()),
+)
+def trainprep_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one job that runs the WHOLE training-data prep chain (VERDICT
+    r09 item 7b — the composition the brief's north star implies):
+    exact dedup (keep lowest doc_id per content digest) -> quality
+    filter (composite score >= 0.7) -> deterministic 80/10/10
+    train/val/test split (sha bucket of doc_id — content-independent,
+    version-stable) -> per-split context-window packing (running token
+    sum DIV {_E2E_BUDGET}) -> deterministic shard assignment (48-bit
+    sha hash % {_E2E_SHARDS}) -> one accounting row per split: doc/
+    token/bin/shard counts, id-sum witness, and integer fill basis
+    points. Every stage is the already-gated primitive
+    (curation_pipeline, train_val_test_split, pack_documents,
+    shard_shuffle) chained in one plan, so the gate pins that the
+    COMPOSITION preserves each stage's semantics — the pipeline a user
+    would actually schedule nightly.
+
+    Scale shape: dedup is one window on the 32-byte digest (the only
+    wide shuffle over full rows); quality/split/shard are pure
+    projections; packing windows partition per split and the final
+    rollup is 3 rows. At 100 TB: identical plan, with
+    ``partitionBy(split, shard)`` on the write turning the result into
+    the training-ready directory layout.
+
+    Exactness: quality is the exact 1-decimal score, tokens/bins/
+    shards/fills are pure int64 arithmetic (DIV both engines), split
+    and shard reuse the portable sha-hex expansion; no float reaches
+    the gate except q's filter, shared with the green curation gate."""
+    docs = _docs(spark, sf_dir)
+    wdig = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    dedup = (
+        docs.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(wdig))
+        .filter(F.col("rn") == 1)
+    )
+    scored = dedup.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("q"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    kept = scored.filter(F.col("q") >= 0.7)
+    bucket = (
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    shard = (
+        F.conv(
+            F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % _E2E_SHARDS
+    ).cast("int")
+    tagged = kept.select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        shard.alias("shard"),
+    )
+    packed = tagged.withColumn(
+        "bin_id",
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"DIV {_E2E_BUDGET}"
+        ),
+    )
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.expr(
+            f"sum(n_tokens) * 10000 DIV (count(DISTINCT bin_id) * {_E2E_BUDGET})"
+        )
+        .cast("long")
+        .alias("fill_bp"),
+    )
+
+
 # --- training-data curation: repetition + domain mixing ----------------------
 
 @register(

@@ -791,7 +791,8 @@ def main() -> None:
         "--only",
         default=None,
         help="comma list: dedup,pca,spans,spans_skew,mp4,shard,triangles,"
-        "incremental,sssp,bfs,prefix_join,dhash,lpa,chunk,cogroup,starcc,sweep",
+        "incremental,sssp,bfs,prefix_join,dhash,lpa,chunk,cogroup,starcc,"
+        "sweep,ivf",
     )
     args = ap.parse_args()
     scales = [int(x) for x in args.scales.split(",")]
@@ -852,6 +853,9 @@ def main() -> None:
     if want("sweep"):
         print("\n## insight sweep family above sf0.1 (fixed lattice, Nx rows)\n")
         print(md_table(bench_sweep(spark, scales)))
+    if want("ivf"):
+        print("\n## IVF persist-and-refresh: full refit vs refresh+probe\n")
+        print(md_table(bench_ivf(spark, scales)))
 
 
 if __name__ == "__main__":
