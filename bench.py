@@ -56,6 +56,37 @@ from app_insights_generator_spark.queries.llm_queries import (  # noqa: E402
     similarity_join_lsh_production,
 )
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_probe_persisted_production(spark, sf_dir):
+    """Bench-local serving-path probe (round 10): the persisted IVF index
+    is built+written ONCE per sf_dir (outside every timed repeat after
+    the first — the median and warm-third measure the steady-state
+    serve), then the 20-query panel probes the partition-pruned lists.
+    The correctness twin ann_incremental_probe_embeddings is driver-
+    gated with recall invariants; this times the pure probe."""
+    import tempfile
+
+    from app_insights_generator_spark.operators import similarity as S
+    from app_insights_generator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="aig_bench_ivf_")
+        cent, assigned = S.build_ivf_index(
+            embs.filter(F.col("vec_id") >= 20), "embedding", "vec_id"
+        )
+        S.write_ivf_index(idx, cent, assigned)
+        _IVF_INDEX_CACHE[sf_dir] = idx
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ann_probe_persisted(spark, idx, queries, k=10, n_probe=3)
+
+
 def _cogroup_asof_pandas(spark, sf_dir):
     """Bench-local pandas twin of cogroup_purchase_error_asof_events (the
     registered/gated query is the applyInArrow form since round 7 — the
@@ -78,6 +109,7 @@ def _cogroup_asof_pandas(spark, sf_dir):
 _EXTRA = {
     "similarity_join_lsh_production": similarity_join_lsh_production,
     "cogroup_asof_pandas": _cogroup_asof_pandas,
+    "ann_probe_persisted": _ann_probe_persisted_production,
 }
 
 HEADLINE = [
@@ -114,6 +146,8 @@ HEADLINE = [
     "containment_join_documents",          # round-7: prefix-filtered containment
     "dsir_importance_documents",           # round-9: hashed-model data selection
     "kmv_vocab_ndv_sources",               # round-9: bottom-k NDV sketch
+    "ann_probe_persisted",                 # round-10: persisted-IVF serving probe
+    "trainprep_pipeline_documents",        # round-10: end-to-end prep chain
 ]
 
 

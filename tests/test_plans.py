@@ -631,6 +631,22 @@ def test_quantile_normalize_equijoin_not_bnlj(spark, sf_dir):
         assert "Window" not in build and "count(1)" in build, build[:400]
 
 
+def test_trainprep_pipeline_composition_plan(spark, sf_dir):
+    """The end-to-end prep chain (round 10) must stay one JVM-side plan:
+    no Cartesian product, no Python evaluation, and exactly one wide
+    shuffle over full rows (the dedup window on the content digest) plus
+    the bounded split/rollup exchanges — the scan reads only the two
+    needed columns."""
+    plan = _plan(spark, sf_dir, "trainprep_pipeline_documents")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # Column pruning: the documents scan must read only (doc_id, text).
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan and all(
+        "ReadSchema: struct<doc_id:bigint,text:string>" in ln for ln in scan
+    ), scan
+
+
 def test_round9_queries_no_cartesian_no_python(spark, sf_dir):
     """Blanket structural guard for the round-9 additions: no Cartesian
     products, no Python evaluation anywhere (every one is built from
