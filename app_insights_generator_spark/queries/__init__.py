@@ -145,6 +145,8 @@ _GATE_PRIORITY = [
 ROTATION_NEXT: list[str] = [
     "ann_incremental_probe_embeddings",
     "trainprep_pipeline_documents",
+    "pq_incremental_codes_embeddings",
+    "ols_trend_daily_revenue_orders",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

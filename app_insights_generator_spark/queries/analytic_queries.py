@@ -1118,6 +1118,114 @@ def acf_daily_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- OLS trend line of the daily-revenue series --------------------------------
+
+
+@register(
+    "ols_trend_daily_revenue_orders",
+    f"""
+    WITH daily0 AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS t,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) // 10000 AS y
+      FROM orders GROUP BY 1
+    ),
+    ctr AS (SELECT CAST(SUM(t) AS BIGINT) // COUNT(*) AS ct,
+                   CAST(SUM(y) AS BIGINT) // COUNT(*) AS cy FROM daily0),
+    daily AS (SELECT t - ct AS x, y - cy AS y FROM daily0, ctr),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy AS DOUBLE) / n
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / n) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM mom WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def ols_trend_daily_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordinary-least-squares trend line of the daily revenue series —
+    the named REGRESSION capability next to the trend-test family
+    (mann_kendall = direction nonparametrically, holt = smoothing,
+    acf = memory): slope, intercept, and R² of revenue (hundreds of
+    dollars, the acf unit) against the day index. Closed-form OLS from
+    exact integer moments (n, Sx, Sy, Sxy, Sxx, Syy over the
+    integer-mean-CENTERED series — the acf shift-invariance/overflow
+    discipline: centering collapses Sx/Sy to near zero so every
+    cross-moment stays far inside int64); the only floats are the final
+    slope/intercept/r2 expressions, written with byte-identical text in
+    both engines (ratio-of-exact-sums rule; r2's cross-moment squares
+    are computed in DOUBLE because their int64 squares would overflow).
+    Degenerate series (constant t or y) excluded by the variance > 0
+    guard instead of dividing by zero.
+
+    Plan: one map-side-combine shuffle to the ~2,400-row daily series,
+    one 1-row centering broadcast, one global moment aggregate — scan
+    cost is the daily rollup at any scale.
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    daily0 = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("t")
+    ).agg(
+        F.expr(
+            f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) DIV 10000"
+        ).alias("y")
+    )
+    ctr = daily0.agg(
+        F.expr("CAST(SUM(t) AS BIGINT) DIV COUNT(*)").alias("ct"),
+        F.expr("CAST(SUM(y) AS BIGINT) DIV COUNT(*)").alias("cy"),
+    )
+    daily = daily0.crossJoin(F.broadcast(ctr)).select(
+        F.expr("t - ct").alias("x"), F.expr("y - cy").alias("y")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return mom.filter(
+        F.expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0")
+    ).select(
+        F.expr("CAST(n AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("slope"),
+        F.expr(
+            "CAST(sy AS DOUBLE) / n"
+            " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * (CAST(sx AS DOUBLE) / n)"
+        ).alias("intercept"),
+        F.expr(
+            "(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("r2"),
+    )
+
+
 # --- Truncated-kernel EWMA smoothing of the daily-revenue series ---------------
 
 #: ppm weights of a truncated (8-lag) EWMA kernel, alpha = 0.3: exact

@@ -4633,6 +4633,164 @@ def pq_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_sub_ctes_split(s: int) -> str:
+    """The persist-and-refresh variant of :func:`_pq_sub_ctes`: the
+    codebook is fitted on the OLD corpus only ({p}ef from eold — the
+    persisted index's training set), while the FINAL assignment runs
+    over ALL vectors ({p}ea from eall — old codes unchanged, the new
+    batch encoded against the FROZEN codebook). Same namespaced Lloyd
+    recurrence (_km_iter_cte) verbatim."""
+    lo, hi = _PQ_SUBDIM * s + 1, _PQ_SUBDIM * (s + 1)
+    p = f"s{s}_"
+    out = [
+        f"{p}ef AS (SELECT vid, d, v FROM eold WHERE d BETWEEN {lo} AND {hi})",
+        f"{p}ea AS (SELECT vid, d, v FROM eall WHERE d BETWEEN {lo} AND {hi})",
+        f"""{p}init AS (
+      SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid
+      FROM (SELECT DISTINCT vid FROM {p}ef ORDER BY vid LIMIT {_PQ_K}))""",
+        f"{p}c0 AS (SELECT i.cid, e.d, e.v FROM {p}ef e JOIN {p}init i USING (vid))",
+        _km_iter_cte(1, p, f"{p}ef"),
+        _km_iter_cte(2, p, f"{p}ef"),
+        _km_final_assign_cte(p, f"{p}ea", f"{p}c2"),
+    ]
+    return ",\n    ".join(out)
+
+
+@register(
+    "pq_incremental_codes_embeddings",
+    f"""
+    WITH cut AS (SELECT MAX(vec_id) * 4 // 5 AS c FROM embeddings),
+    eall AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    eold AS (SELECT e.vid, e.d, e.v FROM eall e, cut WHERE e.vid < cut.c),
+    {_pq_sub_ctes_split(0)},
+    {_pq_sub_ctes_split(1)},
+    {_pq_sub_ctes_split(2)},
+    {_pq_sub_ctes_split(3)}
+    SELECT s0_af.vid AS vec_id,
+           s0_af.cid AS code0, s1_af.cid AS code1,
+           s2_af.cid AS code2, s3_af.cid AS code3,
+           CAST(s0_af.dist + s1_af.dist + s2_af.dist + s3_af.dist AS BIGINT)
+             AS q_dist,
+           CAST(s0_af.vid >= cut.c AS INT) AS is_new
+    FROM s0_af JOIN s1_af USING (vid) JOIN s2_af USING (vid)
+    JOIN s3_af USING (vid), cut
+    """,
+)
+def pq_incremental_codes_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persist-and-refresh for the PQ half of the index family (VERDICT
+    r09 item 4 named "centroids + codebooks + list assignments" — the
+    IVF half is ann_incremental_probe_embeddings): the 4 subspace
+    codebooks are fitted on the EXISTING corpus only (first 4/5 of the
+    vec_id space, data-relative cut), WRITTEN TO PARQUET together with
+    the old corpus's codes, then today's ingest batch (top 1/5) is
+    encoded against the codebooks READ BACK FROM DISK — frozen, no
+    refit, O(batch) — and appended. The returned code table is served
+    from the persisted files.
+
+    Unlike the IVF probe (whose numpy quantizer needs an in-query
+    recall invariant), the PQ fit is the ENGINE-EXACT integer Lloyd
+    recurrence, so this gate is FULLY hash-checked: the oracle refits
+    the same codebooks on the old corpus in SQL (_pq_sub_ctes_split —
+    fit CTEs over eold, final assignment over eall) and every code,
+    distortion, and is_new flag must match bit-for-bit. That pins the
+    codebook parquet roundtrip, the frozen-encode path, AND that old
+    codes are unchanged by the refresh in one check.
+
+    Scale shape: fit cost is the kmeans broadcast-join recurrence per
+    16-dim subspace over the old corpus (done once, persisted); refresh
+    cost is one assign half-step over the batch (codebook is
+    centroid-table-sized, broadcast); the ADC serve path reads codes,
+    never vectors. Codebook staleness shows up as rising q_dist on new
+    batches — monitorable from this very output (is_new partitions it)."""
+    import shutil
+    import tempfile
+
+    from app_insights_generator_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_fixed_point,
+        quantized_long_form,
+    )
+
+    embs = _embs(spark, sf_dir)
+    cut = embs.agg(F.expr("max(vec_id) * 4 DIV 5").cast("long")).first()[0]
+    old = embs.filter(F.col("vec_id") < cut)
+    batch = embs.filter(F.col("vec_id") >= cut)
+
+    idx = tempfile.mkdtemp(prefix="aig_pq_index_")
+    try:
+        # Build: fit per-subspace codebooks on the OLD corpus, persist
+        # codebooks + old codes.
+        for s in range(_PQ_M):
+            sl = F.expr(f"slice(embedding, {_PQ_SUBDIM * s + 1}, {_PQ_SUBDIM})")
+            sliced_old = old.select("vec_id", sl.alias("sub"))
+            _a, cent = kmeans_fixed_point(
+                sliced_old, "vec_id", "sub", k=_PQ_K, n_iter=2,
+                scale=_KM_SCALE, offset=_KM_OFF,
+            )
+            cent.select(
+                F.lit(s).alias("subspace"), "cid", "d", "v"
+            ).write.mode("append").parquet(f"{idx}/codebooks")
+            assign_to_centroids(
+                quantized_long_form(
+                    sliced_old, "vec_id", "sub", _KM_SCALE, _KM_OFF
+                ),
+                cent,
+            ).select(
+                F.lit(s).alias("subspace"), "vid", "cid", "dist"
+            ).write.mode("append").parquet(f"{idx}/codes")
+
+        # Refresh: encode the batch against the codebooks read back from
+        # disk (frozen — the fit never reruns), append-only.
+        books = spark.read.parquet(f"{idx}/codebooks")
+        for s in range(_PQ_M):
+            sl = F.expr(f"slice(embedding, {_PQ_SUBDIM * s + 1}, {_PQ_SUBDIM})")
+            cent_s = books.filter(F.col("subspace") == s).select(
+                "cid", "d", "v"
+            )
+            assign_to_centroids(
+                quantized_long_form(
+                    batch.select("vec_id", sl.alias("sub")),
+                    "vec_id", "sub", _KM_SCALE, _KM_OFF,
+                ),
+                cent_s,
+            ).select(
+                F.lit(s).alias("subspace"), "vid", "cid", "dist"
+            ).write.mode("append").parquet(f"{idx}/codes")
+
+        # Serve: the returned table comes from the persisted codes.
+        codes = spark.read.parquet(f"{idx}/codes")
+        parts = [
+            codes.filter(F.col("subspace") == s).select(
+                "vid",
+                F.col("cid").alias(f"code{s}"),
+                F.col("dist").alias(f"_d{s}"),
+            )
+            for s in range(_PQ_M)
+        ]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "vid")
+        out = joined.select(
+            F.col("vid").alias("vec_id"),
+            "code0",
+            "code1",
+            "code2",
+            "code3",
+            F.expr("CAST(_d0 + _d1 + _d2 + _d3 AS BIGINT)").alias("q_dist"),
+            (F.col("vid") >= cut).cast("int").alias("is_new"),
+        ).localCheckpoint(eager=True)  # pin: the temp index dir is removed
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 # --- Temperature-scaled mixture weights ------------------------------------------
 
 
