@@ -147,6 +147,7 @@ ROTATION_NEXT: list[str] = [
     "trainprep_pipeline_documents",
     "pq_incremental_codes_embeddings",
     "ols_trend_daily_revenue_orders",
+    "cuped_adjusted_metric_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

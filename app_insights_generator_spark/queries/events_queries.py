@@ -2355,3 +2355,181 @@ def ab_conversion_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["ab_conversion_chi2_events"] = _ORACLES[
     "ab_conversion_chi2_events"
 ].replace("{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4))
+
+
+# --- CUPED variance reduction for the A/B metric --------------------------------
+
+
+@register(
+    "cuped_adjusted_metric_events",
+    """
+    WITH days AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cutv AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS c FROM days),
+    per_user AS (
+      SELECT user_id,
+             COALESCE(CAST(SUM(CASE WHEN day < c THEN cents END) AS BIGINT), 0)
+               // 100 AS x,
+             COALESCE(CAST(SUM(CASE WHEN day >= c THEN cents END) AS BIGINT), 0)
+               // 100 AS y
+      FROM days, cutv GROUP BY user_id
+    ),
+    u AS (SELECT user_id, {HEX4} % 2 AS b, x, y FROM per_user),
+    ctr AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS cx,
+                   CAST(SUM(y) AS BIGINT) // COUNT(*) AS cy FROM u),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x - cx) AS BIGINT) AS sx,
+             CAST(SUM(y - cy) AS BIGINT) AS sy,
+             CAST(SUM((x - cx) * (y - cy)) AS BIGINT) AS sxy,
+             CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS sxx,
+             CAST(SUM((y - cy) * (y - cy)) AS BIGINT) AS syy
+      FROM u, ctr
+    ),
+    tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tx, COUNT(*) AS tn FROM u),
+    arms AS (
+      SELECT b AS arm, COUNT(*) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y
+      FROM u GROUP BY b
+    )
+    SELECT CAST(arm AS INT) AS arm,
+           CAST(n_users AS BIGINT) AS n_users, sum_x, sum_y,
+           CAST(sum_y AS DOUBLE) / n_users AS mean_y,
+           CAST(sum_y AS DOUBLE) / n_users
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sum_x AS DOUBLE) / n_users
+                  - CAST(tx AS DOUBLE) / tn) AS mean_y_cuped,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+    FROM arms, mom, tot
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def cuped_adjusted_metric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013) — the variance-reduction step every experimentation
+    platform applies before reading an A/B metric: each user's
+    post-period metric Y is adjusted by their PRE-period metric X,
+    Y_adj = Y − θ·(X − mean(X)), θ = cov(X,Y)/var(X) fitted pooled, so
+    the metric noise explained by pre-existing user behavior (rho² of
+    it) is removed without biasing the arm difference. Completes the
+    experimentation family next to ab_srm_audit (randomization check)
+    and ab_conversion_chi2 (binary metric test).
+
+    Periods are data-relative (day < / >= the midpoint of the observed
+    day range); per-user period metrics are exact 2-decimal cent sums
+    truncated to DOLLAR units for moment headroom (the acf int64
+    discipline — values stay nonneg so DuckDB `//` and Spark DIV
+    agree); arms reuse the repo's md5-hex user bucketing. θ and rho²
+    come from exact centered integer moments; mean_y_cuped applies the
+    arm adjustment on exact arm-level sums — every float is a final
+    expression with byte-identical text in both engines. The constant
+    mean(X) shift cancels between arms, so reading
+    mean_y_cuped(1) − mean_y_cuped(0) gives the CUPED-adjusted lift.
+
+    Plan: one shuffle to the per-user (x, y) grain (map-side combine);
+    everything after runs on the users table — two 1-row broadcasts,
+    a 2-row arm aggregate. At 100 TB the user grain is the only wide
+    stage, keyed on the natural user_id.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cutv = days.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("c"))
+    per_user = (
+        days.crossJoin(F.broadcast(cutv))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "COALESCE(CAST(SUM(CASE WHEN day < c THEN cents END) AS BIGINT), 0)"
+                " DIV 100"
+            ).alias("x"),
+            F.expr(
+                "COALESCE(CAST(SUM(CASE WHEN day >= c THEN cents END) AS BIGINT), 0)"
+                " DIV 100"
+            ).alias("y"),
+        )
+    )
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+    )
+    u = per_user.select("user_id", b.alias("b"), "x", "y").localCheckpoint(
+        eager=True
+    )  # fan-out: centering, moments, totals, and arms all read it
+    ctr = u.agg(
+        F.expr("CAST(SUM(x) AS BIGINT) DIV COUNT(*)").alias("cx"),
+        F.expr("CAST(SUM(y) AS BIGINT) DIV COUNT(*)").alias("cy"),
+    )
+    mom = (
+        u.crossJoin(F.broadcast(ctr))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("x - cx")).cast("long").alias("sx"),
+            F.sum(F.expr("y - cy")).cast("long").alias("sy"),
+            F.sum(F.expr("(x - cx) * (y - cy)")).cast("long").alias("sxy"),
+            F.sum(F.expr("(x - cx) * (x - cx)")).cast("long").alias("sxx"),
+            F.sum(F.expr("(y - cy) * (y - cy)")).cast("long").alias("syy"),
+        )
+    )
+    tot = u.agg(
+        F.sum("x").cast("long").alias("tx"), F.count(F.lit(1)).alias("tn")
+    )
+    arms = u.groupBy(F.col("b").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"))
+        .select(
+            F.col("arm").cast("int").alias("arm"),
+            F.col("n_users").cast("long").alias("n_users"),
+            "sum_x",
+            "sum_y",
+            F.expr("CAST(sum_y AS DOUBLE) / n_users").alias("mean_y"),
+            F.expr(
+                "CAST(sum_y AS DOUBLE) / n_users"
+                " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE))"
+                " * (CAST(sum_x AS DOUBLE) / n_users"
+                " - CAST(tx AS DOUBLE) / tn)"
+            ).alias("mean_y_cuped"),
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE)"
+            ).alias("theta"),
+            F.expr(
+                "(CAST(n * sxy - sx * sy AS DOUBLE)"
+                " * CAST(n * sxy - sx * sy AS DOUBLE))"
+                " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE))"
+            ).alias("rho2"),
+        )
+    )
+
+
+_ORACLES["cuped_adjusted_metric_events"] = _ORACLES[
+    "cuped_adjusted_metric_events"
+].replace("{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4))
