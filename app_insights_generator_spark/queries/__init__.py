@@ -148,6 +148,8 @@ ROTATION_NEXT: list[str] = [
     "pq_incremental_codes_embeddings",
     "ols_trend_daily_revenue_orders",
     "cuped_adjusted_metric_events",
+    "theil_sen_daily_revenue_orders",
+    "trimmed_winsorized_value_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

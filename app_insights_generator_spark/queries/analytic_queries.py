@@ -1226,6 +1226,127 @@ def ols_trend_daily_revenue_orders(
     )
 
 
+# --- Theil–Sen robust slope of the daily-revenue series ------------------------
+
+
+@register(
+    "theil_sen_daily_revenue_orders",
+    f"""
+    WITH daily0 AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS t0,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) // 10000 AS y
+      FROM orders GROUP BY 1
+    ),
+    base AS (SELECT MIN(t0) AS t_min FROM daily0),
+    daily AS (SELECT t0 - t_min AS t, y FROM daily0, base),
+    slopes AS (
+      SELECT a.t AS ti, b.t AS tj,
+             (b.y - a.y) * 1000000 // (b.t - a.t) AS s_ppm
+      FROM daily a JOIN daily b ON b.t > a.t
+    ),
+    ms AS (
+      SELECT s_ppm FROM (
+        SELECT s_ppm,
+               ROW_NUMBER() OVER (ORDER BY s_ppm, ti, tj) AS rn,
+               COUNT(*) OVER () AS np
+        FROM slopes
+      ) WHERE rn = (np + 1) // 2
+    ),
+    icepts AS (
+      SELECT d.t, d.y * 1000000 - ms.s_ppm * d.t AS i_ppm
+      FROM daily d, ms
+    ),
+    mi AS (
+      SELECT i_ppm FROM (
+        SELECT i_ppm,
+               ROW_NUMBER() OVER (ORDER BY i_ppm, t) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM icepts
+      ) WHERE rn = (nd + 1) // 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+           CAST(ms.s_ppm AS BIGINT) AS slope_ppm,
+           CAST(mi.i_ppm AS BIGINT) AS intercept_ppm
+    FROM ms, mi
+    """,
+)
+def theil_sen_daily_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil–Sen estimator — the ROBUST twin of the OLS trend line
+    (breakdown point 29% vs OLS's single-outlier fragility; the slope a
+    revenue dashboard should trust when a flash sale or an outage day
+    corrupts the series): slope = median over all day pairs of
+    (Δy·1e6) DIV Δt in integer ppm, intercept = median over days of
+    y·1e6 − slope_ppm·t. Both medians are LOWER medians selected by
+    ROW_NUMBER over a totally ordered key ((s_ppm, i, j) / (i_ppm, t)),
+    so the entire estimate is int64 arithmetic — no float anywhere,
+    engine-exact by construction (Δy can be negative: Spark DIV and
+    DuckDB // both truncate toward zero, the house rule).
+
+    int64 headroom: days are re-based to t−min(t) (0..~2,400) and y is
+    the acf hundreds-of-dollars unit, so y·1e6 ≈ 1e9 and
+    slope_ppm·t ≤ ~1e12 — far inside range at any SF (the day-count,
+    not the row count, is the driver; it is calendar-bounded).
+
+    Plan: one shuffle to the ~2,400-row daily series; the O(days²)
+    pair join (~2.9M pairs) runs broadcast on that bounded series —
+    the same bounded-panel posture as acf's lag join; at decades-long
+    calendars switch to the repeated-median or the
+    Siegel O(n log n) sampling variant (documented, not needed at a
+    calendar-bounded 2,400 days).
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    daily0 = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("t0")
+    ).agg(
+        F.expr(
+            f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) DIV 10000"
+        ).alias("y")
+    )
+    base = daily0.agg(F.min("t0").alias("t_min"))
+    daily = daily0.crossJoin(F.broadcast(base)).select(
+        F.expr("t0 - t_min").alias("t"), "y"
+    ).localCheckpoint(eager=True)  # fan-out: pairs, intercepts, counts
+    a = daily.select(F.col("t").alias("ti"), F.col("y").alias("yi"))
+    bb = daily.select(F.col("t").alias("tj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(F.broadcast(bb), F.col("tj") > F.col("ti"))
+        .select(
+            "ti",
+            "tj",
+            F.expr("(yj - yi) * 1000000 DIV (tj - ti)").alias("s_ppm"),
+        )
+    )
+    wslope = Window.orderBy("s_ppm", "ti", "tj")
+    ms = (
+        slopes.withColumn("rn", F.row_number().over(wslope))
+        .withColumn("np", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.expr("rn = (np + 1) DIV 2"))
+        .select("s_ppm", "np")
+    )
+    icepts = daily.crossJoin(F.broadcast(ms)).select(
+        "t", F.expr("y * 1000000 - s_ppm * t").alias("i_ppm"), "s_ppm", "np"
+    )
+    wint = Window.orderBy("i_ppm", "t")
+    mi = (
+        icepts.withColumn("rn", F.row_number().over(wint))
+        .withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.expr("rn = (nd + 1) DIV 2"))
+    )
+    return mi.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("s_ppm").cast("long").alias("slope_ppm"),
+        F.col("i_ppm").cast("long").alias("intercept_ppm"),
+    )
+
+
 # --- Truncated-kernel EWMA smoothing of the daily-revenue series ---------------
 
 #: ppm weights of a truncated (8-lag) EWMA kernel, alpha = 0.3: exact

@@ -2533,3 +2533,117 @@ def cuped_adjusted_metric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["cuped_adjusted_metric_events"] = _ORACLES[
     "cuped_adjusted_metric_events"
 ].replace("{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4))
+
+
+# --- Trimmed & winsorized metric means ------------------------------------------
+
+
+@register(
+    "trimmed_winsorized_value_events",
+    """
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    k AS (SELECT *, n // 100 AS k FROM r),
+    bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = k + 1 THEN cents END) AS lo,
+             MAX(CASE WHEN rn = n - k THEN cents END) AS hi
+      FROM k GROUP BY event_type
+    ),
+    w AS (
+      SELECT kk.event_type, kk.cents, kk.rn, kk.n, kk.k,
+             CASE WHEN kk.rn <= kk.k THEN b.lo
+                  WHEN kk.rn > kk.n - kk.k THEN b.hi
+                  ELSE kk.cents END AS wcents
+      FROM k kk JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(k) AS BIGINT) AS k_trim,
+           CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN cents END)
+                AS BIGINT) AS trimmed_sum_cents,
+           CAST(SUM(wcents) AS BIGINT) AS winsor_sum_cents,
+           CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN cents END)
+                AS DOUBLE) / (MAX(n) - 2 * MAX(k)) AS trimmed_mean_cents,
+           CAST(SUM(wcents) AS DOUBLE) / MAX(n) AS winsor_mean_cents
+    FROM w GROUP BY event_type
+    """,
+)
+def trimmed_winsorized_value_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1%-trimmed and 1%-winsorized means of the event value per event
+    type — the heavy-tail guards every experimentation/metrics platform
+    applies before trusting a mean (trimming DROPS each tail's k=n DIV
+    100 observations; winsorizing CLAMPS them to the surviving tail
+    values, keeping n constant for power). Ranks are total-ordered by
+    (cents, event_id) so tail membership is deterministic; the clamp
+    bounds are the cents at exact rank positions k+1 / n−k (well-defined
+    regardless of tie order — equal cents are interchangeable); sums
+    are exact int64 cents with the means as final float divisions (acf
+    discipline). n < 100 degrades gracefully to the plain mean (k=0).
+
+    Plan: one per-type window sort (shuffle keyed on event_type), a
+    |types|-row bounds aggregate broadcast back, one final rollup. At
+    100 TB per-type sorts parallelize across types; a single monster
+    type switches to the pre-aggregated histogram rank arithmetic the
+    equidepth family demonstrates.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    ).withColumn("k", F.expr("n DIV 100"))
+    bounds = r.groupBy("event_type").agg(
+        F.max(F.expr("CASE WHEN rn = k + 1 THEN cents END")).alias("lo"),
+        F.max(F.expr("CASE WHEN rn = n - k THEN cents END")).alias("hi"),
+    )
+    w = r.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "cents",
+        "rn",
+        "n",
+        "k",
+        F.expr(
+            "CASE WHEN rn <= k THEN lo"
+            " WHEN rn > n - k THEN hi"
+            " ELSE cents END"
+        ).alias("wcents"),
+    )
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("k").cast("long").alias("k_trim"),
+        F.sum(F.expr("CASE WHEN rn > k AND rn <= n - k THEN cents END"))
+        .cast("long")
+        .alias("trimmed_sum_cents"),
+        F.sum("wcents").cast("long").alias("winsor_sum_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN cents END)"
+            " AS DOUBLE) / (MAX(n) - 2 * MAX(k))"
+        ).alias("trimmed_mean_cents"),
+        F.expr("CAST(SUM(wcents) AS DOUBLE) / MAX(n)").alias(
+            "winsor_mean_cents"
+        ),
+    )
