@@ -236,3 +236,79 @@ def test_topk_churn_bounds(spark, sf_dir):
     assert 0 <= r.n_overlap <= 20
     assert r.jaccard_bp == r.n_overlap * 10000 // (40 - r.n_overlap)
     assert r.churn_bp == (20 - r.n_overlap) * 10000 // 20
+
+
+# --- Round-10 statistics additions -------------------------------------------
+
+
+def test_ols_r2_in_range_and_moments_shared(spark, sf_dir):
+    r = QUERIES["ols_trend_daily_revenue_orders"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_days > 0
+    assert 0.0 <= row.r2 <= 1.0 + 1e-12
+
+
+def test_theil_sen_robust_to_planted_outlier(spark):
+    """The estimator's reason to exist: on a perfect integer line with
+    ONE wildly corrupted day, the Theil-Sen slope stays the true slope
+    (median of pairwise slopes; > 50% of pairs avoid the outlier) while
+    the OLS slope on the same data would not. Uses the same ppm/median
+    construction as the gated query, driven through the operators'
+    arithmetic directly."""
+    import duckdb
+
+    days = [(t, 7 * t + 100) for t in range(41)]
+    days[20] = (20, 100000)  # corrupted day
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE daily AS SELECT CAST(t AS BIGINT) AS t, "
+        "CAST(y AS BIGINT) AS y FROM (VALUES "
+        + ",".join(f"({t},{y})" for t, y in days)
+        + ") AS v(t, y)"  # BIGINT like the gated query — VALUES infers INT32
+    )
+    slope = con.execute(
+        """
+        WITH slopes AS (
+          SELECT a.t AS ti, b.t AS tj,
+                 (b.y - a.y) * 1000000 // (b.t - a.t) AS s_ppm
+          FROM daily a JOIN daily b ON b.t > a.t
+        )
+        SELECT s_ppm FROM (
+          SELECT s_ppm, ROW_NUMBER() OVER (ORDER BY s_ppm, ti, tj) AS rn,
+                 COUNT(*) OVER () AS np FROM slopes
+        ) WHERE rn = (np + 1) // 2
+        """
+    ).fetchone()[0]
+    assert slope == 7_000_000  # exactly the planted slope, in ppm
+
+
+def test_trimmed_winsorized_invariants(spark, sf_dir):
+    """Structural invariants of the tail guards: trimmed uses n-2k
+    observations; winsorized keeps all n; winsorized sum is bracketed
+    by clamping (<= raw sum when the top tail dominates is NOT
+    guaranteed, but both means must lie within [min, max] of the raw
+    cents, and k = n DIV 100 exactly)."""
+    rows = QUERIES["trimmed_winsorized_value_events"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.k_trim == r.n_events // 100
+        n_used = r.n_events - 2 * r.k_trim
+        assert n_used > 0
+        assert abs(r.trimmed_mean_cents - r.trimmed_sum_cents / n_used) < 1e-9
+        assert abs(r.winsor_mean_cents - r.winsor_sum_cents / r.n_events) < 1e-9
+
+
+def test_cuped_reduces_or_preserves_variance_terms(spark, sf_dir):
+    """rho2 in [0, 1] (it is a squared correlation from exact moments),
+    theta shared across arms, and the CUPED adjustment preserves the
+    overall weighted mean up to the mean(X) centering identity:
+    sum over arms of n_arm * (mean_y - mean_y_cuped) equals
+    theta * sum of n_arm * (mean_x_arm - mean_x_all) == 0."""
+    rows = QUERIES["cuped_adjusted_metric_events"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    t0, t1 = rows[0], rows[1]
+    assert abs(t0.theta - t1.theta) < 1e-12
+    assert 0.0 <= t0.rho2 <= 1.0 + 1e-12
+    shift = sum(r.n_users * (r.mean_y - r.mean_y_cuped) for r in rows)
+    assert abs(shift) < 1e-4  # theta * (sum_x_all - sum_x_all)
