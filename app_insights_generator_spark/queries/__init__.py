@@ -150,6 +150,8 @@ ROTATION_NEXT: list[str] = [
     "cuped_adjusted_metric_events",
     "theil_sen_daily_revenue_orders",
     "trimmed_winsorized_value_events",
+    "jackknife_ratio_stderr_events",
+    "diff_in_diff_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

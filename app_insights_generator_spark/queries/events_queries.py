@@ -2647,3 +2647,261 @@ def trimmed_winsorized_value_events(
             "winsor_mean_cents"
         ),
     )
+
+
+# --- Delete-one-bucket jackknife for the ratio metric -----------------------------
+
+
+@register(
+    "jackknife_ratio_stderr_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS den
+      FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+      SELECT {HEX4} % 20 AS bucket, num, den FROM per_user
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(num) AS BIGINT) AS bnum,
+             CAST(SUM(den) AS BIGINT) AS bden,
+             CAST(COUNT(*) AS BIGINT) AS busers
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(bnum) AS BIGINT) AS tnum,
+                   CAST(SUM(bden) AS BIGINT) AS tden,
+                   CAST(COUNT(*) AS BIGINT) AS nb FROM per_bucket),
+    pseudo AS (
+      -- centered by the plug-in ratio: the variance is shift-invariant and
+      -- raw theta_ppm ~ 1e10 would overflow int64 when squared
+      SELECT bucket, busers,
+             (tnum - bnum) * 1000000 // (tden - bden)
+               - tnum * 1000000 // tden AS dev_ppm
+      FROM per_bucket, tot
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b,
+             CAST(SUM(dev_ppm) AS BIGINT) AS st,
+             CAST(SUM(dev_ppm * dev_ppm) AS BIGINT) AS stt
+      FROM pseudo
+    )
+    SELECT CAST(tot.tnum AS BIGINT) AS total_num_cents,
+           CAST(tot.tden AS BIGINT) AS total_den_events,
+           CAST(tot.tnum * 1000000 // tot.tden AS BIGINT) AS ratio_ppm,
+           mom.b AS n_buckets,
+           CAST(mom.st AS BIGINT) AS sum_dev_ppm,
+           SQRT((CAST(mom.b AS DOUBLE) - 1.0) / CAST(mom.b AS DOUBLE)
+                * (CAST(mom.stt AS DOUBLE)
+                   - CAST(mom.st AS DOUBLE) * CAST(mom.st AS DOUBLE)
+                     / CAST(mom.b AS DOUBLE))) AS stderr_ppm
+    FROM tot, mom
+    """,
+)
+def jackknife_ratio_stderr_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of the RATIO metric
+    (mean value per event = Σcents / Σevents) — how every large
+    experimentation platform puts a confidence interval on a ratio
+    whose numerator and denominator are both random (the delta-method
+    alternative; bucketed jackknife is the standard production form
+    because users, not events, are the i.i.d. unit): users are hashed
+    into 20 buckets (md5-hex, the repo's engine-stable bucketing), each
+    pseudo-value is the leave-one-bucket-out ratio in integer ppm
+    ((T_num − b_num)·1e6 DIV (T_den − b_den) — values nonneg, DIV/`//`
+    agree), and the jackknife variance is assembled from exact integer
+    moments of those 20 pseudo-values; stderr is the single final
+    float sqrt (acf discipline).
+
+    Output: exact totals + the ppm ratio, the pseudo-value count and
+    integer sum (hash-pinning every pseudo-value through the sum), and
+    stderr_ppm.
+
+    Plan: one shuffle to the user grain, a 20-row bucket aggregate,
+    then 1-row arithmetic — the user grain is the only wide stage at
+    any scale.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("num"),
+        F.count(F.lit(1)).cast("long").alias("den"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 20
+    )
+    per_bucket = (
+        per_user.select(bucket.alias("bucket"), "num", "den")
+        .groupBy("bucket")
+        .agg(
+            F.sum("num").cast("long").alias("bnum"),
+            F.sum("den").cast("long").alias("bden"),
+            F.count(F.lit(1)).cast("long").alias("busers"),
+        )
+        .localCheckpoint(eager=True)  # fan-out: totals + pseudo-values
+    )
+    tot = per_bucket.agg(
+        F.sum("bnum").cast("long").alias("tnum"),
+        F.sum("bden").cast("long").alias("tden"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    pseudo = per_bucket.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "(tnum - bnum) * 1000000 DIV (tden - bden)"
+            " - tnum * 1000000 DIV tden"
+        ).alias("dev_ppm")
+    )
+    mom = pseudo.agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum("dev_ppm").cast("long").alias("st"),
+        F.sum(F.expr("dev_ppm * dev_ppm")).cast("long").alias("stt"),
+    )
+    return tot.crossJoin(F.broadcast(mom)).select(
+        F.col("tnum").alias("total_num_cents"),
+        F.col("tden").alias("total_den_events"),
+        F.expr("tnum * 1000000 DIV tden").cast("long").alias("ratio_ppm"),
+        F.col("b").alias("n_buckets"),
+        F.col("st").alias("sum_dev_ppm"),
+        F.expr(
+            "SQRT((CAST(b AS DOUBLE) - 1.0) / CAST(b AS DOUBLE)"
+            " * (CAST(stt AS DOUBLE)"
+            " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)"
+            " / CAST(b AS DOUBLE)))"
+        ).alias("stderr_ppm"),
+    )
+
+
+_ORACLES["jackknife_ratio_stderr_events"] = _ORACLES[
+    "jackknife_ratio_stderr_events"
+].replace("{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4))
+
+
+# --- Difference-in-differences on the arm x period grid ---------------------------
+
+
+@register(
+    "diff_in_diff_events",
+    """
+    WITH days AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cutv AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS c FROM days),
+    cells AS (
+      SELECT {HEX4} % 2 AS arm,
+             CASE WHEN day >= c THEN 1 ELSE 0 END AS post,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM days, cutv GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN sum_cents END) AS s00,
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN n_events END) AS n00,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN sum_cents END) AS s01,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN n_events END) AS n01,
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN sum_cents END) AS s10,
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN n_events END) AS n10,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN sum_cents END) AS s11,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN n_events END) AS n11
+      FROM cells
+    )
+    SELECT CAST(s00 AS BIGINT) AS s00, CAST(n00 AS BIGINT) AS n00,
+           CAST(s01 AS BIGINT) AS s01, CAST(n01 AS BIGINT) AS n01,
+           CAST(s10 AS BIGINT) AS s10, CAST(n10 AS BIGINT) AS n10,
+           CAST(s11 AS BIGINT) AS s11, CAST(n11 AS BIGINT) AS n11,
+           (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+             - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
+             AS did_cents
+    FROM wide
+    """,
+)
+def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the arm × period grid — the
+    quasi-experimental workhorse when randomization is absent or
+    contaminated (parallel-trends assumption in place of exchange-
+    ability): DiD = (treated post − treated pre) − (control post −
+    control pre), each cell mean the exact-cents-per-event ratio.
+    Completes the causal/experimentation set next to CUPED (variance
+    reduction), SRM (randomization audit), chi² (binary test), and the
+    jackknife (CI machinery). Arms reuse the md5-hex user bucketing;
+    periods the CUPED data-relative midpoint cut; the four cell sums
+    and counts are exact int64 (hash-pinning every event's cell
+    assignment), and did_cents is the single final float expression
+    with identical text in both engines.
+
+    Plan: ONE aggregation pass over events to the 4-cell grid (the
+    grouping key is two derived bits — map-side combine makes this a
+    near-free scan), then 1-row arithmetic. At 100 TB there is no
+    second wide stage at all.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cutv = days.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("c"))
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+    )
+    cells = (
+        days.crossJoin(F.broadcast(cutv))
+        .groupBy(
+            arm.alias("arm"),
+            F.expr("CASE WHEN day >= c THEN 1 ELSE 0 END").alias("post"),
+        )
+        .agg(
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.expr(
+                    f"CASE WHEN arm = {a} AND post = {p} THEN {col} END"
+                )
+            ).alias(f"{col[0]}{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+            for col in ("sum_cents", "n_events")
+        ]
+    )
+    return wide.select(
+        F.col("s00").cast("long").alias("s00"),
+        F.col("n00").cast("long").alias("n00"),
+        F.col("s01").cast("long").alias("s01"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("s10").cast("long").alias("s10"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("s11").cast("long").alias("s11"),
+        F.col("n11").cast("long").alias("n11"),
+        F.expr(
+            "(CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)"
+            " - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)"
+        ).alias("did_cents"),
+    )
+
+
+_ORACLES["diff_in_diff_events"] = _ORACLES["diff_in_diff_events"].replace(
+    "{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4)
+)
