@@ -152,6 +152,8 @@ ROTATION_NEXT: list[str] = [
     "trimmed_winsorized_value_events",
     "jackknife_ratio_stderr_events",
     "diff_in_diff_events",
+    "gini_revenue_customers",
+    "friedman_weekday_revenue_orders",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

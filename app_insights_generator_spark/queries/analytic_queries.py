@@ -2217,3 +2217,177 @@ def holt_trend_weekly_revenue_orders(
             " trend_c long, forecast_c long",
         )
     )
+
+
+# --- Gini coefficient of customer revenue concentration --------------------------
+
+
+@register(
+    "gini_revenue_customers",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM per_cust
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n AS n_customers, sx AS total_cents,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM mom
+    """,
+)
+def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    standard inequality measure next to HHI (hhi_supplier_concentration):
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending-sorted
+    per-customer revenue: rank i is total-ordered by (cents, custkey),
+    numerator and denominator are exact int64 moments, and gini is the
+    single final float division with identical text in both engines
+    (the acf discipline — an integer-ppm final was measured to
+    overflow: numerator·1e6 ≈ 2e20 at sf0.01, ARITHMETIC_OVERFLOW
+    under ANSI). The token-domain sibling is token_gini_by_source;
+    this is the revenue-concentration member next to
+    hhi_supplier_concentration.
+
+    int64 headroom (pre-ppm moments only): Σ i·x at sf0.1 ≈ 1e16;
+    ~100× per 10× SF → per-year strata fallback documented at ~sf1
+    (the bm25 discipline).
+
+    Plan: one shuffle to the customer grain, one global sort of the
+    bounded customer table for the rank, a 1-row moment aggregate. At
+    100 TB the global ORDER BY over customers is the honest cost — the
+    same posture as the equidepth percentile family, with the
+    pre-aggregated histogram form as the documented scale path.
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+            "x"
+        )
+    )
+    ranked = per_cust.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("i * x")).cast("long").alias("six"),
+    )
+    return mom.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.expr(
+            "CAST(2 * six - (n + 1) * sx AS DOUBLE)"
+            " / CAST(n * sx AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
+# --- Friedman test: weekday effect on daily revenue -------------------------------
+
+
+@register(
+    "friedman_weekday_revenue_orders",
+    f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+             CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    wk AS (SELECT d // 7 AS week, d % 7 AS wd, x FROM daily),
+    complete AS (SELECT week FROM wk GROUP BY week HAVING COUNT(*) = 7),
+    r AS (
+      SELECT w.week, w.wd,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w.week
+                                     ORDER BY w.x, w.wd) AS BIGINT) AS rnk
+      FROM wk w JOIN complete USING (week)
+    ),
+    sums AS (SELECT wd, CAST(SUM(rnk) AS BIGINT) AS rsum FROM r GROUP BY wd),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete),
+    qstat AS (SELECT CAST(SUM(rsum * rsum) AS BIGINT) AS srr FROM sums)
+    SELECT CAST(wd AS BIGINT) AS weekday, rsum,
+           nb.n AS n_weeks,
+           12.0 * CAST(srr AS DOUBLE)
+             / (CAST(nb.n AS DOUBLE) * 7.0 * 8.0)
+             - 3.0 * CAST(nb.n AS DOUBLE) * 8.0 AS friedman_q
+    FROM sums, nb, qstat
+    """,
+)
+def friedman_weekday_revenue_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman rank test for a weekday effect on daily revenue — the
+    nonparametric repeated-measures ANOVA (blocks = complete epoch
+    weeks, treatments = the 7 weekday slots): within each week the
+    seven daily revenues are ranked 1..7 (total-ordered by (cents,
+    weekday) — revenue-cent ties are broken deterministically so both
+    engines rank identically), per-weekday rank sums are exact int64,
+    and Q = 12·ΣR_j²/(n·k·(k+1)) − 3·n·(k+1) with k=7 is the single
+    final float expression. Completes the rank-test family
+    (Mann-Whitney = two groups, Kruskal-Wallis = independent groups,
+    Friedman = blocked/repeated measures). Weekday is epoch-day MOD 7
+    — calendar-library-free, so no engine disagreement on week start;
+    incomplete edge weeks are excluded by the HAVING count(*) = 7
+    guard (the censoring-correct discipline).
+
+    Plan: one shuffle to the ~2,400-row daily series; ranks run per
+    7-row week partition; everything after is a 7-row aggregate.
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("d")
+    ).agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+            "x"
+        )
+    )
+    wk = daily.select(
+        F.expr("d DIV 7").alias("week"), F.expr("d % 7").alias("wd"), "x"
+    )
+    complete = wk.groupBy("week").count().filter(F.col("count") == 7).select(
+        "week"
+    )
+    r = wk.join(F.broadcast(complete), "week").select(
+        "week",
+        "wd",
+        F.row_number()
+        .over(Window.partitionBy("week").orderBy("x", "wd"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    sums = r.groupBy("wd").agg(F.sum("rnk").cast("long").alias("rsum"))
+    nb = complete.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qstat = sums.agg(F.sum(F.expr("rsum * rsum")).cast("long").alias("srr"))
+    return (
+        sums.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(qstat))
+        .select(
+            F.col("wd").cast("long").alias("weekday"),
+            "rsum",
+            F.col("n").alias("n_weeks"),
+            F.expr(
+                "12.0 * CAST(srr AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * 7.0 * 8.0)"
+                " - 3.0 * CAST(n AS DOUBLE) * 8.0"
+            ).alias("friedman_q"),
+        )
+    )
