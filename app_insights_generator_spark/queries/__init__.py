@@ -154,6 +154,8 @@ ROTATION_NEXT: list[str] = [
     "diff_in_diff_events",
     "gini_revenue_customers",
     "friedman_weekday_revenue_orders",
+    "ltv_cohort_curve_orders",
+    "new_vs_returning_weekly_events",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

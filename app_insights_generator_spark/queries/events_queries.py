@@ -2905,3 +2905,78 @@ def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["diff_in_diff_events"] = _ORACLES["diff_in_diff_events"].replace(
     "{HEX4}", _hex("substring(md5(CAST(user_id AS VARCHAR)), 1, 4)", 4)
 )
+
+
+# --- New-vs-returning weekly active users ------------------------------------------
+
+
+@register(
+    "new_vs_returning_weekly_events",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    firsts AS (SELECT user_id, MIN(week) AS first_week FROM d GROUP BY user_id)
+    SELECT d.week,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN d.week = f.first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.week > f.first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           CAST(SUM(CASE WHEN d.week > f.first_week THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS returning_bp
+    FROM d JOIN firsts f ON f.user_id = d.user_id
+    GROUP BY d.week
+    """,
+)
+def new_vs_returning_weekly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly active users decomposed into NEW (first-ever active week)
+    vs RETURNING — the growth-accounting identity every product
+    dashboard leads with (WAU = new + returning; the returning share in
+    integer basis points is the stickiness signal). Weeks are epoch
+    DIV 604800e6 — calendar-library-free, the friedman discipline. The
+    user-week grain is deduplicated first so a chatty user counts once
+    per week; first-week comes from one aggregate over that grain.
+    All counts and the bp share are exact int64 (trunc-DIV).
+
+    Plan: one shuffle to the (user, week) grain (map-side combine),
+    one user-grain aggregate for first weeks joined back on user_id
+    (natural-key shuffled hash join at scale), one weekly rollup.
+
+    Reference parity: no counterpart; §2.6 events extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+            ).alias("week"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # fan-out: firsts + the weekly rollup
+    )
+    firsts = d.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        d.join(firsts, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(F.expr("CASE WHEN week = first_week THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.expr("CASE WHEN week > first_week THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("returning_users"),
+            F.expr(
+                "SUM(CASE WHEN week > first_week THEN 1 ELSE 0 END)"
+                " * 10000 DIV COUNT(*)"
+            )
+            .cast("long")
+            .alias("returning_bp"),
+        )
+    )

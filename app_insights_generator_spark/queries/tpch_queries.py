@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_insights_generator_spark.queries import register
+from app_insights_generator_spark.queries import _exact as _x
 from app_insights_generator_spark.queries._exact import (
     disc_price as _dec_disc_price,
 )
@@ -870,3 +871,98 @@ def q20_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         movers, s.s_suppkey == movers.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# --- Cohort lifetime-value curve ---------------------------------------------------
+
+
+@register(
+    "ltv_cohort_curve_orders",
+    f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(year(o_orderdate) AS BIGINT)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    per AS (
+      SELECT f.cohort,
+             CAST(year(o.o_orderdate) AS BIGINT) - f.cohort AS age,
+             CAST(SUM({{CENTS}}) AS BIGINT) AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort
+    )
+    SELECT p.cohort, p.age, s.cohort_users, p.n_orders, p.rev_cents,
+           CAST(SUM(p.rev_cents) OVER (PARTITION BY p.cohort ORDER BY p.age
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rev_cents,
+           CAST(SUM(p.rev_cents) OVER (PARTITION BY p.cohort ORDER BY p.age
+                                       ROWS UNBOUNDED PRECEDING)
+                // s.cohort_users AS BIGINT) AS ltv_cents_per_user
+    FROM per p JOIN sized s ON s.cohort = p.cohort
+    """.replace("{CENTS}", _x.sql_cents("o_totalprice")),
+)
+def ltv_cohort_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion of
+    retention_cohorts_events and the number a growth team actually
+    plans against: customers are cohorted by first-order year, and each
+    (cohort, age) cell carries exact order counts, revenue cents, the
+    running cumulative revenue, and cumulative LTV per cohort user
+    (trunc-DIV of two exact int64s — fully float-free). Age is in
+    years (the order-date grain of the TPC-H-shaped data); the same
+    plan works at month grain by swapping the year() bucketing.
+
+    Plan: one shuffle to the customer grain for first-order dates, a
+    broadcast-ably small (custkey, cohort) table joined back onto the
+    fact scan (at 100 TB: shuffled hash join on the natural key), one
+    (cohort, age) rollup — the window then runs over the tiny
+    cohort × age grid.
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate").cast("long")).alias("cohort")
+    )
+    per = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate").cast("long") - F.col("cohort")).alias(
+                "age"
+            ),
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)"
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.join(F.broadcast(sized), "cohort")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("long"))
+        .select(
+            "cohort",
+            "age",
+            "cohort_users",
+            "n_orders",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents DIV cohort_users")
+            .cast("long")
+            .alias("ltv_cents_per_user"),
+        )
+    )
