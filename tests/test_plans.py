@@ -810,3 +810,26 @@ def test_quantile_normalize_never_reads_text(spark, sf_dir):
     for ln in plan.splitlines():
         if "FileScan parquet" in ln:
             assert "text" not in ln.split("ReadSchema")[0], ln
+
+
+def test_round10_stats_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-10 statistics additions:
+    no Cartesian products, no Python evaluation (every one is JVM
+    expressions over exact integer moments; scalar totals arrive as
+    1-row broadcasts — BroadcastNestedLoopJoin(Cross) over a 1-row
+    aggregate is the sanctioned shape, CartesianProduct is not)."""
+    for name in (
+        "ols_trend_daily_revenue_orders",
+        "theil_sen_daily_revenue_orders",
+        "cuped_adjusted_metric_events",
+        "trimmed_winsorized_value_events",
+        "jackknife_ratio_stderr_events",
+        "diff_in_diff_events",
+        "gini_revenue_customers",
+        "friedman_weekday_revenue_orders",
+        "ltv_cohort_curve_orders",
+        "new_vs_returning_weekly_events",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
