@@ -156,6 +156,7 @@ ROTATION_NEXT: list[str] = [
     "friedman_weekday_revenue_orders",
     "ltv_cohort_curve_orders",
     "new_vs_returning_weekly_events",
+    "kendall_tau_qty_price_lineitem",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

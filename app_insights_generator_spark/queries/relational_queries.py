@@ -4632,3 +4632,122 @@ def topk_churn_customers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_overlap * 10000 DIV (40 - n_overlap)").alias("jaccard_bp"),
         F.expr("(20 - n_overlap) * 10000 DIV 20").alias("churn_bp"),
     )
+
+
+# --- Kendall tau-b on the bounded (quantity, price-bucket) grid --------------------
+
+
+@register(
+    "kendall_tau_qty_price_lineitem",
+    f"""
+    WITH t AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             {_x.sql_cents('l_extendedprice')} // 100000 AS yb
+      FROM lineitem
+    ),
+    cells AS (SELECT x, yb, CAST(COUNT(*) AS BIGINT) AS m FROM t GROUP BY x, yb),
+    cd AS (
+      SELECT
+        CAST(SUM(CASE WHEN b.yb > a.yb THEN a.m * b.m ELSE 0 END) AS BIGINT)
+          AS c,
+        CAST(SUM(CASE WHEN b.yb < a.yb THEN a.m * b.m ELSE 0 END) AS BIGINT)
+          AS d
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    tx AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n1 FROM
+           (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM t GROUP BY x)),
+    ty AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n2 FROM
+           (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM t GROUP BY yb))
+    SELECT n.n AS n, cd.c AS concordant, cd.d AS discordant,
+           tx.n1 AS ties_x, ty.n2 AS ties_y,
+           CAST(cd.c - cd.d AS DOUBLE)
+             / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1) / 2 - tx.n1)
+                    * (CAST(n.n AS DOUBLE) * (n.n - 1) / 2 - ty.n2))
+             AS tau_b
+    FROM cd, n, tx, ty
+    WHERE CAST(n.n AS DOUBLE) * (n.n - 1) / 2 - tx.n1 > 0
+      AND CAST(n.n AS DOUBLE) * (n.n - 1) / 2 - ty.n2 > 0
+    """,
+)
+def kendall_tau_qty_price_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) between line quantity and the
+    $1,000 price bucket — the concordance member of the correlation
+    family (Pearson = regr_/ols moments, Spearman = rank moments,
+    tau = pairwise ordering agreement; tau-b is the standard form when
+    both margins carry heavy ties, which integer quantities and price
+    buckets do by construction). Concordant/discordant counts come from
+    the DISTINCT-cell grid with multiplicity products — the mann_kendall
+    grid² trick, O(cells²) on a ~50×~100 bounded grid instead of the
+    O(n²) raw-pair join — tied-in-x pairs are structurally excluded by
+    the strict x-order join, and tie counts n1/n2 are exact per-margin
+    sums of m·(m−1) DIV 2. C, D, n1, n2 are exact int64 (C ≤ n²/2 ≈
+    1.8e11 at sf0.1); the denominator (n0−n1)(n0−n2) would overflow
+    int64 squared, so tau_b is the single final float expression.
+
+    Plan: one map-side-combine pass to the bounded cell grid, a
+    broadcast-sized grid self-join, four scalar aggregates.
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr(f"{_x.sql_cents('l_extendedprice')} DIV 100000").alias("yb"),
+    )
+    cells = t.groupBy("x", "yb").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    ).localCheckpoint(eager=True)  # fan-out: C/D join + both tie margins
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("yb").alias("ay"), F.col("m").alias("am")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("yb").alias("by"), F.col("m").alias("bm")
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("bx") > F.col("ax"))
+        .agg(
+            F.sum(F.expr("CASE WHEN by > ay THEN am * bm ELSE 0 END"))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.expr("CASE WHEN by < ay THEN am * bm ELSE 0 END"))
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("m").cast("long").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) DIV 2")).cast("long").alias("n1"))
+    )
+    ty = (
+        cells.groupBy("yb")
+        .agg(F.sum("m").cast("long").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) DIV 2")).cast("long").alias("n2"))
+    )
+    return (
+        cd.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .filter(
+            F.expr(
+                "CAST(n AS DOUBLE) * (n - 1) / 2 - n1 > 0"
+                " AND CAST(n AS DOUBLE) * (n - 1) / 2 - n2 > 0"
+            )
+        )
+        .select(
+            F.col("n"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.col("n1").alias("ties_x"),
+            F.col("n2").alias("ties_y"),
+            F.expr(
+                "CAST(c - d AS DOUBLE)"
+                " / SQRT((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)"
+                " * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2))"
+            ).alias("tau_b"),
+        )
+    )
