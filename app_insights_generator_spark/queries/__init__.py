@@ -157,6 +157,7 @@ ROTATION_NEXT: list[str] = [
     "ltv_cohort_curve_orders",
     "new_vs_returning_weekly_events",
     "kendall_tau_qty_price_lineitem",
+    "shrunk_source_quality_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -6687,3 +6687,87 @@ ORACLES["mcnemar_quality_documents"] = (
     .replace("{GOPHER}", ORACLES["gopher_quality_rules_documents"])
     .replace("{LINEAR}", ORACLES["quality_linear_scores_documents"])
 )
+
+
+# --- Pseudo-count shrinkage of per-source quality means ---------------------------
+
+_SHRINK_K = 50
+
+
+@register(
+    "shrunk_source_quality_documents",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(ROUND(({{Q}} + 1e-9) * 10) AS BIGINT) AS q10
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q10) AS BIGINT) AS s
+      FROM scored GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS d, CAST(SUM(s) AS BIGINT) AS t
+            FROM per)
+    SELECT source, n, s,
+           CAST(s AS DOUBLE) / (10.0 * n) AS raw_mean,
+           CAST(s * d + {_SHRINK_K} * t AS DOUBLE)
+             / (10.0 * (n + {_SHRINK_K}) * d) AS shrunk_mean,
+           CAST({_SHRINK_K} * 10000 // (n + {_SHRINK_K}) AS BIGINT)
+             AS shrink_weight_bp
+    FROM per, tot
+    """,
+)
+def shrunk_source_quality_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pseudo-count (empirical-Bayes-style) shrinkage of per-source mean
+    quality toward the corpus grand mean — the stabilizer a curation
+    dashboard needs before ranking or thresholding SOURCES: a 30-doc
+    source's raw mean is mostly noise, so each source mean is blended
+    with the grand mean at weight k/(n_s+k), k={_SHRINK_K} pseudo-docs
+    (the add-k smoothing form of the James-Stein idea with a fixed
+    prior strength; per-source shrink weight emitted in integer bp so
+    the blend itself is hash-pinned). Quality is the exact 1-decimal
+    score scaled to int (q10), per-source sums/counts and the
+    grand-mean rational (t/d) stay exact int64, and both means are
+    final float expressions of exact integers with identical text in
+    both engines — no float is ever summed across rows.
+
+    Plan: one scan + per-source aggregate (20 rows), one 1-row total
+    broadcast; the scan projects only (source, text).
+
+    Reference parity: no counterpart; §2.3 curation extension.
+    Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    # the shared scorer expression (JVM-side, no UDF), scaled to int
+    scored = docs.select(
+        "source",
+        F.round((T.quality_score(F.col("text")) + F.lit(1e-9)) * 10)
+        .cast("long")
+        .alias("q10"),
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q10").cast("long").alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("d"), F.sum("s").cast("long").alias("t")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "s",
+        F.expr("CAST(s AS DOUBLE) / (10.0 * n)").alias("raw_mean"),
+        F.expr(
+            f"CAST(s * d + {_SHRINK_K} * t AS DOUBLE)"
+            f" / (10.0 * (n + {_SHRINK_K}) * d)"
+        ).alias("shrunk_mean"),
+        F.expr(f"CAST({_SHRINK_K} * 10000 DIV (n + {_SHRINK_K}) AS BIGINT)")
+        .alias("shrink_weight_bp"),
+    )
+
+
+ORACLES["shrunk_source_quality_documents"] = ORACLES[
+    "shrunk_source_quality_documents"
+].replace("{Q}", _quality_score_sql())
