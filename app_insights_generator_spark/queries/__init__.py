@@ -61,88 +61,27 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02-r09's rows are exactly positions 0-49 of this dict).
+# CORRECTNESS_r02-r10's rows are exactly positions 0-49 of this dict).
 #
-# Round-10 rotation (VERDICT r09 item #1): (a) ALL 29 never-driver-sampled
-# round-9 post-sweep additions — the entire r09 ROTATION_NEXT, the only
-# registry entries without a driver row; each carries local oracle-green at
-# sf0.01 (+sf0.1 where the oracle is tractable), a 3-fresh-session
-# zero-flip sweep (GATE_SWEEP_r09b–g), and a clean sf0.1 Spark-side run
-# (SCALE_SPARK_r09). A green window makes the whole 322-query registry
-# driver-confirmed for the first time. (b) 21 r-green padding rows,
-# preferring queries whose code paths round 10 touches: the
-# similarity/ANN family (persist-and-refresh index surface lands in
-# similarity.py — VERDICT item #4), the cogroup as-of family (event_id
-# pruning guard + eager schema validation — ADVICE items 2–3), trainprep
-# (the quantile-normalization equi-join fix — ADVICE item 1 — plus the
-# packing family sharing that file), the incremental-dedup pattern the new
-# ANN probe mirrors, the insights-sweep core, and a core spread tail.
+# Round-11 rotation (VERDICT r10 item #1): (a) ALL 15 never-driver-sampled
+# round-10 post-sweep additions — the entire r10 ROTATION_NEXT, the only
+# registry entries without a driver row (VERDICT r10 verified the set
+# name-for-name). Each carries local oracle-green at sf0.001+sf0.01+sf0.1,
+# a 3-fresh-session zero-flip sweep (GATE_SWEEP_r10a–k), and a clean sf0.1
+# Spark-side run (SCALE_SPARK_r10). A green window driver-confirms the
+# entire 337-query registry for the first time. (b) 35 r-green padding
+# rows, preferring queries whose code paths round 11 touches: the
+# similarity/IVF family (refresh_ivf_index return fix — ADVICE item 3 —
+# plus the SF-override quartet the sweep tooling retimes, VERDICT item #4),
+# trainprep packing (per-(split,shard) packing rework shares
+# llm_queries.py — VERDICT item #3), the events experimentation siblings
+# of the jackknife guard fix (ADVICE item 5), the stats/histogram family
+# next to the new histogram-form Gini twin (VERDICT item #6), the
+# winnowing/spans pair under bench adjudication (VERDICT item #2), the
+# incremental-dedup pattern the streaming exactly-once fix exercises
+# (ADVICE items 1–2), and the insights-sweep core.
 _GATE_PRIORITY = [
-    # (a) the 29 round-10 rotation queries (r09 ROTATION_NEXT order)
-    "sparse_dense_agreement_documents",
-    "rrf_fusion_documents",
-    "cohens_kappa_quality_documents",
-    "dedup_cluster_profile_documents",
-    "mutual_information_source_lang_documents",
-    "token_budget_waterfill_documents",
-    "listagg_top_customers_orders",
-    "roc_auc_quality_documents",
-    "oov_ngram_rate_by_split_documents",
-    "split_centroid_drift_embeddings",
-    "weighted_median_lineitem",
-    "lang_confusion_matrix_documents",
-    "mann_kendall_daily_revenue_orders",
-    "apportion_largest_remainder_documents",
-    "adamic_adar_nation_trade",
-    "dsir_importance_documents",
-    "markov_next_event_accuracy_events",
-    "kruskal_wallis_orders_priority",
-    "holt_trend_weekly_revenue_orders",
-    "kmv_vocab_ndv_sources",
-    "wasserstein_drift_orders_price",
-    "simpson_diversity_sources",
-    "vocab_coverage_curve_documents",
-    "quantile_normalize_doclen_sources",
-    "fano_burstiness_event_types",
-    "ab_srm_audit_events",
-    "mcnemar_quality_documents",
-    "ab_conversion_chi2_events",
-    "topk_churn_customers_orders",
-    # (b1) similarity/ANN family -- persist-and-refresh lands in this file
-    "ann_topk_ivf_embeddings",
-    "ann_recall_ivf_embeddings",
-    "pq_codes_embeddings",
-    "pq_adc_search_embeddings",
-    "semdedup_embeddings",
-    "kmeans_clusters_embeddings",
-    "similarity_join_lsh_embeddings",
-    "oracle_exact_cosine_pairs",
-    # (b2) cogroup as-of family -- pruning guard + eager validation
-    "cogroup_purchase_error_asof_events",
-    "asof_join_purchase_signup",
-    # (b3) trainprep -- quantile-norm equi-join fix lives in this file
-    "pack_documents_token_budget",
-    "chunk_spans_documents",
-    "leakage_safe_split_documents",
-    "pack_next_fit_sql_documents",
-    "pack_next_fit_documents",
-    # (b4) incremental-dedup pattern the new ANN probe mirrors
-    "dedup_incremental_minhash_documents",
-    "dedup_exact_documents",
-    # (b5) insights-sweep core + core spread
-    "insights_sweep_lineitem",
-    "insights_sweep_orders",
-    "q1_pricing_summary",
-    "tumbling_window_events",
-]
-
-# ROUND-11 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
-# lived in SURVEY.md prose, the bookkeeping class that silently dropped
-# multimodal_gif_codec_features in r06). Every query registered after this
-# round's definitive gate sweep MUST be appended here the moment it is
-# registered; tests/test_registry.py pins "never-driver-sampled implies
-# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
-ROTATION_NEXT: list[str] = [
+    # (a) the 15 round-11 rotation queries (r10 ROTATION_NEXT order)
     "ann_incremental_probe_embeddings",
     "trainprep_pipeline_documents",
     "pq_incremental_codes_embeddings",
@@ -158,7 +97,57 @@ ROTATION_NEXT: list[str] = [
     "new_vs_returning_weekly_events",
     "kendall_tau_qty_price_lineitem",
     "shrunk_source_quality_documents",
+    # (b1) similarity/IVF family -- refresh fix + SF-override quartet
+    "ann_topk_ivf_embeddings",
+    "ann_recall_ivf_embeddings",
+    "pq_codes_embeddings",
+    "pq_adc_search_embeddings",
+    "kmeans_clusters_embeddings",
+    "semdedup_embeddings",
+    "similarity_join_lsh_embeddings",
+    "knn_label_accuracy_embeddings",
+    "dedup_embedding_cosine_embeddings",
+    "oracle_exact_cosine_pairs",
+    "cosine_topk_embeddings",
+    # (b2) trainprep packing family -- per-(split,shard) rework file
+    "pack_documents_token_budget",
+    "pack_next_fit_documents",
+    "pack_next_fit_sql_documents",
+    "shard_shuffle_documents",
+    "chunk_spans_documents",
+    "leakage_safe_split_documents",
+    "train_val_test_split_documents",
+    # (b3) events experimentation siblings of the jackknife guard
+    "ab_srm_audit_events",
+    "ab_conversion_chi2_events",
+    "tumbling_window_events",
+    "dedup_watermark_batch_twin_events",
+    # (b4) stats/histogram family next to the Gini histogram twin
+    "equidepth_histogram_orders",
+    "length_percentiles_by_source",
+    "token_gini_by_source",
+    # (b5) winnowing adjudication pair
+    "winnowing_fingerprints_documents",
+    "duplicate_spans_documents",
+    # (b6) incremental-dedup pattern the streaming fixes exercise
+    "dedup_incremental_minhash_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "cross_split_contamination_documents",
+    # (b7) insights-sweep core + spread
+    "insights_sweep_lineitem",
+    "insights_sweep_orders",
+    "insights_sweep_lineitem_wide",
+    "q1_pricing_summary",
 ]
+
+# ROUND-12 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
+# lived in SURVEY.md prose, the bookkeeping class that silently dropped
+# multimodal_gif_codec_features in r06). Every query registered after this
+# round's definitive gate sweep MUST be appended here the moment it is
+# registered; tests/test_registry.py pins "never-driver-sampled implies
+# in-window-or-listed" against the committed CORRECTNESS_r*.json history.
+ROTATION_NEXT: list[str] = []
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"
