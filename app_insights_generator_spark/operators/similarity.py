@@ -341,14 +341,39 @@ def read_ivf_index(spark, index_dir: str):
     return centroids, lists
 
 
+def assign_to_index(
+    new_batch: DataFrame, index_dir: str, vec_col: str, id_col: str
+) -> DataFrame:
+    """Assign an ingest batch to a persisted index's FROZEN centroids
+    (one Arrow-batched map pass, O(batch), no refit) and return the
+    [id, vec, list_id] assignment DataFrame — shared by the in-place
+    batch refresh (refresh_ivf_index) and the staged streaming ingest
+    (streaming/ivf_stream.py), which commit the rows differently."""
+    spark = new_batch.sparkSession
+    centroids, _ = read_ivf_index(spark, index_dir)
+    assign = ivf_assign_udf(centroids)
+    return new_batch.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+
+
 def refresh_ivf_index(
     new_batch: DataFrame, index_dir: str, vec_col: str, id_col: str
 ) -> int:
     """Append an ingest batch to a persisted index WITHOUT refitting: the
     batch is assigned to the frozen persisted centroids (one map pass,
     O(batch)) and appended into the partitioned lists table. Returns the
-    number of lists the batch touched (bounded by n_lists — the append
-    writes only those partitions).
+    number of distinct lists THE BATCH touched (counted on the batch's
+    own assignments before the append — ADVICE r10 item 3; bounded by
+    n_lists, and exactly the set of partitions the append writes).
+
+    This in-place append is the single-shot BATCH job API; a replayable
+    caller (Structured Streaming foreachBatch) must not use it directly —
+    a crash between the append and its own commit marker would duplicate
+    the batch on replay. streaming/ivf_stream.py stages each batch under
+    a versioned path and commits via pointer flip instead.
 
     Centroid staleness is the documented trade-off (same as every IVF
     serving system): quality degrades only if the batch distribution
@@ -357,23 +382,12 @@ def refresh_ivf_index(
     assumes; refit on an audit failure, not on a schedule."""
     import os
 
-    spark = new_batch.sparkSession
-    centroids, _ = read_ivf_index(spark, index_dir)
-    assign = ivf_assign_udf(centroids)
-    add = new_batch.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        assign(F.col(vec_col)).alias("list_id"),
-    )
+    add = assign_to_index(new_batch, index_dir, vec_col, id_col)
+    n_touched = add.select("list_id").distinct().count()
     add.write.mode("append").partitionBy("list_id").parquet(
         os.path.join(index_dir, "lists")
     )
-    return (
-        spark.read.parquet(os.path.join(index_dir, "lists"))
-        .select("list_id")
-        .distinct()
-        .count()
-    )
+    return n_touched
 
 
 def ann_probe_persisted(

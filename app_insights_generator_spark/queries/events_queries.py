@@ -2681,6 +2681,11 @@ def trimmed_winsorized_value_events(
              (tnum - bnum) * 1000000 // (tden - bden)
                - tnum * 1000000 // tden AS dev_ppm
       FROM per_bucket, tot
+      -- nb=1 degenerate case (all users hash into one bucket): the
+      -- leave-one-out denominator is 0; emit no pseudo-values instead
+      -- of dividing by zero (ADVICE r10 item 5, matching the variance>0
+      -- guards of the OLS/CUPED siblings)
+      WHERE tden - bden > 0
     ),
     mom AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS b,
@@ -2693,10 +2698,12 @@ def trimmed_winsorized_value_events(
            CAST(tot.tnum * 1000000 // tot.tden AS BIGINT) AS ratio_ppm,
            mom.b AS n_buckets,
            CAST(mom.st AS BIGINT) AS sum_dev_ppm,
-           SQRT((CAST(mom.b AS DOUBLE) - 1.0) / CAST(mom.b AS DOUBLE)
-                * (CAST(mom.stt AS DOUBLE)
-                   - CAST(mom.st AS DOUBLE) * CAST(mom.st AS DOUBLE)
-                     / CAST(mom.b AS DOUBLE))) AS stderr_ppm
+           CASE WHEN mom.b >= 2 THEN
+             SQRT((CAST(mom.b AS DOUBLE) - 1.0) / CAST(mom.b AS DOUBLE)
+                  * (CAST(mom.stt AS DOUBLE)
+                     - CAST(mom.st AS DOUBLE) * CAST(mom.st AS DOUBLE)
+                       / CAST(mom.b AS DOUBLE)))
+           ELSE CAST(NULL AS DOUBLE) END AS stderr_ppm
     FROM tot, mom
     """,
 )
@@ -2754,11 +2761,17 @@ def jackknife_ratio_stderr_events(
         F.sum("bden").cast("long").alias("tden"),
         F.count(F.lit(1)).cast("long").alias("nb"),
     )
-    pseudo = per_bucket.crossJoin(F.broadcast(tot)).select(
-        F.expr(
-            "(tnum - bnum) * 1000000 DIV (tden - bden)"
-            " - tnum * 1000000 DIV tden"
-        ).alias("dev_ppm")
+    pseudo = (
+        per_bucket.crossJoin(F.broadcast(tot))
+        # nb=1 degenerate case: leave-one-out denominator is 0 — emit no
+        # pseudo-values instead of a division error (ADVICE r10 item 5).
+        .filter(F.expr("tden - bden > 0"))
+        .select(
+            F.expr(
+                "(tnum - bnum) * 1000000 DIV (tden - bden)"
+                " - tnum * 1000000 DIV tden"
+            ).alias("dev_ppm")
+        )
     )
     mom = pseudo.agg(
         F.count(F.lit(1)).cast("long").alias("b"),
@@ -2772,10 +2785,12 @@ def jackknife_ratio_stderr_events(
         F.col("b").alias("n_buckets"),
         F.col("st").alias("sum_dev_ppm"),
         F.expr(
-            "SQRT((CAST(b AS DOUBLE) - 1.0) / CAST(b AS DOUBLE)"
+            "CASE WHEN b >= 2 THEN"
+            " SQRT((CAST(b AS DOUBLE) - 1.0) / CAST(b AS DOUBLE)"
             " * (CAST(stt AS DOUBLE)"
             " - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)"
             " / CAST(b AS DOUBLE)))"
+            " ELSE CAST(NULL AS DOUBLE) END"
         ).alias("stderr_ppm"),
     )
 

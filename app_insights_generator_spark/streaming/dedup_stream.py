@@ -40,21 +40,16 @@ from app_insights_generator_spark.operators.dedup import (
     build_band_index,
     incremental_near_dedup,
 )
-
-_LATEST = "_LATEST"
+from app_insights_generator_spark.streaming._state import (
+    ensure_lineage,
+    flip_latest,
+    latest_version as _latest_version,
+)
 
 #: Persisted band-index schema (build_band_index's output): the first
 #: batch probes an EMPTY index of exactly this shape.
 _INDEX_SCHEMA = "band int, bhash bigint, _id bigint, _sh array<string>"
 _PAIRS_SCHEMA = "id_a bigint, id_b bigint, jaccard double"
-
-
-def _latest_version(state_dir: str) -> int:
-    p = os.path.join(state_dir, _LATEST)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as f:
-        return int(f.read().strip())
 
 
 def read_index(spark, state_dir: str) -> DataFrame | None:
@@ -86,8 +81,10 @@ def run_streaming_dedup(
 ) -> None:
     """Drain a streaming document source (trigger availableNow) through
     the incremental near-dedup probe, maintaining the persisted band
-    index and cumulative pair set under ``state_dir``."""
-    os.makedirs(state_dir, exist_ok=True)
+    index and cumulative pair set under ``state_dir``. Reusing a state
+    dir with a fresh checkpoint fails loudly (ADVICE r10 item 2: batch
+    ids would restart at 0 and be skipped as replays)."""
+    ensure_lineage(state_dir, checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _latest_version(state_dir):
@@ -131,10 +128,7 @@ def run_streaming_dedup(
         prev_pairs.unionByName(new_pairs).write.mode("overwrite").parquet(
             pairs_out
         )
-        tmp = os.path.join(state_dir, f"_LATEST.tmp.{batch_id}")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic flip
+        flip_latest(state_dir, batch_id)  # atomic commit
 
     (
         docs_sdf.writeStream.foreachBatch(_apply)

@@ -28,16 +28,11 @@ from app_insights_generator_spark.operators.incremental import (
     agg_state,
     merge_states,
 )
-
-_LATEST = "_LATEST"
-
-
-def _latest_version(state_dir: str) -> int:
-    p = os.path.join(state_dir, _LATEST)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as f:
-        return int(f.read().strip())
+from app_insights_generator_spark.streaming._state import (
+    ensure_lineage,
+    flip_latest,
+    latest_version as _latest_version,
+)
 
 
 def read_state(spark, state_dir: str) -> DataFrame | None:
@@ -58,8 +53,10 @@ def run_continuous_rollup(
     """Drain a streaming DataFrame (trigger availableNow) into a merged
     per-group state table under ``state_dir``. ``measures`` is the
     agg_state/merge_states spec built lazily by the caller (Column specs
-    need an active SparkContext)."""
-    os.makedirs(state_dir, exist_ok=True)
+    need an active SparkContext). Reusing a state dir with a fresh
+    checkpoint fails loudly (ADVICE r10 item 2: batch ids would restart
+    at 0 and be skipped as replays)."""
+    ensure_lineage(state_dir, checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _latest_version(state_dir):
@@ -70,10 +67,7 @@ def run_continuous_rollup(
         new = delta if prev is None else merge_states([prev, delta], keys, measures)
         out = os.path.join(state_dir, f"state_v{batch_id}")
         new.write.mode("overwrite").parquet(out)
-        tmp = os.path.join(state_dir, f"_LATEST.tmp.{batch_id}")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(state_dir, _LATEST))  # atomic pointer flip
+        flip_latest(state_dir, batch_id)  # atomic pointer-flip commit
 
     (
         events_sdf.writeStream.foreachBatch(_apply)

@@ -32,6 +32,7 @@ BASELINE.md cross-reference.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import statistics
@@ -56,7 +57,20 @@ from app_insights_generator_spark.queries.llm_queries import (  # noqa: E402
     similarity_join_lsh_production,
 )
 
+# Per-sf_dir persisted-IVF scratch indexes; removed at process exit
+# (ADVICE r10 item 4 — mkdtemp dirs leaked one index per bench run).
 _IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _cleanup_ivf_cache() -> None:
+    import shutil
+
+    for d in _IVF_INDEX_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_INDEX_CACHE.clear()
+
+
+atexit.register(_cleanup_ivf_cache)
 
 
 def _ann_probe_persisted_production(spark, sf_dir):

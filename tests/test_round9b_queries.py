@@ -312,3 +312,44 @@ def test_cuped_reduces_or_preserves_variance_terms(spark, sf_dir):
     assert 0.0 <= t0.rho2 <= 1.0 + 1e-12
     shift = sum(r.n_users * (r.mean_y - r.mean_y_cuped) for r in rows)
     assert abs(shift) < 1e-4  # theta * (sum_x_all - sum_x_all)
+
+
+def test_jackknife_degenerate_single_bucket_no_error(spark, tmp_path):
+    """ADVICE r10 item 5: when every user hashes into ONE bucket (nb=1)
+    the leave-one-out denominator is 0; the guard must make both engines
+    return the totals row with zero pseudo-values and NULL stderr
+    instead of raising a division error."""
+    import duckdb as _dd
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from app_insights_generator_spark.queries import ORACLES
+
+    # One user -> one per-user row -> exactly one jackknife bucket.
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "user_id": [7, 7, 7],
+            "event_type": ["view", "view", "purchase"],
+            "value": [1.25, 2.50, 0.25],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    got = QUERIES["jackknife_ratio_stderr_events"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.total_num_cents == 400 and r.total_den_events == 3
+    assert r.n_buckets == 0 and r.stderr_ppm is None
+
+    con = _dd.connect()
+    con.register("events", df)
+    orc = con.sql(ORACLES["jackknife_ratio_stderr_events"]).fetchall()
+    assert len(orc) == 1
+    assert orc[0][0] == 400 and orc[0][1] == 3
+    assert orc[0][3] == 0 and orc[0][5] is None

@@ -87,3 +87,79 @@ def test_streaming_ivf_matches_batch_mode(spark, tmp_path):
     run_once()
     _, lists3 = read_streaming_index(spark, index_dir)
     assert lists3.count() == 140
+
+
+def test_streaming_ivf_staged_crash_replay_no_duplicates(spark, tmp_path):
+    """ADVICE r10 item 1 (exactly-once): a crash AFTER the batch's staged
+    write but BEFORE the pointer flip must (a) leave the uncommitted rows
+    invisible to readers, and (b) replay into the same staged path
+    without duplicating vectors — the failure mode the old in-place
+    refresh append had."""
+    from app_insights_generator_spark.operators.similarity import (
+        assign_to_index,
+    )
+    from app_insights_generator_spark.streaming._state import latest_version
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(sdf, index_dir, ckpt, n_lists=4, sample_size=100)
+
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+    run_once()
+    assert latest_version(index_dir) == 0
+
+    # Simulate the crash: batch 1's staged dir exists (half/fully written)
+    # but the pointer was never flipped and the checkpoint never advanced.
+    b1 = _vecs(2, range(100, 140))
+    _write(src, "b1.parquet", b1)
+    df1 = spark.createDataFrame(b1, ["vec_id", "embedding"])
+    staged = assign_to_index(df1, index_dir, "embedding", "vec_id")
+    staged.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/lists_batches/b1"
+    )
+    # (a) uncommitted staged rows are invisible to the committed view.
+    _, lists = read_streaming_index(spark, index_dir)
+    assert lists.count() == 100
+
+    # (b) the replayed batch overwrites its own staged dir: no doubling.
+    run_once()
+    assert latest_version(index_dir) == 1
+    _, lists2 = read_streaming_index(spark, index_dir)
+    assert lists2.count() == 140
+    assert lists2.select("id").distinct().count() == 140
+
+
+def test_streaming_state_lineage_guard(spark, tmp_path):
+    """ADVICE r10 item 2: reusing an existing state/index dir with a
+    FRESH checkpoint dir restarts batch ids at 0 — every new batch would
+    be silently skipped as a replay. All three foreachBatch streams must
+    fail loudly instead."""
+    import pytest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+
+    def run(ckpt):
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(
+            sdf, index_dir, str(tmp_path / ckpt), n_lists=4, sample_size=100
+        )
+
+    run("ckpt_a")
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        run("ckpt_b")
+    # The original lineage keeps working.
+    run("ckpt_a")
+    _, lists = read_streaming_index(spark, index_dir)
+    assert lists.count() == 100
