@@ -2265,8 +2265,10 @@ def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle to the customer grain, one global sort of the
     bounded customer table for the rank, a 1-row moment aggregate. At
     100 TB the global ORDER BY over customers is the honest cost — the
-    same posture as the equidepth percentile family, with the
-    pre-aggregated histogram form as the documented scale path.
+    same posture as the equidepth percentile family. The 100 TB path is
+    the GATED histogram twin ``gini_revenue_histogram_customers``
+    (identical moments from the bounded distinct-value grid;
+    equivalence-pinned in tests/test_round9b_queries.py).
 
     Reference parity: no counterpart; §2.2 analytics extension.
     Registered on ROTATION_NEXT (round-11 window; post-sweep addition)."""
@@ -2287,6 +2289,101 @@ def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.expr("i * x")).cast("long").alias("six"),
+    )
+    return mom.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.expr(
+            "CAST(2 * six - (n + 1) * sx AS DOUBLE)"
+            " / CAST(n * sx AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
+# --- Gini, histogram form (the 100 TB scale path) ---------------------------------
+
+
+@register(
+    "gini_revenue_histogram_customers",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM per_cust GROUP BY x
+    ),
+    cum AS (
+      SELECT x, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cp
+      FROM hist
+    ),
+    mom AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(x * c) AS BIGINT) AS sx,
+             CAST(SUM(x * (c * cp + c * (c + 1) // 2)) AS BIGINT) AS six
+      FROM cum
+    )
+    SELECT n AS n_customers, sx AS total_cents,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM mom
+    """,
+)
+def gini_revenue_histogram_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient from the PRE-AGGREGATED value histogram — the
+    100 TB form of gini_revenue_customers (VERDICT r10 item 6): instead
+    of ranking every customer row with a global-sort window, revenues
+    collapse to the bounded (cents, count) grid first, and the rank
+    moment is reconstructed per tie-run in closed form. For a run of c
+    equal values x whose cumulative strictly-smaller count is cp, the
+    row-level ranks are cp+1..cp+c, so Σ i·x over the run is
+    x·(c·cp + c·(c+1)/2) — EXACTLY the row-level Σ i·x (rank ties all
+    carry the same x, so the custkey tiebreak cannot change the moment).
+    Equivalence is pinned bit-for-bit against the row-level form
+    (tests/test_round9b_queries.py), the
+    length_percentiles_by_source precedent.
+
+    Plan: one shuffle to the customer grain, one shuffle to the VALUE
+    grid (bounded by distinct revenue cents, ~n at tiny SF but sublinear
+    at scale and trivially strata-partitionable), a window over the
+    grid, a 1-row moment aggregate — the global sort now touches the
+    grid, not the customer table. c·(c+1) is even, so //2 and DIV 2 are
+    exact in both engines; all moments stay int64 with the same
+    headroom budget as the row-level form.
+
+    Reference parity: no counterpart; §2.2 analytics extension.
+    Registered on ROTATION_NEXT (round-12 rotation; post-sweep addition)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr(f"CAST(SUM({_x.sql_cents('o_totalprice')}) AS BIGINT)").alias(
+            "x"
+        )
+    )
+    hist = per_cust.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.withColumn(
+        "cp",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("x").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    mom = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("x * c")).cast("long").alias("sx"),
+        F.sum(F.expr("x * (c * cp + c * (c + 1) DIV 2)"))
+        .cast("long")
+        .alias("six"),
     )
     return mom.select(
         F.col("n").alias("n_customers"),

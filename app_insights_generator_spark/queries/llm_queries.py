@@ -919,30 +919,34 @@ def _e2e_split_case_sql() -> str:
     ),
     kept AS (SELECT * FROM scored WHERE q >= 0.7),
     tagged AS (
-      SELECT doc_id, n_tokens, {_e2e_split_case_sql()} AS split
+      SELECT doc_id, n_tokens, {_e2e_split_case_sql()} AS split,
+             CAST({sql_hex_to_int(
+                 "substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12)", 12
+             )} % {_E2E_SHARDS} AS INT) AS shard
       FROM (
         SELECT *, substring(sha256(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
         FROM kept
       )
     ),
     packed AS (
+      -- pack per (split, shard): no window partition exceeds a shard
       SELECT *,
-             CAST((SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+             CAST((SUM(n_tokens) OVER (PARTITION BY split, shard
+                                       ORDER BY doc_id
                                        ROWS UNBOUNDED PRECEDING)
-              - n_tokens) // {_E2E_BUDGET} AS BIGINT) AS bin_id,
-             CAST({sql_hex_to_int(
-                 "substring(sha256(CAST(doc_id AS VARCHAR)), 1, 12)", 12
-             )} % {_E2E_SHARDS} AS INT) AS shard
+              - n_tokens) // {_E2E_BUDGET} AS BIGINT) AS bin_id
       FROM tagged
     )
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(COUNT(DISTINCT bin_id * {_E2E_SHARDS} + shard) AS BIGINT)
+             AS n_bins,
            CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
            CAST(SUM(n_tokens) * 10000
-                // (COUNT(DISTINCT bin_id) * {_E2E_BUDGET}) AS BIGINT)
+                // (COUNT(DISTINCT bin_id * {_E2E_SHARDS} + shard)
+                    * {_E2E_BUDGET}) AS BIGINT)
              AS fill_bp
     FROM packed GROUP BY split
     """.replace("{Q}", _quality_score_sql()),
@@ -953,22 +957,30 @@ def trainprep_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (keep lowest doc_id per content digest) -> quality
     filter (composite score >= 0.7) -> deterministic 80/10/10
     train/val/test split (sha bucket of doc_id — content-independent,
-    version-stable) -> per-split context-window packing (running token
-    sum DIV {_E2E_BUDGET}) -> deterministic shard assignment (48-bit
-    sha hash % {_E2E_SHARDS}) -> one accounting row per split: doc/
-    token/bin/shard counts, id-sum witness, and integer fill basis
-    points. Every stage is the already-gated primitive
-    (curation_pipeline, train_val_test_split, pack_documents,
-    shard_shuffle) chained in one plan, so the gate pins that the
-    COMPOSITION preserves each stage's semantics — the pipeline a user
-    would actually schedule nightly.
+    version-stable) -> deterministic shard assignment (48-bit sha hash
+    % {_E2E_SHARDS}) -> per-(split, shard) context-window packing
+    (running token sum DIV {_E2E_BUDGET} inside each shard) -> one
+    accounting row per split: doc/token/bin/shard counts, id-sum
+    witness, and integer fill basis points (bins counted as distinct
+    (shard, bin_id) pairs via the injective bin_id*{_E2E_SHARDS}+shard
+    key). Every stage is the already-gated primitive
+    (curation_pipeline, train_val_test_split, pack_next_fit's per-shard
+    discipline, shard_shuffle) chained in one plan, so the gate pins
+    that the COMPOSITION preserves each stage's semantics — the
+    pipeline a user would actually schedule nightly.
 
-    Scale shape: dedup is one window on the 32-byte digest (the only
-    wide shuffle over full rows); quality/split/shard are pure
-    projections; packing windows partition per split and the final
-    rollup is 3 rows. At 100 TB: identical plan, with
-    ``partitionBy(split, shard)`` on the write turning the result into
-    the training-ready directory layout.
+    Scale shape (VERDICT r10 item 3): dedup is one window on the
+    32-byte digest (the only wide shuffle over full rows);
+    quality/split/shard are pure projections; the packing window
+    partitions by (split, shard) — shard assignment is deterministic
+    and upstream-computable, so no window partition exceeds a shard,
+    and shard count scales with the corpus (the earlier per-split
+    window meant three single-reducer partitions over the full kept
+    corpus at 100 TB). Plan-guarded: the packing window's partition
+    key includes the shard (tests/test_plans.py). The final rollup is
+    3 rows. At 100 TB: identical plan, with ``partitionBy(split,
+    shard)`` on the write turning the result into the training-ready
+    directory layout.
 
     Exactness: quality is the exact 1-decimal score, tokens/bins/
     shards/fills are pure int64 arithmetic (DIV both engines), split
@@ -1017,7 +1029,7 @@ def trainprep_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = tagged.withColumn(
         "bin_id",
         F.expr(
-            f"(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id "
+            f"(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
             f"DIV {_E2E_BUDGET}"
         ),
@@ -1025,11 +1037,14 @@ def trainprep_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        F.countDistinct(F.expr(f"bin_id * {_E2E_SHARDS} + shard"))
+        .cast("long")
+        .alias("n_bins"),
         F.countDistinct("shard").cast("long").alias("n_shards"),
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.expr(
-            f"sum(n_tokens) * 10000 DIV (count(DISTINCT bin_id) * {_E2E_BUDGET})"
+            f"sum(n_tokens) * 10000 DIV "
+            f"(count(DISTINCT bin_id * {_E2E_SHARDS} + shard) * {_E2E_BUDGET})"
         )
         .cast("long")
         .alias("fill_bp"),

@@ -645,6 +645,19 @@ def test_trainprep_pipeline_composition_plan(spark, sf_dir):
     assert scan and all(
         "ReadSchema: struct<doc_id:bigint,text:string>" in ln for ln in scan
     ), scan
+    # VERDICT r10 item 3: the PACKING window must partition by
+    # (split, shard), never by split alone — a per-split running sum is
+    # three single-reducer partitions over the full kept corpus at
+    # 100 TB. The dedup window (sha digest partition key) is exempt.
+    packing = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "n_tokens" in ln
+    ]
+    assert packing, plan
+    for ln in packing:
+        spec = ln.split("windowspecdefinition(")[1]
+        assert "shard" in spec.split("ASC")[0], ln
 
 
 def test_round9_queries_no_cartesian_no_python(spark, sf_dir):

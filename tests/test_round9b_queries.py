@@ -353,3 +353,16 @@ def test_jackknife_degenerate_single_bucket_no_error(spark, tmp_path):
     assert len(orc) == 1
     assert orc[0][0] == 400 and orc[0][1] == 3
     assert orc[0][3] == 0 and orc[0][5] is None
+
+
+def test_gini_histogram_form_bit_equal_to_row_form(spark, sf_dir):
+    """VERDICT r10 item 6: the histogram-form Gini (bounded value grid,
+    closed-form tie-run rank moment) must reproduce the row-level form
+    BIT-FOR-BIT — same integer moments, same single final division."""
+    row = QUERIES["gini_revenue_customers"](spark, sf_dir).collect()[0]
+    hist = QUERIES["gini_revenue_histogram_customers"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_customers == hist.n_customers
+    assert row.total_cents == hist.total_cents
+    assert row.gini == hist.gini  # exact: identical int64 moments

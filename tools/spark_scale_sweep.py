@@ -41,6 +41,15 @@ from app_insights_generator_spark.queries import QUERIES
 #: can never mistake the row for a default-SF run.
 SF_OVERRIDES: dict[str, str] = {
     "insights_sweep_lineitem_wide_cube": "/root/testdata/sf0.01",
+    # VERDICT r10 item 4: the four documented bounded truth-anchor
+    # oracles (exact O(n^2) comparison points for the banded/IVF gates —
+    # never production paths) were 37% of SCALE_SPARK_r10's wall. Their
+    # robustness signal does not grow with SF; their cost does,
+    # quadratically. Rows carry sf_override like the wide cube.
+    "knn_label_accuracy_embeddings": "/root/testdata/sf0.01",
+    "dedup_embedding_cosine_embeddings": "/root/testdata/sf0.01",
+    "similarity_join_lsh_embeddings": "/root/testdata/sf0.01",
+    "oracle_exact_cosine_pairs": "/root/testdata/sf0.01",
 }
 
 
