@@ -149,6 +149,8 @@ _GATE_PRIORITY = [
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
 ROTATION_NEXT: list[str] = [
     "gini_revenue_histogram_customers",
+    "ivf_refit_decision_embeddings",
+    "siegel_repeated_median_daily_revenue_orders",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

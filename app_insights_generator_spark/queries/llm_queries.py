@@ -2809,6 +2809,203 @@ def ann_incremental_probe_embeddings(
     )
 
 
+_REFIT_COS_FLOOR = 0.99
+
+
+@register(
+    "ivf_refit_decision_embeddings",
+    f"""
+    WITH cut AS (SELECT MAX(vec_id) * 4 // 5 AS c FROM embeddings),
+    e AS (
+      SELECT vid, d, CAST(floor(x * 1000000) AS BIGINT) + 1000000 AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings WHERE vec_id >= {_RECALL_NQ})
+    ),
+    seg AS (
+      SELECT vid, CASE WHEN vid >= cut.c THEN 'batch' ELSE 'old' END AS sg
+      FROM (SELECT DISTINCT vid FROM e), cut
+    ),
+    counts AS (SELECT sg, CAST(COUNT(*) AS BIGINT) AS n FROM seg GROUP BY sg),
+    cent AS (
+      SELECT sg, d, CAST(SUM(v) // COUNT(*) AS BIGINT) - 1000000 AS c
+      FROM e JOIN seg USING (vid) GROUP BY sg, d
+    ),
+    agg AS (
+      SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS dot_q,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS n2_old,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS n2_batch
+      FROM cent a JOIN cent b ON a.d = b.d
+      WHERE a.sg = 'old' AND b.sg = 'batch'
+    ),
+    cosd AS (
+      SELECT dot_q, n2_old, n2_batch,
+             ROUND(CASE WHEN n2_old > 0 AND n2_batch > 0
+                   THEN dot_q / sqrt(CAST(n2_old AS DOUBLE) * n2_batch)
+                   ELSE 0.0 END + 1e-9, 6) AS cos_centroid
+      FROM agg
+    )
+    SELECT (SELECT n FROM counts WHERE sg = 'old') AS n_old,
+           (SELECT n FROM counts WHERE sg = 'batch') AS n_batch,
+           dot_q, n2_old, n2_batch, cos_centroid,
+           CASE WHEN cos_centroid >= {_REFIT_COS_FLOOR}
+                THEN 'keep' ELSE 'refit' END AS decision
+    FROM cosd
+    """,
+)
+def ivf_refit_decision_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The serving loop's CONTROL PLANE (VERDICT r10 item 7a): the
+    refit-vs-keep verdict row for the persisted IVF index. Every IVF
+    deployment must decide when frozen centroids have gone stale; this
+    query gates that decision end-to-end:
+
+    - The DRIFT INSTRUMENT (SQL-gated, engine-exact): cosine between
+      the old corpus's mean embedding and the ingest batch's, through
+      the one quantization home (quantized_long_form — integer per-dim
+      centroid means, int64 dot/norms, single final float cosine, the
+      split_centroid_drift discipline). Segments mirror the incremental
+      probe gate: old = [{_RECALL_NQ}, max*4 DIV 5), batch = the top
+      fifth. decision = 'keep' iff the 6dp cosine >= {_REFIT_COS_FLOOR}
+      (identical rounded value both engines, so the CASE branches
+      identically).
+    - The AUDIT COUPLING (in-query invariants, every gate run): the
+      real persisted index is built on the old corpus, refreshed with
+      the batch against FROZEN centroids, probed by the
+      {_RECALL_NQ}-query panel, and measured against brute-force truth.
+      A 'keep' verdict must be CONSISTENT with the measured audit —
+      overall AND new-batch-restricted recall@{_RECALL_K} >=
+      {_RECALL_FLOOR_BP} bp — otherwise the query raises: the control
+      plane may never emit 'keep' while the audit says the frozen
+      quantizer is failing. (A 'refit' verdict on this fixture would
+      mean the fixture drifted; the audit would catch the recall side.)
+
+    Scale shape: drift is one corpus scan to (segment, dim) partial
+    sums (map-side combine, 2·dims groups) + a dims-row join; the audit
+    is the already-bounded incremental-probe machinery (fit on a
+    deterministic sample, O(batch) refresh, partition-pruned probes).
+
+    Reference parity: no counterpart; §2.10 serving-loop extension.
+    Registered on ROTATION_NEXT (round-12 rotation; post-sweep addition)."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir)
+    cut = embs.agg(F.expr("max(vec_id) * 4 DIV 5").cast("long")).first()[0]
+    corpus_old = embs.filter(
+        (F.col("vec_id") >= _RECALL_NQ) & (F.col("vec_id") < cut)
+    )
+    batch = embs.filter(F.col("vec_id") >= cut)
+
+    # --- drift instrument (the gated row) --------------------------------
+    e = S.quantized_long_form(embs.filter(F.col("vec_id") >= _RECALL_NQ))
+    seg = embs.filter(F.col("vec_id") >= _RECALL_NQ).select(
+        F.col("vec_id").alias("vid"),
+        F.when(F.col("vec_id") >= cut, "batch").otherwise("old").alias("sg"),
+    )
+    counts = {
+        r["sg"]: r["n"]
+        for r in seg.groupBy("sg").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).collect()
+    }
+    cent = (
+        e.join(seg, "vid")
+        .groupBy("sg", "d")
+        .agg(F.expr("CAST(SUM(v) DIV COUNT(1) AS LONG) - 1000000").alias("c"))
+    )
+    a = cent.filter(F.col("sg") == "old").select(
+        F.col("d").alias("ad"), F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("sg") == "batch").select("d", F.col("c").alias("cb"))
+    agg = b.join(F.broadcast(a), F.col("d") == F.col("ad")).agg(
+        F.sum(F.expr("ca * cb")).cast("long").alias("dot_q"),
+        F.sum(F.expr("ca * ca")).cast("long").alias("n2_old"),
+        F.sum(F.expr("cb * cb")).cast("long").alias("n2_batch"),
+    )
+    verdict = agg.select(
+        F.lit(int(counts["old"])).cast("long").alias("n_old"),
+        F.lit(int(counts["batch"])).cast("long").alias("n_batch"),
+        "dot_q",
+        "n2_old",
+        "n2_batch",
+        F.round(
+            F.when(
+                (F.col("n2_old") > 0) & (F.col("n2_batch") > 0),
+                F.col("dot_q")
+                / F.sqrt(F.col("n2_old").cast("double") * F.col("n2_batch")),
+            ).otherwise(F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("cos_centroid"),
+    ).withColumn(
+        "decision",
+        F.when(F.col("cos_centroid") >= _REFIT_COS_FLOOR, "keep").otherwise(
+            "refit"
+        ),
+    ).localCheckpoint(eager=True)
+    decision = verdict.select("decision").first()[0]
+
+    # --- audit coupling: 'keep' must agree with the measured recall ------
+    queries = embs.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    index_dir = tempfile.mkdtemp(prefix="aig_ivf_refit_")
+    try:
+        centroids, assigned = S.build_ivf_index(
+            corpus_old, "embedding", "vec_id", n_lists=16
+        )
+        S.write_ivf_index(index_dir, centroids, assigned)
+        S.refresh_ivf_index(batch, index_dir, "embedding", "vec_id")
+        ivf = (
+            S.ann_probe_persisted(
+                spark, index_dir, queries, k=_RECALL_K, n_probe=3
+            )
+            .select("qid", "id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    ivf_pairs = {(r["qid"], r["id"]) for r in ivf}
+
+    corpus = embs.filter(F.col("vec_id") >= _RECALL_NQ).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("cv")
+    )
+    sim = F.round(S.cosine(F.col("cv"), F.col("qv")) + 1e-9, 6).alias("sim")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id"))
+    truth = [
+        (r["qid"], r["id"])
+        for r in corpus.crossJoin(F.broadcast(queries))
+        .select("qid", "id", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "id")
+        .collect()
+    ]
+    recall_bp = (
+        10000
+        * sum(1 for t in truth if t in ivf_pairs)
+        // (_RECALL_K * _RECALL_NQ)
+    )
+    new_truth = [t for t in truth if t[1] >= cut]
+    new_recall_bp = (
+        10000 * sum(1 for t in new_truth if t in ivf_pairs) // len(new_truth)
+        if new_truth
+        else 10000
+    )
+    if decision == "keep" and (
+        recall_bp < _RECALL_FLOOR_BP or new_recall_bp < _RECALL_FLOOR_BP
+    ):
+        raise AssertionError(
+            f"control-plane contradiction: drift verdict 'keep' but the "
+            f"measured audit fails (recall {recall_bp}bp, new-batch "
+            f"{new_recall_bp}bp vs floor {_RECALL_FLOOR_BP}bp) — the frozen "
+            "quantizer is stale and the decision rule missed it"
+        )
+    return verdict
+
+
 @register(
     "jaccard_join_prefix_documents",
     f"""

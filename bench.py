@@ -57,20 +57,22 @@ from app_insights_generator_spark.queries.llm_queries import (  # noqa: E402
     similarity_join_lsh_production,
 )
 
-# Per-sf_dir persisted-IVF scratch indexes; removed at process exit
+# Per-sf_dir persisted-index scratch dirs; removed at process exit
 # (ADVICE r10 item 4 — mkdtemp dirs leaked one index per bench run).
 _IVF_INDEX_CACHE: dict[str, str] = {}
+_PQ_INDEX_CACHE: dict[str, str] = {}
 
 
-def _cleanup_ivf_cache() -> None:
+def _cleanup_index_caches() -> None:
     import shutil
 
-    for d in _IVF_INDEX_CACHE.values():
-        shutil.rmtree(d, ignore_errors=True)
-    _IVF_INDEX_CACHE.clear()
+    for cache in (_IVF_INDEX_CACHE, _PQ_INDEX_CACHE):
+        for d in cache.values():
+            shutil.rmtree(d, ignore_errors=True)
+        cache.clear()
 
 
-atexit.register(_cleanup_ivf_cache)
+atexit.register(_cleanup_index_caches)
 
 
 def _ann_probe_persisted_production(spark, sf_dir):
@@ -101,6 +103,72 @@ def _ann_probe_persisted_production(spark, sf_dir):
     return S.ann_probe_persisted(spark, idx, queries, k=10, n_probe=3)
 
 
+def _pq_incremental_encode_production(spark, sf_dir):
+    """Bench-local PQ ingest steady state (VERDICT r10 item 7b, next to
+    ann_probe_persisted): the 4 subspace codebooks are fitted and
+    persisted ONCE per sf_dir (outside every timed repeat after the
+    first); the timed path is the daily job — encode the ingest batch
+    (top 1/5 of the id space) against the FROZEN codebooks read back
+    from parquet, one assign half-step per subspace, O(batch). The
+    correctness twin pq_incremental_codes_embeddings is driver-gated
+    hash-exact; this times the pure encode."""
+    import tempfile
+    from functools import reduce
+
+    from app_insights_generator_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_fixed_point,
+        quantized_long_form,
+    )
+    from app_insights_generator_spark.queries.llm_queries import (
+        _KM_OFF,
+        _KM_SCALE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+    )
+    from app_insights_generator_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cut = embs.agg(F.expr("max(vec_id) * 4 DIV 5").cast("long")).first()[0]
+    idx = _PQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="aig_bench_pq_")
+        old = embs.filter(F.col("vec_id") < cut)
+        for s in range(_PQ_M):
+            sl = F.expr(
+                f"slice(embedding, {_PQ_SUBDIM * s + 1}, {_PQ_SUBDIM})"
+            )
+            _a, cent = kmeans_fixed_point(
+                old.select("vec_id", sl.alias("sub")), "vec_id", "sub",
+                k=_PQ_K, n_iter=2, scale=_KM_SCALE, offset=_KM_OFF,
+            )
+            cent.select(
+                F.lit(s).alias("subspace"), "cid", "d", "v"
+            ).write.mode("append").parquet(f"{idx}/codebooks")
+        _PQ_INDEX_CACHE[sf_dir] = idx
+    books = spark.read.parquet(f"{idx}/codebooks")
+    batch = embs.filter(F.col("vec_id") >= cut)
+    encoded = [
+        assign_to_centroids(
+            quantized_long_form(
+                batch.select(
+                    "vec_id",
+                    F.expr(
+                        f"slice(embedding, {_PQ_SUBDIM * s + 1}, "
+                        f"{_PQ_SUBDIM})"
+                    ).alias("sub"),
+                ),
+                "vec_id", "sub", _KM_SCALE, _KM_OFF,
+            ),
+            books.filter(F.col("subspace") == s).select("cid", "d", "v"),
+        ).select(F.lit(s).alias("subspace"), "vid", "cid", "dist")
+        for s in range(_PQ_M)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), encoded)
+
+
 def _cogroup_asof_pandas(spark, sf_dir):
     """Bench-local pandas twin of cogroup_purchase_error_asof_events (the
     registered/gated query is the applyInArrow form since round 7 — the
@@ -124,6 +192,7 @@ _EXTRA = {
     "similarity_join_lsh_production": similarity_join_lsh_production,
     "cogroup_asof_pandas": _cogroup_asof_pandas,
     "ann_probe_persisted": _ann_probe_persisted_production,
+    "pq_incremental_encode": _pq_incremental_encode_production,
 }
 
 HEADLINE = [
@@ -161,6 +230,7 @@ HEADLINE = [
     "dsir_importance_documents",           # round-9: hashed-model data selection
     "kmv_vocab_ndv_sources",               # round-9: bottom-k NDV sketch
     "ann_probe_persisted",                 # round-10: persisted-IVF serving probe
+    "pq_incremental_encode",               # round-11: frozen-codebook PQ ingest
     "trainprep_pipeline_documents",        # round-10: end-to-end prep chain
 ]
 

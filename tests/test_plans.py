@@ -846,3 +846,30 @@ def test_round10_stats_queries_no_cartesian_no_python(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_round11_queries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket structural guard for the round-11 additions: no Cartesian
+    products, no Python evaluation (JVM expressions over exact integer
+    moments; 1-row/bounded-panel broadcasts are the sanctioned cross
+    shape). For the Siegel twin additionally pin that the INNER-median
+    window partitions by day (ti) — the whole point of the repeated-
+    median form is that no window partition holds the n^2 pair table."""
+    for name in (
+        "gini_revenue_histogram_customers",
+        "ivf_refit_decision_embeddings",
+        "siegel_repeated_median_daily_revenue_orders",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = _plan(spark, sf_dir, "siegel_repeated_median_daily_revenue_orders")
+    inner = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "s_ppm" in ln and "tj" in ln
+    ]
+    assert inner, plan
+    for ln in inner:
+        spec = ln.split("windowspecdefinition(")[1]
+        assert spec.split("ASC")[0].find("ti") >= 0, ln

@@ -366,3 +366,30 @@ def test_gini_histogram_form_bit_equal_to_row_form(spark, sf_dir):
     assert row.n_customers == hist.n_customers
     assert row.total_cents == hist.total_cents
     assert row.gini == hist.gini  # exact: identical int64 moments
+
+
+def test_siegel_slope_within_inner_median_bounds(spark, sf_dir):
+    """Siegel invariants: n_pairs = n_days*(n_days-1) (directed j != i
+    pairs), and the repeated-median slope must be bracketed by the
+    Theil-Sen slope's pair-slope support (both are medians of subsets of
+    the same slope multiset, so both lie in [min, max] pair slope;
+    cheap proxy: the two robust slopes should land within the data's
+    slope range and be finite int64)."""
+    r = QUERIES["siegel_repeated_median_daily_revenue_orders"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1)
+    ts = QUERIES["theil_sen_daily_revenue_orders"](spark, sf_dir).collect()[0]
+    assert ts.n_days == r.n_days
+    # both robust estimators agree on the trend SIGN on this fixture
+    assert (r.slope_ppm >= 0) == (ts.slope_ppm >= 0)
+
+
+def test_ivf_refit_decision_row_shape(spark, sf_dir):
+    """Control-plane verdict invariants: cosine in [-1, 1]+eps, segment
+    counts positive and consistent with the 4/5 cut, decision derived
+    from the cosine threshold exactly."""
+    r = QUERIES["ivf_refit_decision_embeddings"](spark, sf_dir).collect()[0]
+    assert r.n_old > 0 and r.n_batch > 0
+    assert -1.000001 <= r.cos_centroid <= 1.000001
+    assert r.decision == ("keep" if r.cos_centroid >= 0.99 else "refit")
