@@ -151,6 +151,7 @@ ROTATION_NEXT: list[str] = [
     "gini_revenue_histogram_customers",
     "ivf_refit_decision_embeddings",
     "siegel_repeated_median_daily_revenue_orders",
+    "unigram_entropy_by_source_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

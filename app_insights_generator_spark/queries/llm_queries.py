@@ -5914,6 +5914,110 @@ ORACLES["mutual_information_source_lang_documents"] = ORACLES[
 ].replace("{NLL_VALUES}", _IDF_VALUES_SQL)
 
 
+# --- Per-source unigram entropy (lexical diversity) ------------------------------
+
+
+@register(
+    "unigram_entropy_by_source_documents",
+    """
+    WITH nll(bucket, nll_ppm) AS (VALUES {NLL_VALUES}),
+    toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    ),
+    t AS (SELECT source, word FROM toks WHERE word <> ''),
+    cells AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY source, word
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cells GROUP BY source
+    ),
+    h AS (
+      SELECT cells.source,
+             CAST(SUM((c * 1000000 // n) * nll_ppm) AS BIGINT) AS h_ppm2
+      FROM cells JOIN per_src USING (source)
+      JOIN nll ON nll.bucket = c * 1024 // n
+      GROUP BY cells.source
+    )
+    SELECT p.source, p.n AS n_tokens, p.v AS n_types, h.h_ppm2
+    FROM per_src p JOIN h USING (source)
+    """,
+)
+def unigram_entropy_by_source_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy of each source's token unigram distribution — the
+    LEXICAL-diversity member of the diversity family (Simpson covers
+    facet concentration, token_gini covers token inequality, Zipf/Heaps
+    cover the shape; entropy is the bits-per-token number a curation
+    dashboard reads before mixing sources: a low-entropy feed is
+    boilerplate-heavy regardless of its size). Emitted per source:
+    exact token and type counts plus the entropy in ppm² units
+    (divide by 1e12 for nats).
+
+    Exactness: the mutual_information/tfidf quantized-log recipe —
+    probabilities snap to 1/1024 share buckets by integer arithmetic
+    (c*1024 DIV n) and map through the Python-precomputed _IDF_PPM_1024
+    table, so each term is (c*1e6 DIV n)*nll_ppm — pure int64 products,
+    no ln in either engine; identical integers both sides. Rare words
+    (c/n < 1/1024) land in bucket 0 = -ln(1/1025), the table's
+    documented resolution floor. int64 headroom: per-word terms
+    <= 1e6 * 6.9e6 ~ 7e12; summed over a 1e5-type vocabulary ~ 7e17,
+    inside range with ~13x margin.
+
+    Scale: explode is a generator (no shuffle); ONE wide shuffle to the
+    (source, word) cell grain with map-side combine, then per-source
+    aggregates over the vocabulary-sized cell table and a broadcast
+    1025-row log-table join — the word_frequency plan shape with a
+    second bounded aggregate on top.
+
+    Reference parity: no counterpart; §2.4 corpus-analytics extension.
+    Registered on ROTATION_NEXT (round-12 rotation; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    cells = (
+        t.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # fan-out: totals + entropy branches
+    )
+    per_src = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    nll = spark.createDataFrame(
+        list(enumerate(_IDF_PPM_1024)), "bucket long, nll_ppm long"
+    )
+    h = (
+        cells.join(F.broadcast(per_src.select("source", "n")), "source")
+        .withColumn("bucket", F.expr("c * 1024 DIV n"))
+        .join(F.broadcast(nll), "bucket")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("(c * 1000000 DIV n) * nll_ppm"))
+            .cast("long")
+            .alias("h_ppm2")
+        )
+    )
+    return per_src.join(h, "source").select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        "h_ppm2",
+    )
+
+
+ORACLES["unigram_entropy_by_source_documents"] = ORACLES[
+    "unigram_entropy_by_source_documents"
+].replace("{NLL_VALUES}", _IDF_VALUES_SQL)
+
+
 # --- Reciprocal-rank-fusion hybrid retrieval -------------------------------------
 
 

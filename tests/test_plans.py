@@ -859,6 +859,7 @@ def test_round11_queries_no_cartesian_no_python(spark, sf_dir):
         "gini_revenue_histogram_customers",
         "ivf_refit_decision_embeddings",
         "siegel_repeated_median_daily_revenue_orders",
+        "unigram_entropy_by_source_documents",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

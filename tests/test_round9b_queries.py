@@ -393,3 +393,22 @@ def test_ivf_refit_decision_row_shape(spark, sf_dir):
     assert r.n_old > 0 and r.n_batch > 0
     assert -1.000001 <= r.cos_centroid <= 1.000001
     assert r.decision == ("keep" if r.cos_centroid >= 0.99 else "refit")
+
+
+def test_unigram_entropy_bounds(spark, sf_dir):
+    """Entropy invariants under the 1/1024 quantization: H >= 0, and
+    H <= ln(n_types) + the table's resolution slack (bucket-0 floor is
+    -ln(1/1025), so each term overshoots by at most ln(1025/1024) plus
+    share rounding — ln(V)+0.7 nats is a safe ceiling at gate scale);
+    single-type degenerate sources would read ~0."""
+    import math
+
+    rows = QUERIES["unigram_entropy_by_source_documents"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_types <= r.n_tokens
+        h_nats = r.h_ppm2 / 1e12
+        assert h_nats >= 0
+        assert h_nats <= math.log(r.n_types) + 0.7, r
