@@ -152,6 +152,7 @@ ROTATION_NEXT: list[str] = [
     "ivf_refit_decision_embeddings",
     "siegel_repeated_median_daily_revenue_orders",
     "unigram_entropy_by_source_documents",
+    "kl_source_vs_corpus_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

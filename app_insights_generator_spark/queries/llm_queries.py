@@ -6018,6 +6018,129 @@ ORACLES["unigram_entropy_by_source_documents"] = ORACLES[
 ].replace("{NLL_VALUES}", _IDF_VALUES_SQL)
 
 
+# --- Per-source KL divergence vs the corpus unigram distribution -----------------
+
+
+@register(
+    "kl_source_vs_corpus_documents",
+    """
+    WITH nll(bucket, nll_ppm) AS (VALUES {NLL_VALUES}),
+    toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    ),
+    t AS (SELECT source, word FROM toks WHERE word <> ''),
+    cells AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY source, word
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+    ),
+    wtot AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM cells GROUP BY word
+    ),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS nt FROM wtot),
+    terms AS (
+      SELECT cells.source,
+             (c * 1000000 // n) AS p_ppm,
+             sn.nll_ppm AS self_nll,
+             qn.nll_ppm AS corpus_nll
+      FROM cells
+      JOIN per_src USING (source)
+      JOIN wtot USING (word), tot
+      JOIN nll sn ON sn.bucket = c * 1024 // n
+      JOIN nll qn ON qn.bucket = cw * 1024 // nt
+    )
+    SELECT source,
+           CAST(SUM(p_ppm * self_nll) AS BIGINT) AS h_ppm2,
+           CAST(SUM(p_ppm * corpus_nll) AS BIGINT) AS ce_ppm2,
+           CAST(SUM(p_ppm * corpus_nll) - SUM(p_ppm * self_nll) AS BIGINT)
+             AS kl_ppm2
+    FROM terms GROUP BY source
+    """,
+)
+def kl_source_vs_corpus_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KL divergence of each source's token unigram distribution from
+    the pooled corpus distribution — the domain-shift-in-nats number a
+    mixture-reweighting job reads next to the per-source entropy
+    (unigram_entropy_by_source): KL(p_s ‖ q) = H(p_s, q) − H(p_s),
+    emitted per source as the self-entropy, the cross-entropy against
+    the corpus, and their difference, all in ppm² units. A source with
+    near-zero KL is lexically interchangeable with the pool; a high-KL
+    source is the one whose up/down-weighting actually moves the
+    mixture.
+
+    Exactness: the quantized-log recipe with TWO table lookups per
+    (source, word) cell — the self probability bucket c·1024 DIV n_s
+    and the corpus bucket c_w·1024 DIV n_total — so both entropy sums
+    are pure int64 products of snapped shares and precomputed −ln ppm
+    values; identical integers both engines. Like the MI gate, the
+    quantization makes KL approximate AS A STATISTIC (resolution
+    1/1024; tiny negative KL is possible for a source that IS the
+    pool) but exact as a gate. q(w) > 0 always — the corpus contains
+    every source's words — so there is no undefined-support case.
+
+    Scale: explode, ONE wide shuffle to the (source, word) grain with
+    map-side combine, a word-keyed join of the cell table against the
+    vocabulary-sized word-total table (both sides already aggregated),
+    broadcast 1-row total + 1025-row log tables, per-source rollup.
+
+    Reference parity: no counterpart; §2.4 corpus-analytics extension.
+    Registered on ROTATION_NEXT (round-12 rotation; post-sweep addition)."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    cells = (
+        t.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # fan-out: per-src, word totals, terms
+    )
+    per_src = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    wtot = cells.groupBy("word").agg(F.sum("c").cast("long").alias("cw"))
+    tot = wtot.agg(F.sum("cw").cast("long").alias("nt"))
+    nll = spark.createDataFrame(
+        list(enumerate(_IDF_PPM_1024)), "bucket long, nll_ppm long"
+    )
+    terms = (
+        cells.join(F.broadcast(per_src), "source")
+        .join(wtot, "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p_ppm", F.expr("c * 1000000 DIV n"))
+        .withColumn("sb", F.expr("c * 1024 DIV n"))
+        .withColumn("qb", F.expr("cw * 1024 DIV nt"))
+        .join(
+            F.broadcast(nll.select(F.col("bucket").alias("sb"),
+                                   F.col("nll_ppm").alias("self_nll"))),
+            "sb",
+        )
+        .join(
+            F.broadcast(nll.select(F.col("bucket").alias("qb"),
+                                   F.col("nll_ppm").alias("corpus_nll"))),
+            "qb",
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum(F.expr("p_ppm * self_nll")).cast("long").alias("h_ppm2"),
+        F.sum(F.expr("p_ppm * corpus_nll")).cast("long").alias("ce_ppm2"),
+        F.expr(
+            "CAST(SUM(p_ppm * corpus_nll) - SUM(p_ppm * self_nll) AS LONG)"
+        ).alias("kl_ppm2"),
+    )
+
+
+ORACLES["kl_source_vs_corpus_documents"] = ORACLES[
+    "kl_source_vs_corpus_documents"
+].replace("{NLL_VALUES}", _IDF_VALUES_SQL)
+
+
 # --- Reciprocal-rank-fusion hybrid retrieval -------------------------------------
 
 

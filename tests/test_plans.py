@@ -860,6 +860,7 @@ def test_round11_queries_no_cartesian_no_python(spark, sf_dir):
         "ivf_refit_decision_embeddings",
         "siegel_repeated_median_daily_revenue_orders",
         "unigram_entropy_by_source_documents",
+        "kl_source_vs_corpus_documents",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

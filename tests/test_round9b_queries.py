@@ -412,3 +412,27 @@ def test_unigram_entropy_bounds(spark, sf_dir):
         h_nats = r.h_ppm2 / 1e12
         assert h_nats >= 0
         assert h_nats <= math.log(r.n_types) + 0.7, r
+
+
+def test_kl_vs_corpus_consistency(spark, sf_dir):
+    """KL invariants under quantization: ce = h + kl exactly (integer
+    identity), h matches the sibling entropy query bit-for-bit on the
+    shared recipe, and KL is bounded below by a small quantization
+    slack (true KL >= 0; the 1/1024 snap can dip a hair negative)."""
+    rows = {
+        r.source: r
+        for r in QUERIES["kl_source_vs_corpus_documents"](
+            spark, sf_dir
+        ).collect()
+    }
+    ent = {
+        r.source: r
+        for r in QUERIES["unigram_entropy_by_source_documents"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows.keys() == ent.keys()
+    for s, r in rows.items():
+        assert r.ce_ppm2 == r.h_ppm2 + r.kl_ppm2
+        assert r.h_ppm2 == ent[s].h_ppm2
+        assert r.kl_ppm2 >= -0.05e12  # >= -0.05 nats quantization slack
