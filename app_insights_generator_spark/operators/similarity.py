@@ -406,6 +406,22 @@ def ann_probe_persisted(
 
     ``queries`` is [qid, qv]; output [qid, id, cos_sim, rn <= k]."""
     centroids, lists = read_ivf_index(spark, index_dir)
+    return probe_index_view(spark, centroids, lists, queries, k, n_probe)
+
+
+def probe_index_view(
+    spark,
+    centroids,
+    lists: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+):
+    """ann_probe_persisted's core against an in-memory (centroids,
+    lists) view — shared by the base-table probe and the streaming
+    committed view (base + staged batch dirs, streaming/ivf_stream.py),
+    where every unioned source is list_id-partitioned so the literal
+    probe filter prunes each scan identically."""
     qrows = queries.orderBy("qid").collect()
     probe_pairs = []
     for r in qrows:

@@ -45,6 +45,32 @@ def flip_latest(state_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(state_dir, _LATEST))
 
 
+_BASE = "_BASE"
+
+
+def read_base_pointer(state_dir: str, default_dir: str) -> tuple[str, int]:
+    """(base_subdir, upto) for a compactable layout: ``base_subdir`` is
+    the current consolidated table and ``upto`` the highest staged
+    batch id folded into it (-1 before any compaction). Missing pointer
+    -> the layout's default base."""
+    p = os.path.join(state_dir, _BASE)
+    if not os.path.exists(p):
+        return default_dir, -1
+    with open(p) as f:
+        d, upto = f.read().strip().split("\n")
+    return d, int(upto)
+
+
+def flip_base_pointer(state_dir: str, base_subdir: str, upto: int) -> None:
+    """Commit a compaction: write-then-atomic-rename the base pointer.
+    MUST be the last step — a crash before the flip leaves the new base
+    dir as inert scratch that the retry overwrites."""
+    tmp = os.path.join(state_dir, f"{_BASE}.tmp.{upto}")
+    with open(tmp, "w") as f:
+        f.write(f"{base_subdir}\n{upto}")
+    os.replace(tmp, os.path.join(state_dir, _BASE))
+
+
 def _run_id(checkpoint_dir: str) -> str:
     return os.path.realpath(checkpoint_dir)
 

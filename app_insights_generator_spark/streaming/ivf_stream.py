@@ -27,31 +27,46 @@ would silently skip every batch as "replayed"; ``ensure_lineage`` pins
 the checkpoint identity in a ``_RUN`` file and fails loudly instead
 (ADVICE r10 item 2).
 
+Lifecycle completion — COMPACTION (round 11): a long-running stream
+accumulates one staged dir per batch; ``compact_streaming_index`` folds
+every committed staged batch into a new versioned base table
+(``lists_base_v{N}``, mode=overwrite) and commits via an atomic
+``_BASE`` pointer flip, so readers see identical rows at any crash
+point (old base + all batches before the flip, new base + none after).
+``probe_streaming_index`` serves the committed view with the same
+literal partition filter as ann_probe_persisted.
+
 Equivalence contract (tests/test_streaming_ivf.py): any micro-batch
 partitioning of a corpus whose FIRST batch equals the batch-mode fit
 corpus yields an index identical to batch-mode
-build_ivf_index + refresh_ivf_index over the same cut.
+build_ivf_index + refresh_ivf_index over the same cut — before AND
+after compaction.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 
 from app_insights_generator_spark.operators.similarity import (
     assign_to_index,
     build_ivf_index,
-    read_ivf_index,
+    probe_index_view,
     write_ivf_index,
 )
 from app_insights_generator_spark.streaming._state import (
     ensure_lineage,
+    flip_base_pointer,
     flip_latest,
     latest_version,
+    read_base_pointer,
 )
 
 _BATCHES = "lists_batches"
+_DEFAULT_BASE = "lists"
 
 
 def _batch_path(index_dir: str, batch_id: int) -> str:
@@ -101,24 +116,101 @@ def run_streaming_ivf(
     )
 
 
+def _committed_batch_ids(index_dir: str, lo: int, hi: int) -> list[int]:
+    """Staged batch ids in (lo, hi] — committed (<= _LATEST) and not yet
+    folded into the base (> the base pointer's upto)."""
+    broot = os.path.join(index_dir, _BATCHES)
+    if not os.path.isdir(broot):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(broot)
+        if d.startswith("b") and d[1:].isdigit() and lo < int(d[1:]) <= hi
+    )
+
+
 def read_streaming_index(spark, index_dir: str):
     """Committed (centroids, lists) view of a stream-maintained index,
-    or None before the first committed batch: the base lists table
-    unioned with every batch dir whose id is <= the ``_LATEST`` pointer
-    (uncommitted staged batches are invisible)."""
+    or None before the first committed batch: the current BASE table
+    (the ``_BASE`` pointer's dir — ``lists`` before any compaction)
+    unioned with every staged batch dir whose id is in
+    (base.upto, _LATEST] — uncommitted staged batches and batches
+    already folded by compaction are both invisible."""
     v = latest_version(index_dir)
     if v < 0:
         return None
-    centroids, lists = read_ivf_index(spark, index_dir)
-    broot = os.path.join(index_dir, _BATCHES)
-    if os.path.isdir(broot):
-        committed = sorted(
-            int(d[1:])
-            for d in os.listdir(broot)
-            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= v
+    base_dir, upto = read_base_pointer(index_dir, _DEFAULT_BASE)
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    lists = spark.read.parquet(os.path.join(index_dir, base_dir))
+    for bid in _committed_batch_ids(index_dir, upto, v):
+        lists = lists.unionByName(
+            spark.read.parquet(_batch_path(index_dir, bid))
         )
-        for bid in committed:
-            lists = lists.unionByName(
-                spark.read.parquet(_batch_path(index_dir, bid))
-            )
     return centroids, lists
+
+
+def probe_streaming_index(
+    spark, index_dir: str, queries, k: int = 10, n_probe: int = 3
+):
+    """ann_probe_persisted for a stream-maintained index: probes the
+    COMMITTED view (base + unfolded staged batches). Every unioned
+    source is list_id-partitioned, so the literal probe filter prunes
+    each scan the same way it prunes the single base table."""
+    view = read_streaming_index(spark, index_dir)
+    if view is None:
+        raise ValueError(f"no committed batches under {index_dir!r}")
+    centroids, lists = view
+    return probe_index_view(spark, centroids, lists, queries, k, n_probe)
+
+
+def compact_streaming_index(spark, index_dir: str, gc: bool = False) -> int:
+    """Fold every committed staged batch into a NEW versioned base table
+    — the maintenance job that completes the serving-loop lifecycle
+    (build -> staged refresh -> audit/refit-decision -> COMPACT): a
+    long-running ingest stream accumulates one small parquet dir per
+    batch, and at 100 TB the probe's cost per list grows with file
+    count, not data size, until the staged dirs are folded back into
+    one partitioned table.
+
+    Same commit discipline as every state transition here: the merged
+    table lands at ``lists_base_v{N}`` (N = the _LATEST id it folds up
+    to, mode=overwrite so a crashed compaction retries into the same
+    path), and the atomic ``_BASE`` pointer flip is the commit. Readers
+    (read_streaming_index) union base + batches in (upto, latest], so
+    a reader before the flip sees old-base + all batches and a reader
+    after sees new-base + none — identical rows either way, at any
+    crash point. ``gc=True`` additionally deletes the folded batch dirs
+    and the superseded base AFTER the flip (safe for new readers; a
+    concurrent reader holding the old view should finish first — the
+    same contract as every table format's vacuum).
+
+    Returns the number of staged batch dirs folded (0 = no-op)."""
+    import shutil
+
+    v = latest_version(index_dir)
+    if v < 0:
+        return 0
+    base_dir, upto = read_base_pointer(index_dir, _DEFAULT_BASE)
+    batch_ids = _committed_batch_ids(index_dir, upto, v)
+    if not batch_ids:
+        return 0
+    merged = spark.read.parquet(os.path.join(index_dir, base_dir))
+    for bid in batch_ids:
+        merged = merged.unionByName(
+            spark.read.parquet(_batch_path(index_dir, bid))
+        )
+    new_base = f"lists_base_v{v}"
+    merged.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(index_dir, new_base)
+    )
+    flip_base_pointer(index_dir, new_base, v)  # the commit
+    if gc:
+        for bid in batch_ids:
+            shutil.rmtree(_batch_path(index_dir, bid), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, base_dir), ignore_errors=True)
+    return len(batch_ids)

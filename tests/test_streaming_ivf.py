@@ -163,3 +163,89 @@ def test_streaming_state_lineage_guard(spark, tmp_path):
     run("ckpt_a")
     _, lists = read_streaming_index(spark, index_dir)
     assert lists.count() == 100
+
+
+def test_streaming_ivf_compaction_preserves_view_and_probe(spark, tmp_path):
+    """Compaction lifecycle: folding staged batches into a versioned base
+    must preserve the committed view EXACTLY (same (id, list_id) set,
+    same probe top-k), survive a crash between the base write and the
+    pointer flip, keep ingesting after compaction, and gc must leave a
+    readable index."""
+    from app_insights_generator_spark.streaming._state import (
+        read_base_pointer,
+    )
+    from app_insights_generator_spark.streaming.ivf_stream import (
+        compact_streaming_index,
+        probe_streaming_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(sdf, index_dir, ckpt, n_lists=4, sample_size=100)
+
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+    run_once()
+    _write(src, "b1.parquet", _vecs(2, range(100, 140)))
+    run_once()
+
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in _vecs(9, range(5))], ["qid", "qv"]
+    )
+
+    def snapshot():
+        _, lists = read_streaming_index(spark, index_dir)
+        pairs = {
+            (r["id"], r["list_id"])
+            for r in lists.select("id", "list_id").collect()
+        }
+        top = {
+            (r["qid"], r["rn"], r["id"])
+            for r in probe_streaming_index(
+                spark, index_dir, queries, k=5, n_probe=2
+            ).collect()
+        }
+        return pairs, top
+
+    before = snapshot()
+    assert len(before[0]) == 140
+
+    # Crash between base write and pointer flip: reader unaffected.
+    _, lists = read_streaming_index(spark, index_dir)
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/lists_base_v1"
+    )
+    assert snapshot() == before
+    assert read_base_pointer(index_dir, "lists") == ("lists", -1)
+
+    # The retried compaction commits; the view is bit-identical.
+    assert compact_streaming_index(spark, index_dir) == 1
+    assert read_base_pointer(index_dir, "lists") == ("lists_base_v1", 1)
+    assert snapshot() == before
+
+    # Idempotent: nothing left to fold.
+    assert compact_streaming_index(spark, index_dir) == 0
+
+    # Ingest continues after compaction; only the NEW batch is unfolded.
+    _write(src, "b2.parquet", _vecs(3, range(140, 170)))
+    run_once()
+    _, lists3 = read_streaming_index(spark, index_dir)
+    assert lists3.count() == 170
+
+    # Second compaction folds just the new batch, with gc.
+    assert compact_streaming_index(spark, index_dir, gc=True) == 1
+    base_dir, upto = read_base_pointer(index_dir, "lists")
+    assert base_dir == "lists_base_v2" and upto == 2
+    import os
+
+    assert not os.path.isdir(f"{index_dir}/lists_base_v1")
+    assert not os.path.isdir(f"{index_dir}/lists_batches/b2")
+    _, lists4 = read_streaming_index(spark, index_dir)
+    assert lists4.count() == 170
+    assert lists4.select("id").distinct().count() == 170
