@@ -323,12 +323,13 @@ def write_ivf_index(index_dir: str, centroids, assigned: DataFrame) -> None:
     )
 
 
-def read_ivf_index(spark, index_dir: str):
-    """Load a persisted IVF index -> (centroids ndarray, lists DataFrame).
-
-    The centroid table is list-id-sorted so the ndarray row index IS the
-    list id; the lists read keeps list_id as a partition column so later
-    filters prune at the source."""
+def read_ivf_centroids(spark, index_dir: str):
+    """Load ONLY a persisted index's frozen centroid table as an ndarray
+    whose row index IS the list id. Split out of read_ivf_index so that
+    ingest-side callers (assign_to_index) never touch a lists table:
+    after a streaming compaction with gc=True the default ``lists`` dir
+    no longer exists (the committed rows live under ``lists_base_v{N}``),
+    and an assignment pass must not care."""
     import os
 
     cent_rows = (
@@ -336,7 +337,20 @@ def read_ivf_index(spark, index_dir: str):
         .orderBy("list_id")
         .collect()
     )
-    centroids = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    return np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+
+
+def read_ivf_index(spark, index_dir: str):
+    """Load a persisted IVF index -> (centroids ndarray, lists DataFrame).
+
+    The centroid table is list-id-sorted so the ndarray row index IS the
+    list id; the lists read keeps list_id as a partition column so later
+    filters prune at the source. BATCH-layout API: for an index dir
+    maintained by streaming/ivf_stream.py use read_streaming_index,
+    which follows the ``_BASE`` pointer instead of assuming ``lists``."""
+    import os
+
+    centroids = read_ivf_centroids(spark, index_dir)
     lists = spark.read.parquet(os.path.join(index_dir, "lists"))
     return centroids, lists
 
@@ -348,9 +362,15 @@ def assign_to_index(
     (one Arrow-batched map pass, O(batch), no refit) and return the
     [id, vec, list_id] assignment DataFrame — shared by the in-place
     batch refresh (refresh_ivf_index) and the staged streaming ingest
-    (streaming/ivf_stream.py), which commit the rows differently."""
+    (streaming/ivf_stream.py), which commit the rows differently.
+
+    Reads ONLY the centroid table (ADVICE r11 item 1): the streaming
+    layout's lists state moves between ``lists``/``lists_base_v{N}``
+    under compaction, and the assignment pass must stay independent of
+    it — otherwise the first gc'd compaction wedges every later ingest
+    batch on a PATH_NOT_FOUND for a dir the reader no longer needs."""
     spark = new_batch.sparkSession
-    centroids, _ = read_ivf_index(spark, index_dir)
+    centroids = read_ivf_centroids(spark, index_dir)
     assign = ivf_assign_udf(centroids)
     return new_batch.select(
         F.col(id_col).alias("id"),
@@ -382,7 +402,12 @@ def refresh_ivf_index(
     assumes; refit on an audit failure, not on a schedule."""
     import os
 
+    # Pin the assignment once (ADVICE r11 item 4): without the eager
+    # localCheckpoint the distinct-count job and the append would each
+    # re-run the Arrow assignment UDF over the whole batch, doubling the
+    # stated O(batch) single map pass.
     add = assign_to_index(new_batch, index_dir, vec_col, id_col)
+    add = add.localCheckpoint(eager=True)
     n_touched = add.select("list_id").distinct().count()
     add.write.mode("append").partitionBy("list_id").parquet(
         os.path.join(index_dir, "lists")

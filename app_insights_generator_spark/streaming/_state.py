@@ -75,30 +75,71 @@ def _run_id(checkpoint_dir: str) -> str:
     return os.path.realpath(checkpoint_dir)
 
 
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark records in the checkpoint's
+    ``metadata`` file at query start — stable for the life of one
+    checkpoint lineage, fresh when the dir is recreated. ``None`` before
+    the first ``start()`` (the file does not exist yet)."""
+    p = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.exists(p):
+        return None
+    import json
+
+    try:
+        with open(p) as f:
+            return json.load(f).get("id")
+    except (ValueError, OSError):
+        return None
+
+
+def _write_run(run_path: str, path_id: str, query_id: str) -> None:
+    tmp = f"{run_path}.tmp"
+    with open(tmp, "w") as f:
+        f.write(f"{path_id}\n{query_id}")
+    os.replace(tmp, run_path)
+
+
 def ensure_lineage(state_dir: str, checkpoint_dir: str) -> None:
     """Pin the state dir to one checkpoint lineage.
 
-    First use records ``realpath(checkpoint_dir)`` in ``_RUN``; any later
-    run against the same state dir with a different checkpoint raises,
-    because its batch ids restart at 0 and the replay guard would
-    silently skip every new batch (ADVICE r10 item 2).
+    Two identities are recorded in ``_RUN`` (ADVICE r10 item 2 + r11
+    item 2): ``realpath(checkpoint_dir)``, and — as soon as the query
+    has started once — the streaming query id from the checkpoint's
+    ``metadata`` file. The path alone is spoofable by deleting and
+    recreating the checkpoint dir AT THE SAME PATH: batch ids restart at
+    0 while the realpath still matches, reproducing exactly the
+    silent skip-every-batch failure this guard exists to prevent. The
+    query id changes whenever the dir is recreated, so streams re-call
+    this inside foreachBatch (where the metadata file is guaranteed to
+    exist) and a recreated checkpoint fails loudly on its first batch.
     """
     os.makedirs(state_dir, exist_ok=True)
     run_path = os.path.join(state_dir, _RUN)
-    rid = _run_id(checkpoint_dir)
+    path_id = _run_id(checkpoint_dir)
+    query_id = _checkpoint_query_id(checkpoint_dir)
     if os.path.exists(run_path):
         with open(run_path) as f:
-            recorded = f.read().strip()
-        if recorded != rid:
+            lines = f.read().strip().split("\n")
+        rec_path, rec_qid = lines[0], (lines[1] if len(lines) > 1 else "")
+        if rec_path != path_id:
             raise RuntimeError(
                 f"state dir {state_dir!r} was built under checkpoint "
-                f"{recorded!r} but this run uses {rid!r}; batch ids would "
-                "restart at 0 and the replay guard would silently skip "
-                "every new batch. Use the original checkpoint dir, or a "
+                f"{rec_path!r} but this run uses {path_id!r}; batch ids "
+                "would restart at 0 and the replay guard would silently "
+                "skip every new batch. Use the original checkpoint dir, "
+                "or a fresh state dir."
+            )
+        if rec_qid and query_id and rec_qid != query_id:
+            raise RuntimeError(
+                f"state dir {state_dir!r} was built under checkpoint "
+                f"query id {rec_qid!r} but {checkpoint_dir!r} now carries "
+                f"{query_id!r} — the checkpoint dir was deleted and "
+                "recreated at the same path, so batch ids restart at 0 "
+                "and the replay guard would silently skip every new "
+                "batch. Restore the original checkpoint, or start a "
                 "fresh state dir."
             )
+        if not rec_qid and query_id:
+            _write_run(run_path, path_id, query_id)  # upgrade: pin the id
         return
-    tmp = f"{run_path}.tmp"
-    with open(tmp, "w") as f:
-        f.write(rid)
-    os.replace(tmp, run_path)
+    _write_run(run_path, path_id, query_id or "")

@@ -89,6 +89,10 @@ def run_streaming_ivf(
     ensure_lineage(index_dir, checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # Re-check INSIDE the batch: by now the checkpoint's metadata
+        # file exists, so the query-id pin catches a checkpoint dir
+        # deleted and recreated at the same path (ADVICE r11 item 2).
+        ensure_lineage(index_dir, checkpoint_dir)
         if batch_id <= latest_version(index_dir):
             return  # checkpoint replay of a COMMITTED batch
         if latest_version(index_dir) < 0:
@@ -184,10 +188,16 @@ def compact_streaming_index(spark, index_dir: str, gc: bool = False) -> int:
     (read_streaming_index) union base + batches in (upto, latest], so
     a reader before the flip sees old-base + all batches and a reader
     after sees new-base + none — identical rows either way, at any
-    crash point. ``gc=True`` additionally deletes the folded batch dirs
-    and the superseded base AFTER the flip (safe for new readers; a
-    concurrent reader holding the old view should finish first — the
-    same contract as every table format's vacuum).
+    crash point. ``gc=True`` additionally reclaims EVERY superseded dir
+    AFTER the flip (ADVICE r11 item 3 — not just the dirs this call
+    folded): all staged batches with id <= the new upto and all base
+    dirs other than the newly committed one, so alternating gc settings
+    cannot leak state folded by earlier gc=False compactions. Safe for
+    new readers; a concurrent reader holding the old view should finish
+    first — the same contract as every table format's vacuum. Ingest
+    keeps working after a gc'd first compaction because the assignment
+    pass reads only the centroid table (read_ivf_centroids, ADVICE r11
+    item 1), never a lists dir.
 
     Returns the number of staged batch dirs folded (0 = no-op)."""
     import shutil
@@ -210,7 +220,17 @@ def compact_streaming_index(spark, index_dir: str, gc: bool = False) -> int:
     )
     flip_base_pointer(index_dir, new_base, v)  # the commit
     if gc:
-        for bid in batch_ids:
-            shutil.rmtree(_batch_path(index_dir, bid), ignore_errors=True)
-        shutil.rmtree(os.path.join(index_dir, base_dir), ignore_errors=True)
+        broot = os.path.join(index_dir, _BATCHES)
+        if os.path.isdir(broot):
+            for d in os.listdir(broot):
+                if d.startswith("b") and d[1:].isdigit() and int(d[1:]) <= v:
+                    shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
+        for d in os.listdir(index_dir):
+            is_base = d == _DEFAULT_BASE or (
+                d.startswith("lists_base_v") and d != new_base
+            )
+            if is_base:
+                shutil.rmtree(
+                    os.path.join(index_dir, d), ignore_errors=True
+                )
     return len(batch_ids)

@@ -59,6 +59,10 @@ def run_continuous_rollup(
     ensure_lineage(state_dir, checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # Re-check INSIDE the batch: by now the checkpoint's metadata
+        # file exists, so the query-id pin catches a checkpoint dir
+        # deleted and recreated at the same path (ADVICE r11 item 2).
+        ensure_lineage(state_dir, checkpoint_dir)
         if batch_id <= _latest_version(state_dir):
             return  # checkpoint replay of an applied batch: state is current
         spark = batch_df.sparkSession

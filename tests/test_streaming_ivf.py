@@ -249,3 +249,137 @@ def test_streaming_ivf_compaction_preserves_view_and_probe(spark, tmp_path):
     _, lists4 = read_streaming_index(spark, index_dir)
     assert lists4.count() == 170
     assert lists4.select("id").distinct().count() == 170
+
+
+def test_streaming_ivf_gc_on_first_compaction_then_ingest(spark, tmp_path):
+    """ADVICE r11 item 1 (the HIGH): gc=True on the FIRST compaction
+    deletes the default ``lists`` dir — and every later micro-batch's
+    assignment pass must keep working, because it reads only the frozen
+    centroid table (read_ivf_centroids), never a lists dir. The old
+    assign path (read_ivf_index) wedged the ingest stream permanently
+    with PATH_NOT_FOUND here."""
+    from app_insights_generator_spark.streaming.ivf_stream import (
+        compact_streaming_index,
+        probe_streaming_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(sdf, index_dir, ckpt, n_lists=4, sample_size=100)
+
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+    run_once()
+    _write(src, "b1.parquet", _vecs(2, range(100, 140)))
+    run_once()
+
+    # First compaction, gc immediately: the default 'lists' dir is gone.
+    import os
+
+    assert compact_streaming_index(spark, index_dir, gc=True) == 1
+    assert not os.path.isdir(f"{index_dir}/lists")
+    assert not os.path.isdir(f"{index_dir}/lists_batches/b1")
+
+    # The NEXT ingest batch must assign + stage + commit normally.
+    _write(src, "b2.parquet", _vecs(3, range(140, 170)))
+    run_once()
+    _, lists = read_streaming_index(spark, index_dir)
+    assert lists.count() == 170
+    assert lists.select("id").distinct().count() == 170
+
+    # And the committed view stays probeable.
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in _vecs(9, range(3))], ["qid", "qv"]
+    )
+    top = probe_streaming_index(spark, index_dir, queries, k=3, n_probe=2)
+    assert top.count() == 9
+
+
+def test_streaming_ivf_gc_reclaims_earlier_compactions(spark, tmp_path):
+    """ADVICE r11 item 3: a gc'd compaction must reclaim state folded by
+    EARLIER gc=False compactions — every staged batch dir with id <= the
+    new upto and every superseded base dir — so alternating gc settings
+    cannot leak state forever."""
+    import os
+
+    from app_insights_generator_spark.streaming.ivf_stream import (
+        compact_streaming_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(sdf, index_dir, ckpt, n_lists=4, sample_size=100)
+
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+    run_once()
+    _write(src, "b1.parquet", _vecs(2, range(100, 140)))
+    run_once()
+    # gc=False: folded state is left on disk.
+    assert compact_streaming_index(spark, index_dir) == 1
+    assert os.path.isdir(f"{index_dir}/lists")
+    assert os.path.isdir(f"{index_dir}/lists_batches/b1")
+
+    _write(src, "b2.parquet", _vecs(3, range(140, 170)))
+    run_once()
+    # gc=True now reclaims EVERYTHING superseded, including the leftovers.
+    assert compact_streaming_index(spark, index_dir, gc=True) == 1
+    assert not os.path.isdir(f"{index_dir}/lists")
+    assert not os.path.isdir(f"{index_dir}/lists_base_v1")
+    assert not os.path.isdir(f"{index_dir}/lists_batches/b1")
+    assert not os.path.isdir(f"{index_dir}/lists_batches/b2")
+    assert os.path.isdir(f"{index_dir}/lists_base_v2")
+
+    _, lists = read_streaming_index(spark, index_dir)
+    assert lists.count() == 170
+    assert lists.select("id").distinct().count() == 170
+
+
+def test_streaming_recreated_checkpoint_same_path_fails_loudly(
+    spark, tmp_path
+):
+    """ADVICE r11 item 2: deleting and recreating the checkpoint dir AT
+    THE SAME PATH defeats the realpath pin while batch ids restart at 0
+    — the exact silent skip-every-batch failure the lineage guard was
+    added to prevent. The query-id pin (from the checkpoint's metadata
+    file, fresh per recreation) must fail the first batch loudly."""
+    import shutil
+
+    import pytest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(sdf, index_dir, ckpt, n_lists=4, sample_size=100)
+
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+    run_once()
+    _, lists = read_streaming_index(spark, index_dir)
+    assert lists.count() == 100
+
+    # Nuke the checkpoint: same path, fresh lineage, batch ids restart.
+    shutil.rmtree(ckpt)
+    _write(src, "b1.parquet", _vecs(2, range(100, 140)))
+    with pytest.raises(Exception, match="recreated"):
+        run_once()
+    # State was NOT silently corrupted: the committed view is unchanged.
+    _, lists2 = read_streaming_index(spark, index_dir)
+    assert lists2.count() == 100
