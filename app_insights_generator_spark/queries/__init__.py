@@ -61,99 +61,95 @@ from app_insights_generator_spark.queries import (  # noqa: E402,F401
 )
 
 # The round driver gates the FIRST 50 registered queries (verified:
-# CORRECTNESS_r02-r10's rows are exactly positions 0-49 of this dict).
+# CORRECTNESS_r02-r11's rows are exactly positions 0-49 of this dict).
 #
-# Round-11 rotation (VERDICT r10 item #1): (a) ALL 15 never-driver-sampled
-# round-10 post-sweep additions — the entire r10 ROTATION_NEXT, the only
-# registry entries without a driver row (VERDICT r10 verified the set
-# name-for-name). Each carries local oracle-green at sf0.001+sf0.01+sf0.1,
-# a 3-fresh-session zero-flip sweep (GATE_SWEEP_r10a–k), and a clean sf0.1
-# Spark-side run (SCALE_SPARK_r10). A green window driver-confirms the
-# entire 337-query registry for the first time. (b) 35 r-green padding
-# rows, preferring queries whose code paths round 11 touches: the
-# similarity/IVF family (refresh_ivf_index return fix — ADVICE item 3 —
-# plus the SF-override quartet the sweep tooling retimes, VERDICT item #4),
-# trainprep packing (per-(split,shard) packing rework shares
-# llm_queries.py — VERDICT item #3), the events experimentation siblings
-# of the jackknife guard fix (ADVICE item 5), the stats/histogram family
-# next to the new histogram-form Gini twin (VERDICT item #6), the
-# winnowing/spans pair under bench adjudication (VERDICT item #2), the
-# incremental-dedup pattern the streaming exactly-once fix exercises
-# (ADVICE items 1–2), and the insights-sweep core.
+# Round-12 rotation (VERDICT r11 item #1): (a) the 5 never-driver-sampled
+# round-11 post-sweep additions — the entire r11 ROTATION_NEXT, the only
+# registry entries without a driver row (VERDICT r11 verified the set
+# name-for-name and re-ran all five against the oracle: ALL PASS). Each
+# carries local oracle-green at sf0.001+sf0.01+sf0.1 and a
+# 3-fresh-session zero-flip sweep (GATE_SWEEP_r11b–e). A green window
+# driver-confirms the ENTIRE 342-query registry. (b) 45 r-green padding
+# rows, preferring queries whose code paths round 12 touches: the
+# IVF/PQ persist-and-refresh family (assign_to_index now reads only the
+# centroid table and refresh_ivf_index pins its assignment — ADVICE r11
+# items 1+4 land in operators/similarity.py, which this whole family
+# exercises), the streaming batch twins next to the lineage/query-id
+# re-check all three foreachBatch streams gained (ADVICE item 2), the
+# udtf_chunk adjudication trio (VERDICT item #3 — driver-side timing rows
+# for the watch set), the incremental-dedup family that shares the
+# persisted-index pattern the compaction gc fix hardens (ADVICE item 3),
+# the trainprep/experimentation spread, the stats neighbors of the Gini
+# histogram twin in rotation slot 1, and the insights-sweep core.
 _GATE_PRIORITY = [
-    # (a) the 15 round-11 rotation queries (r10 ROTATION_NEXT order)
+    # (a) the 5 round-12 rotation queries (r11 ROTATION_NEXT order)
+    "gini_revenue_histogram_customers",
+    "ivf_refit_decision_embeddings",
+    "siegel_repeated_median_daily_revenue_orders",
+    "unigram_entropy_by_source_documents",
+    "kl_source_vs_corpus_documents",
+    # (b1) IVF/PQ persist-and-refresh family -- similarity.py touched
     "ann_incremental_probe_embeddings",
-    "trainprep_pipeline_documents",
     "pq_incremental_codes_embeddings",
-    "ols_trend_daily_revenue_orders",
-    "cuped_adjusted_metric_events",
-    "theil_sen_daily_revenue_orders",
-    "trimmed_winsorized_value_events",
-    "jackknife_ratio_stderr_events",
-    "diff_in_diff_events",
-    "gini_revenue_customers",
-    "friedman_weekday_revenue_orders",
-    "ltv_cohort_curve_orders",
-    "new_vs_returning_weekly_events",
-    "kendall_tau_qty_price_lineitem",
-    "shrunk_source_quality_documents",
-    # (b1) similarity/IVF family -- refresh fix + SF-override quartet
     "ann_topk_ivf_embeddings",
     "ann_recall_ivf_embeddings",
     "pq_codes_embeddings",
     "pq_adc_search_embeddings",
     "kmeans_clusters_embeddings",
     "semdedup_embeddings",
+    "cosine_topk_embeddings",
     "similarity_join_lsh_embeddings",
     "knn_label_accuracy_embeddings",
     "dedup_embedding_cosine_embeddings",
     "oracle_exact_cosine_pairs",
-    "cosine_topk_embeddings",
-    # (b2) trainprep packing family -- per-(split,shard) rework file
-    "pack_documents_token_budget",
-    "pack_next_fit_documents",
-    "pack_next_fit_sql_documents",
-    "shard_shuffle_documents",
-    "chunk_spans_documents",
-    "leakage_safe_split_documents",
-    "train_val_test_split_documents",
-    # (b3) events experimentation siblings of the jackknife guard
-    "ab_srm_audit_events",
-    "ab_conversion_chi2_events",
-    "tumbling_window_events",
+    # (b2) streaming batch twins -- lineage re-check in all 3 streams
     "dedup_watermark_batch_twin_events",
-    # (b4) stats/histogram family next to the Gini histogram twin
-    "equidepth_histogram_orders",
-    "length_percentiles_by_source",
-    "token_gini_by_source",
-    # (b5) winnowing adjudication pair
-    "winnowing_fingerprints_documents",
-    "duplicate_spans_documents",
-    # (b6) incremental-dedup pattern the streaming fixes exercise
+    "enrich_stream_static_batch_twin",
+    "stateful_type_stats_batch_twin_events",
+    "tumbling_window_events",
+    # (b3) udtf_chunk adjudication trio + neighbors
+    "udtf_chunk_documents",
+    "multimodal_mp4_codec_features",
+    "cogroup_purchase_error_asof_events",
+    "chunk_spans_documents",
+    "multimodal_mp4_frame_sample",
+    # (b4) incremental-dedup family -- shares the persisted-index pattern
     "dedup_incremental_minhash_documents",
     "dedup_exact_documents",
     "dedup_minhash_documents",
     "cross_split_contamination_documents",
-    # (b7) insights-sweep core + spread
+    # (b5) insights-sweep core
     "insights_sweep_lineitem",
     "insights_sweep_orders",
     "insights_sweep_lineitem_wide",
+    "insights_sweep_lineitem_loop",
     "q1_pricing_summary",
+    # (b6) trainprep spread
+    "pack_documents_token_budget",
+    "pack_next_fit_documents",
+    "pack_next_fit_sql_documents",
+    "shard_shuffle_documents",
+    "leakage_safe_split_documents",
+    "train_val_test_split_documents",
+    # (b7) experimentation spread
+    "ab_srm_audit_events",
+    "ab_conversion_chi2_events",
+    "jackknife_ratio_stderr_events",
+    "cuped_adjusted_metric_events",
+    "diff_in_diff_events",
+    # (b8) stats neighbors of the Gini histogram twin (slot 1)
+    "gini_revenue_customers",
+    "equidepth_histogram_orders",
+    "token_gini_by_source",
 ]
 
-# ROUND-12 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
+# ROUND-13 ROTATION CHECKLIST, as data (VERDICT r07 item #2: the checklist
 # lived in SURVEY.md prose, the bookkeeping class that silently dropped
 # multimodal_gif_codec_features in r06). Every query registered after this
 # round's definitive gate sweep MUST be appended here the moment it is
 # registered; tests/test_registry.py pins "never-driver-sampled implies
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
-ROTATION_NEXT: list[str] = [
-    "gini_revenue_histogram_customers",
-    "ivf_refit_decision_embeddings",
-    "siegel_repeated_median_daily_revenue_orders",
-    "unigram_entropy_by_source_documents",
-    "kl_source_vs_corpus_documents",
-]
+ROTATION_NEXT: list[str] = []
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"
