@@ -50,6 +50,15 @@ SF_OVERRIDES: dict[str, str] = {
     "dedup_embedding_cosine_embeddings": "/root/testdata/sf0.01",
     "similarity_join_lsh_embeddings": "/root/testdata/sf0.01",
     "oracle_exact_cosine_pairs": "/root/testdata/sf0.01",
+    # VERDICT r11 item 2: the two index-lifecycle GATES were 15% of
+    # SCALE_SPARK_r11's wall (80.4s + 39.0s). The cost is the gate's
+    # in-query full fit+persist+refresh (4 subspace codebooks via the
+    # engine-exact Lloyd recurrence every run), not the operator — the
+    # serving paths stay benched at sf0.1 in bench.py (ann_probe_persisted
+    # 0.58s, pq_incremental_encode 0.63s calibrated). Their gate tier is
+    # sf0.01 anyway (ORACLE_TIERS), so the sweep runs them there too.
+    "pq_incremental_codes_embeddings": "/root/testdata/sf0.01",
+    "ann_incremental_probe_embeddings": "/root/testdata/sf0.01",
 }
 
 
