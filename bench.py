@@ -27,7 +27,12 @@ adjudicating noise). Before the suite, a fixed probe (the native sweep,
 3 runs, warm-third) measures THIS session's machine speed against the
 pinned idle-machine reference; the output carries both raw and
 calibrated (raw / machine_factor) times, so rounds compare without a
-BASELINE.md cross-reference.
+BASELINE.md cross-reference. A SECOND identical probe runs after the
+suite (VERDICT r11 item 4): the start probe alone missed three
+intra-session bursts, so the detail line now carries both probes plus a
+``burst_suspected`` flag (probe disagreement > 1.25x) — when set,
+per-query regressions inside that session are environment-suspect by
+default, no worktree adjudication needed.
 """
 
 from __future__ import annotations
@@ -272,6 +277,30 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         warm3[name] = round(runs[-1], 3)
 
+    # END-of-suite probe (VERDICT r11 item 4): the single start probe has
+    # missed three intra-session bursts — a query can plateau 2-3x for all
+    # its repeats while the start probe read fast. Re-running the SAME
+    # probe after the suite turns burst adjudication into a read: if the
+    # two probes disagree materially, per-query regressions inside this
+    # session are suspect before anyone builds a worktree.
+    probe_runs_end = []
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES[PROBE_QUERY](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probe_runs_end.append(round(time.time() - t0, 3))
+    probe_end = probe_runs_end[-1]
+    factor_end = (
+        round(probe_end / REF_PROBE_SEC, 3) if float(sf) == 0.1 else None
+    )
+    disagreement = (
+        round(max(probe, probe_end) / min(probe, probe_end), 3)
+        if min(probe, probe_end) > 0
+        else None
+    )
+    burst_suspected = bool(disagreement and disagreement > 1.25)
+
     total = round(sum(timings.values()), 3)
     calibrated = (
         {k: round(v / factor, 3) for k, v in timings.items()} if factor else None
@@ -285,6 +314,11 @@ def main() -> None:
             "ref_probe_sec": REF_PROBE_SEC,
             "ref_sf": 0.1,
             "machine_factor": factor,
+            "probe_runs_end_sec": probe_runs_end,
+            "probe_end_warm_third_sec": probe_end,
+            "machine_factor_end": factor_end,
+            "probe_disagreement": disagreement,
+            "burst_suspected": burst_suspected,
         },
         "queries_warm3": warm3,
         "value_calibrated": (
@@ -298,6 +332,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "machine_factor": factor,
+        "machine_factor_end": factor_end,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     print(json.dumps(detail))
