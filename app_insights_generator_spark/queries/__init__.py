@@ -149,7 +149,9 @@ _GATE_PRIORITY = [
 # round's definitive gate sweep MUST be appended here the moment it is
 # registered; tests/test_registry.py pins "never-driver-sampled implies
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
-ROTATION_NEXT: list[str] = []
+ROTATION_NEXT: list[str] = [
+    "ivf_compaction_probe_embeddings",
+]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not registered: {_missing}"

@@ -2809,6 +2809,214 @@ def ann_incremental_probe_embeddings(
     )
 
 
+@register(
+    "ivf_compaction_probe_embeddings",
+    f"""
+    WITH cuts AS (
+      SELECT MAX(vec_id) * 3 // 5 AS c1, MAX(vec_id) * 4 // 5 AS c2
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS qn
+      FROM embeddings WHERE vec_id < {_RECALL_NQ}
+    ),
+    c AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS cn
+      FROM embeddings WHERE vec_id >= {_RECALL_NQ}
+    ),
+    s AS (
+      SELECT q.qid, c.id,
+             ROUND(CASE WHEN c.cn * q.qn > 0
+                        THEN list_dot_product(c.cv, q.qv) / (c.cn * q.qn)
+                        ELSE 0.0 END + 1e-9, 6) AS sim
+      FROM c CROSS JOIN q
+    ),
+    r AS (
+      SELECT qid, id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, id) AS rn
+      FROM s
+    )
+    SELECT qid,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(id) AS BIGINT) AS exact_idsum,
+           CAST(SUM(CASE WHEN id >= cuts.c1 AND id < cuts.c2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_b1_in_topk,
+           CAST(SUM(CASE WHEN id >= cuts.c2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b2_in_topk,
+           MIN(sim) AS min_sim,
+           MAX(sim) AS max_sim
+    FROM r, cuts WHERE rn <= {_RECALL_K}
+    GROUP BY qid
+    """,
+)
+def ivf_compaction_probe_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACTION closes the serving-loop lifecycle gate coverage
+    (VERDICT r11 item 5: build -> staged refresh -> audit ->
+    refit-decision -> COMPACT): the first 3/5 of the corpus plays the
+    batch-0 fit, the next 1/5 and the top 1/5 arrive as two STAGED
+    ingest batches committed by pointer flips (the exact state
+    transitions streaming/ivf_stream.py's foreachBatch performs — the
+    checkpoint wiring itself is pytest-pinned in
+    tests/test_streaming_ivf.py; this gate drives the same commits
+    deterministically), then ``compact_streaming_index(gc=True)`` folds
+    everything into ``lists_base_v2`` and reclaims ALL superseded state.
+
+    Gate design (the ann_incremental pattern): the EXACT side —
+    per-query brute-force top-{_RECALL_K} over the full corpus with
+    membership counters for BOTH staged generations (``n_b1_in_topk``,
+    ``n_b2_in_topk``, pinning that the truth sets genuinely span both
+    staged batches) — is SQL-gated. The compaction itself is enforced
+    by in-query invariants recomputed every run: (1) the committed
+    probe view returns ROW-IDENTICAL (qid, id, rn) triples before and
+    after the gc'd compaction — the crash-identical-reads contract;
+    (2) gc actually reclaimed the default base and every staged dir
+    (filesystem asserts); (3) post-compaction recall@{_RECALL_K} >=
+    {_RECALL_FLOOR_BP} bp overall AND restricted to staged-batch truth
+    neighbors — the half a dropped fold would zero out first.
+
+    Scale shape: same as the persisted probe — fit once on the bounded
+    sorted sample, one assignment pass per batch, compaction is one
+    union + partitioned rewrite of the lists (linear, shuffle-free on
+    read since every source is list_id-partitioned), probes prune to
+    <= n_lists literal partitions. Driver state: centroids + 20x3 probe
+    pairs + two 200-row probe snapshots, all bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from app_insights_generator_spark.streaming._state import flip_latest
+    from app_insights_generator_spark.streaming.ivf_stream import (
+        _batch_path,
+        compact_streaming_index,
+        probe_streaming_index,
+    )
+
+    embs = _embs(spark, sf_dir)
+    c1, c2 = embs.agg(
+        F.expr("max(vec_id) * 3 DIV 5").cast("long"),
+        F.expr("max(vec_id) * 4 DIV 5").cast("long"),
+    ).first()
+    queries = embs.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    b0 = embs.filter((F.col("vec_id") >= _RECALL_NQ) & (F.col("vec_id") < c1))
+    b1 = embs.filter((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    b2 = embs.filter(F.col("vec_id") >= c2)
+
+    index_dir = tempfile.mkdtemp(prefix="aig_ivf_compact_")
+    try:
+        # Batch 0: fit + write, commit. Batches 1-2: frozen-centroid
+        # assignment into staged dirs, pointer-flip commits — the
+        # stream's exact state transitions.
+        centroids, assigned = S.build_ivf_index(
+            b0, "embedding", "vec_id", n_lists=16
+        )
+        S.write_ivf_index(index_dir, centroids, assigned)
+        flip_latest(index_dir, 0)
+        for bid, batch in ((1, b1), (2, b2)):
+            S.assign_to_index(
+                batch, index_dir, "embedding", "vec_id"
+            ).write.mode("overwrite").partitionBy("list_id").parquet(
+                _batch_path(index_dir, bid)
+            )
+            flip_latest(index_dir, bid)
+
+        def _snap():
+            return sorted(
+                (r["qid"], r["id"], r["rn"])
+                for r in probe_streaming_index(
+                    spark, index_dir, queries, k=_RECALL_K, n_probe=3
+                ).collect()
+            )
+
+        before = _snap()
+        n_folded = compact_streaming_index(spark, index_dir, gc=True)
+        if n_folded != 2:
+            raise AssertionError(
+                f"compaction folded {n_folded} staged batches, expected 2"
+            )
+        after = _snap()
+        if before != after:  # invariant (1): crash-identical reads
+            raise AssertionError(
+                "committed probe view changed across compaction: "
+                f"{len(set(before) ^ set(after))} differing triples"
+            )
+        # Invariant (2): gc reclaimed every superseded dir.
+        leftovers = [
+            d
+            for d in ("lists", "lists_batches/b1", "lists_batches/b2")
+            if os.path.isdir(os.path.join(index_dir, d))
+        ]
+        if leftovers or not os.path.isdir(
+            os.path.join(index_dir, "lists_base_v2")
+        ):
+            raise AssertionError(
+                f"gc left superseded state {leftovers} or dropped the "
+                "committed base"
+            )
+        ivf_pairs = {(q, i) for q, i, _ in after}
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    corpus = embs.filter(F.col("vec_id") >= _RECALL_NQ).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("cv")
+    )
+    sim = F.round(S.cosine(F.col("cv"), F.col("qv")) + 1e-9, 6).alias("sim")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("qid", "id", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "id", "sim")
+        .localCheckpoint(eager=True)  # pinned: invariants + return reuse it
+    )
+
+    truth = [(r["qid"], r["id"]) for r in exact.select("qid", "id").collect()]
+    hits = sum(1 for t in truth if t in ivf_pairs)
+    recall_bp = 10000 * hits // (_RECALL_K * _RECALL_NQ)
+    if recall_bp < _RECALL_FLOOR_BP:
+        raise AssertionError(
+            f"post-compaction recall@{_RECALL_K} = {recall_bp}bp, below "
+            f"the {_RECALL_FLOOR_BP}bp floor — fold or probe regression"
+        )
+    staged_truth = [t for t in truth if t[1] >= c1]
+    if not staged_truth:
+        raise AssertionError(
+            "fixture regression: no staged-batch member reaches any exact "
+            "top-k — the compaction audit would be vacuous"
+        )
+    staged_hits = sum(1 for t in staged_truth if t in ivf_pairs)
+    staged_recall_bp = 10000 * staged_hits // len(staged_truth)
+    if staged_recall_bp < _RECALL_FLOOR_BP:
+        raise AssertionError(
+            f"staged-batch recall@{_RECALL_K} = {staged_recall_bp}bp over "
+            f"{len(staged_truth)} staged truth neighbors, below the "
+            f"{_RECALL_FLOOR_BP}bp floor — the fold dropped or mis-merged "
+            "a staged generation"
+        )
+
+    return exact.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("id").cast("long").alias("exact_idsum"),
+        F.sum(
+            ((F.col("id") >= c1) & (F.col("id") < c2)).cast("long")
+        ).cast("long").alias("n_b1_in_topk"),
+        F.sum((F.col("id") >= c2).cast("long")).cast("long").alias(
+            "n_b2_in_topk"
+        ),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
 _REFIT_COS_FLOOR = 0.99
 
 

@@ -875,3 +875,15 @@ def test_round11_queries_no_cartesian_no_python(spark, sf_dir):
     for ln in inner:
         spec = ln.split("windowspecdefinition(")[1]
         assert spec.split("ASC")[0].find("ti") >= 0, ln
+
+
+def test_round12_compaction_gate_no_cartesian_no_python(spark, sf_dir):
+    """Structural guard for the round-12 compaction-lifecycle gate: the
+    RETURNED plan (the SQL-gated exact side) must stay JVM-only — no
+    CartesianProduct (the query panel arrives as a broadcast), no Python
+    evaluation (cosine is F.aggregate/zip_with arithmetic; the Arrow
+    assignment UDF runs only inside the lifecycle side-effects, never in
+    the gated result plan)."""
+    plan = _plan(spark, sf_dir, "ivf_compaction_probe_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -383,3 +383,54 @@ def test_streaming_recreated_checkpoint_same_path_fails_loudly(
     # State was NOT silently corrupted: the committed view is unchanged.
     _, lists2 = read_streaming_index(spark, index_dir)
     assert lists2.count() == 100
+
+
+def test_streaming_probe_prunes_every_unioned_scan(spark, tmp_path):
+    """The committed view before compaction unions the base lists table
+    with each staged batch dir — ALL list_id-partitioned, so the literal
+    probe filter must reach every one of them as PartitionFilters (the
+    100 TB claim: probe cost is n_probe/n_lists of the data per source,
+    never a full scan of any generation)."""
+    import re
+
+    from app_insights_generator_spark.streaming.ivf_stream import (
+        probe_streaming_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(src))
+        run_streaming_ivf(sdf, index_dir, ckpt, n_lists=4, sample_size=100)
+
+    _write(src, "b0.parquet", _vecs(1, range(100)))
+    run_once()
+    _write(src, "b1.parquet", _vecs(2, range(100, 140)))
+    run_once()
+    _write(src, "b2.parquet", _vecs(3, range(140, 170)))
+    run_once()
+
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in _vecs(9, range(2))], ["qid", "qv"]
+    )
+    plan = (
+        probe_streaming_index(spark, index_dir, queries, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "vec:array" in ln
+    ]
+    # base + two staged dirs = three vector-carrying scans in the union.
+    assert len(scans) == 3, plan
+    for ln in scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)", ln)
+        assert m and re.search(r"list_id#\d+ IN \(", m.group(1)), ln

@@ -59,6 +59,10 @@ SF_OVERRIDES: dict[str, str] = {
     # sf0.01 anyway (ORACLE_TIERS), so the sweep runs them there too.
     "pq_incremental_codes_embeddings": "/root/testdata/sf0.01",
     "ann_incremental_probe_embeddings": "/root/testdata/sf0.01",
+    # Round 12: the compaction-lifecycle gate is the same class — its
+    # cost is the in-query fit + two staged commits + fold, not the
+    # serving path.
+    "ivf_compaction_probe_embeddings": "/root/testdata/sf0.01",
 }
 
 
