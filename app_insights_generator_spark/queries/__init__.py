@@ -151,6 +151,7 @@ _GATE_PRIORITY = [
 # in-window-or-listed" against the committed CORRECTNESS_r*.json history.
 ROTATION_NEXT: list[str] = [
     "ivf_compaction_probe_embeddings",
+    "pq_refit_decision_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

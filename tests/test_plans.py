@@ -878,12 +878,18 @@ def test_round11_queries_no_cartesian_no_python(spark, sf_dir):
 
 
 def test_round12_compaction_gate_no_cartesian_no_python(spark, sf_dir):
-    """Structural guard for the round-12 compaction-lifecycle gate: the
-    RETURNED plan (the SQL-gated exact side) must stay JVM-only — no
-    CartesianProduct (the query panel arrives as a broadcast), no Python
-    evaluation (cosine is F.aggregate/zip_with arithmetic; the Arrow
-    assignment UDF runs only inside the lifecycle side-effects, never in
-    the gated result plan)."""
-    plan = _plan(spark, sf_dir, "ivf_compaction_probe_embeddings")
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    """Structural guard for the round-12 additions: the RETURNED plans
+    (the SQL-gated sides) must stay JVM-only — no CartesianProduct (the
+    query panel arrives as a broadcast; the PQ verdict is a 1-row
+    aggregate), no Python evaluation (cosine is F.aggregate/zip_with
+    arithmetic; the Arrow assignment UDF runs only inside the lifecycle
+    side-effects, never in the gated result plan)."""
+    for name in (
+        "ivf_compaction_probe_embeddings",
+        "pq_refit_decision_embeddings",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert (
+            "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        ), name

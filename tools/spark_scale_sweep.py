@@ -59,10 +59,11 @@ SF_OVERRIDES: dict[str, str] = {
     # sf0.01 anyway (ORACLE_TIERS), so the sweep runs them there too.
     "pq_incremental_codes_embeddings": "/root/testdata/sf0.01",
     "ann_incremental_probe_embeddings": "/root/testdata/sf0.01",
-    # Round 12: the compaction-lifecycle gate is the same class — its
-    # cost is the in-query fit + two staged commits + fold, not the
-    # serving path.
+    # Round 12: the compaction-lifecycle and PQ refit-decision gates are
+    # the same class — their cost is the in-query fit + persist +
+    # refresh lifecycle, not the serving path.
     "ivf_compaction_probe_embeddings": "/root/testdata/sf0.01",
+    "pq_refit_decision_embeddings": "/root/testdata/sf0.01",
 }
 
 
