@@ -152,6 +152,7 @@ _GATE_PRIORITY = [
 ROTATION_NEXT: list[str] = [
     "ivf_compaction_probe_embeddings",
     "pq_refit_decision_embeddings",
+    "ivf_compaction_receipt_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

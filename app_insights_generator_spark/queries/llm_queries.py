@@ -3017,6 +3017,161 @@ def ivf_compaction_probe_embeddings(
     )
 
 
+@register(
+    "ivf_compaction_receipt_embeddings",
+    f"""
+    WITH cuts AS (
+      SELECT MAX(vec_id) * 3 // 5 AS c1, MAX(vec_id) * 4 // 5 AS c2
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id FROM embeddings WHERE vec_id >= {_RECALL_NQ})
+    SELECT CAST(2 AS BIGINT) AS n_folded,
+           CAST(3 AS BIGINT) AS gens_before,
+           CAST(1 AS BIGINT) AS gens_after,
+           CAST(SUM(CASE WHEN vec_id < cuts.c1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_b0,
+           CAST(SUM(CASE WHEN vec_id >= cuts.c1 AND vec_id < cuts.c2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_b1,
+           CAST(SUM(CASE WHEN vec_id >= cuts.c2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_b2,
+           CAST(COUNT(*) AS BIGINT) AS rows_total
+    FROM c, cuts
+    """,
+)
+def ivf_compaction_receipt_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The compaction's STORAGE-ACCOUNTING receipt (VERDICT r11 item 7b
+    — the OPTIMIZE receipt every table format emits): after the same
+    staged lifecycle as ivf_compaction_probe_embeddings (batch-0 fit,
+    two pointer-flip staged commits, gc'd fold), the returned row states
+    what the maintenance job did — batches folded, generation dirs
+    before/after, and per-generation row counts — with every claim
+    derived from the ACTUAL on-disk state and pointer files, while the
+    oracle states what the receipt MUST read from the cut arithmetic
+    alone. Row-count columns gate data conservation per generation;
+    the generation counts gate that three physical dirs really became
+    one.
+
+    In-query invariants (the filesystem half SQL cannot see):
+    (1) committed-view row count is IDENTICAL before and after the fold
+    — compaction conserves data; (2) total bytes under the index dir do
+    not grow across the fold and the file count strictly drops (the
+    whole point of the OPTIMIZE job: probe cost per list grows with
+    file count until staged dirs fold); (3) gc left exactly one
+    generation dir. File/byte totals themselves are measured and
+    asserted but NOT returned — parquet file sizes vary with task
+    parallelism and codec framing, so they gate directionally in-query
+    rather than bit-exactly cross-engine.
+
+    Scale shape: identical to the compaction gate — the receipt adds
+    one committed-view count before and after plus an os.walk of the
+    (bounded) index dir; no extra Spark jobs over the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from app_insights_generator_spark.streaming._state import flip_latest
+    from app_insights_generator_spark.streaming.ivf_stream import (
+        _batch_path,
+        compact_streaming_index,
+        read_streaming_index,
+    )
+
+    embs = _embs(spark, sf_dir)
+    c1, c2 = embs.agg(
+        F.expr("max(vec_id) * 3 DIV 5").cast("long"),
+        F.expr("max(vec_id) * 4 DIV 5").cast("long"),
+    ).first()
+    b0 = embs.filter((F.col("vec_id") >= _RECALL_NQ) & (F.col("vec_id") < c1))
+    b1 = embs.filter((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    b2 = embs.filter(F.col("vec_id") >= c2)
+
+    def _gen_dirs(index_dir: str) -> list[str]:
+        gens = [
+            d
+            for d in os.listdir(index_dir)
+            if d == "lists" or d.startswith("lists_base_v")
+        ]
+        broot = os.path.join(index_dir, "lists_batches")
+        if os.path.isdir(broot):
+            gens += [os.path.join("lists_batches", d) for d in os.listdir(broot)]
+        return sorted(gens)
+
+    def _du(index_dir: str) -> tuple[int, int]:
+        n_files = total = 0
+        for root, _dirs, files in os.walk(index_dir):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(root, fname))
+        return n_files, total
+
+    index_dir = tempfile.mkdtemp(prefix="aig_ivf_receipt_")
+    try:
+        centroids, assigned = S.build_ivf_index(
+            b0, "embedding", "vec_id", n_lists=16
+        )
+        S.write_ivf_index(index_dir, centroids, assigned)
+        flip_latest(index_dir, 0)
+        for bid, batch in ((1, b1), (2, b2)):
+            S.assign_to_index(
+                batch, index_dir, "embedding", "vec_id"
+            ).write.mode("overwrite").partitionBy("list_id").parquet(
+                _batch_path(index_dir, bid)
+            )
+            flip_latest(index_dir, bid)
+
+        gens_before = _gen_dirs(index_dir)
+        files_before, bytes_before = _du(index_dir)
+        _, lists_before = read_streaming_index(spark, index_dir)
+        rows_before = lists_before.count()
+
+        n_folded = compact_streaming_index(spark, index_dir, gc=True)
+
+        gens_after = _gen_dirs(index_dir)
+        files_after, bytes_after = _du(index_dir)
+        _, lists_after = read_streaming_index(spark, index_dir)
+        rows_after = lists_after.count()
+
+        if rows_after != rows_before:  # invariant (1): conservation
+            raise AssertionError(
+                f"compaction changed the committed row count: "
+                f"{rows_before} -> {rows_after}"
+            )
+        if files_after >= files_before or bytes_after > bytes_before:
+            raise AssertionError(  # invariant (2): the OPTIMIZE claim
+                f"fold did not shrink storage: files {files_before} -> "
+                f"{files_after}, bytes {bytes_before} -> {bytes_after}"
+            )
+        if len(gens_after) != 1:  # invariant (3): one generation left
+            raise AssertionError(f"gc left generations {gens_after}")
+
+        seg = (
+            lists_after.agg(
+                F.sum((F.col("id") < c1).cast("long")).alias("rows_b0"),
+                F.sum(
+                    ((F.col("id") >= c1) & (F.col("id") < c2)).cast("long")
+                ).alias("rows_b1"),
+                F.sum((F.col("id") >= c2).cast("long")).alias("rows_b2"),
+                F.count(F.lit(1)).cast("long").alias("rows_total"),
+            )
+            .localCheckpoint(eager=True)  # pin: the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    return seg.select(
+        F.lit(n_folded).cast("long").alias("n_folded"),
+        F.lit(len(gens_before)).cast("long").alias("gens_before"),
+        F.lit(len(gens_after)).cast("long").alias("gens_after"),
+        "rows_b0",
+        "rows_b1",
+        "rows_b2",
+        "rows_total",
+    )
+
+
 _REFIT_COS_FLOOR = 0.99
 
 

@@ -214,10 +214,21 @@ def compact_streaming_index(spark, index_dir: str, gc: bool = False) -> int:
         merged = merged.unionByName(
             spark.read.parquet(_batch_path(index_dir, bid))
         )
-    new_base = f"lists_base_v{v}"
-    merged.write.mode("overwrite").partitionBy("list_id").parquet(
-        os.path.join(index_dir, new_base)
+    # Coalesce files per list, not just dirs: without the repartition the
+    # partitioned write preserves input splits and every staged file
+    # becomes its own output file — 0 files reclaimed, which the
+    # ivf_compaction_receipt gate measured live (49 -> 49). One shuffle
+    # keyed on list_id (n_lists tasks, each writing its own list's single
+    # file) is exactly the OPTIMIZE bin-pack; at sizes where one file per
+    # list exceeds a sane file target, raise the partition count — the
+    # receipt's invariant is "strictly fewer files", not "one file".
+    n_lists = (
+        spark.read.parquet(os.path.join(index_dir, "centroids")).count()
     )
+    new_base = f"lists_base_v{v}"
+    merged.repartition(n_lists, "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(os.path.join(index_dir, new_base))
     flip_base_pointer(index_dir, new_base, v)  # the commit
     if gc:
         broot = os.path.join(index_dir, _BATCHES)

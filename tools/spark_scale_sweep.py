@@ -64,6 +64,7 @@ SF_OVERRIDES: dict[str, str] = {
     # refresh lifecycle, not the serving path.
     "ivf_compaction_probe_embeddings": "/root/testdata/sf0.01",
     "pq_refit_decision_embeddings": "/root/testdata/sf0.01",
+    "ivf_compaction_receipt_embeddings": "/root/testdata/sf0.01",
 }
 
 
