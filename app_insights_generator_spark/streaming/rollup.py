@@ -43,6 +43,21 @@ def read_state(spark, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
 
 
+def _gc_superseded(state_dir: str, committed: int) -> None:
+    """Reclaim state versions older than the committed one's
+    predecessor: the merge rewrites the FULL state per batch (inherent —
+    the merged table IS the product), so without retention every
+    superseded ``state_v{N}`` snapshot leaks forever. The newest
+    superseded version is kept for readers holding the old pointer (the
+    same vacuum grace every table format gives)."""
+    import shutil
+
+    for d in os.listdir(state_dir):
+        if d.startswith("state_v") and d[7:].isdigit():
+            if int(d[7:]) < committed - 1:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
 def run_continuous_rollup(
     events_sdf: DataFrame,
     state_dir: str,
@@ -72,6 +87,11 @@ def run_continuous_rollup(
         out = os.path.join(state_dir, f"state_v{batch_id}")
         new.write.mode("overwrite").parquet(out)
         flip_latest(state_dir, batch_id)  # atomic pointer-flip commit
+        # Retention AFTER the flip (round 12 — the dedup/ivf gc lesson:
+        # superseded versions otherwise leak forever): keep the newly
+        # committed version plus its predecessor for in-flight readers
+        # (the vacuum contract), reclaim everything older.
+        _gc_superseded(state_dir, batch_id)
 
     (
         events_sdf.writeStream.foreachBatch(_apply)

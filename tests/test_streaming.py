@@ -541,3 +541,53 @@ def test_stream_stream_full_outer_join_both_sides(spark, sf_dir, events_stream):
     assert not (null_clk & matched_clk)
     # both outer paths actually emitted
     assert len(null_err) > 0 and len(null_clk) > 0
+
+
+def test_continuous_rollup_retention_reclaims_old_versions(spark, tmp_path):
+    """Round-12 retention: the rollup rewrites the full state per batch,
+    so superseded state_v dirs must be reclaimed (keep committed + one
+    predecessor for in-flight readers) instead of leaking forever."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from app_insights_generator_spark.streaming.rollup import (
+        read_state,
+        run_continuous_rollup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=["k", "v"])),
+            str(src / name),
+        )
+
+    def run_once():
+        sdf = spark.readStream.schema("k string, v long").parquet(str(src))
+        run_continuous_rollup(
+            sdf, state_dir, ckpt, ["k"], {"n": ("count", None),
+                                          "s": ("sum", F.col("v"))}
+        )
+
+    for i, rows in enumerate(
+        ([("x", 1)], [("x", 2)], [("y", 3)], [("x", 4)])
+    ):
+        write_file(f"f{i}.parquet", rows)
+        run_once()
+
+    versions = sorted(
+        int(d[7:]) for d in os.listdir(state_dir) if d.startswith("state_v")
+    )
+    # 4 batches committed as v0..v3; only v2 (reader grace) + v3 remain.
+    assert versions == [2, 3]
+    got = {r.k: (r.n, r.s) for r in read_state(spark, state_dir).collect()}
+    assert got == {"x": (3, 7), "y": (1, 3)}
