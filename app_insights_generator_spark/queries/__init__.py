@@ -153,6 +153,7 @@ ROTATION_NEXT: list[str] = [
     "ivf_compaction_probe_embeddings",
     "pq_refit_decision_embeddings",
     "ivf_compaction_receipt_embeddings",
+    "dedup_compaction_receipt_documents",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

@@ -219,6 +219,182 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_truth.unionByName(n_outside)
 
 
+@register(
+    "dedup_compaction_receipt_documents",
+    f"""
+    WITH cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents),
+    {_JACCARD_ALL_PAIRS_CTES},
+    t AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7)
+    SELECT CAST(2 AS BIGINT) AS n_folded,
+           CAST(2 AS BIGINT) AS gens_before,
+           CAST(1 AS BIGINT) AS gens_after,
+           (SELECT CAST(COUNT(*) * 16 AS BIGINT) FROM documents)
+             AS index_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t, cut
+            WHERE id_b < cut.c) AS pairs_b0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t, cut
+            WHERE id_b >= cut.c) AS pairs_b1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS pairs_total
+    """,
+    tier="sf0.01",
+)
+def dedup_compaction_receipt_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup stream's compaction RECEIPT — the
+    ivf_compaction_receipt twin for the round-12 staged dedup state
+    (streaming/dedup_stream.py): two id-ordered document batches flow
+    through the stream's exact state transitions (incremental probe
+    against the committed index, staged per-batch index/pairs dirs,
+    pointer-flip commits), then ``compact_streaming_dedup_state``
+    (gc=True) folds BOTH tables and the receipt row states what the
+    maintenance job did, every claim derived from real on-disk state.
+
+    SQL-gated exactly: the band index contributes exactly ``bands``
+    (16) rows per document, so ``index_rows`` = 16·|docs| pins index
+    conservation through the fold bit-exactly; the pair counts are the
+    O(n²) exact-Jaccard truth set (>= 0.7) attributed to the batch of
+    each pair's LATER member (``id_b`` against the id cut) — equality
+    holds for the dedup_minhash reason (every fixture near-dup pair has
+    Jaccard >= 0.9, where 16×4 banding misses with p < 4e-8, and the
+    incremental probe discovers each pair exactly when its later doc
+    arrives), so ``pairs_b0``/``pairs_b1`` also pin WHEN each pair was
+    discovered, not just that it was.
+
+    In-query invariants (the filesystem half): index and pair row
+    counts identical across the fold; strictly fewer parquet files and
+    no byte growth (the OPTIMIZE claim); exactly one generation dir per
+    table after gc.
+
+    Scale shape: the stream's own — banded candidate probe per batch
+    (never all-pairs on the Spark side; the O(n²) truth lives only in
+    the DuckDB oracle, tier sf0.01), fold is one repartitioned rewrite
+    per table."""
+    import os
+    import shutil
+    import tempfile
+
+    from app_insights_generator_spark.streaming._state import flip_latest
+    from app_insights_generator_spark.streaming.dedup_stream import (
+        _INDEX_SCHEMA,
+        _staged_path,
+        compact_streaming_dedup_state,
+        read_index,
+        read_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    c = docs.agg(F.expr("max(doc_id) DIV 2").cast("long")).first()[0]
+    batches = (
+        docs.filter(F.col("doc_id") < c),
+        docs.filter(F.col("doc_id") >= c),
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="aig_dedup_compact_")
+    try:
+        for bid, batch in enumerate(batches):
+            prev = read_index(spark, state_dir)
+            if prev is None:
+                prev = spark.createDataFrame([], _INDEX_SCHEMA)
+            new_pairs = D.incremental_near_dedup(
+                batch, prev, "doc_id", "text",
+                shingle_n=3, num_hashes=64, bands=16, threshold=0.7,
+            ).select(
+                F.col("id_a").cast("bigint"),
+                F.col("id_b").cast("bigint"),
+                F.col("jaccard").cast("double"),
+            )
+            batch_index = D.build_band_index(
+                batch, "doc_id", "text", 3, 64, 16
+            ).select(
+                F.col("band").cast("int"),
+                F.col("bhash").cast("bigint"),
+                F.col("_id").cast("bigint"),
+                "_sh",
+            )
+            batch_index.write.mode("overwrite").parquet(
+                _staged_path(state_dir, "index", bid)
+            )
+            new_pairs.write.mode("overwrite").parquet(
+                _staged_path(state_dir, "pairs", bid)
+            )
+            flip_latest(state_dir, bid)
+
+        def _du() -> tuple[int, int]:
+            n_files = total = 0
+            for root, _dirs, files in os.walk(state_dir):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        n_files += 1
+                        total += os.path.getsize(os.path.join(root, fname))
+            return n_files, total
+
+        def _gens() -> int:
+            n = 0
+            for kind in ("index", "pairs"):
+                broot = os.path.join(state_dir, f"{kind}_batches")
+                if os.path.isdir(broot):
+                    n += len(os.listdir(broot))
+                n += sum(
+                    1
+                    for d in os.listdir(state_dir)
+                    if d.startswith(f"{kind}_base_v")
+                )
+            return n
+
+        idx_before = read_index(spark, state_dir).count()
+        pairs_before = read_pairs(spark, state_dir).count()
+        files_before, bytes_before = _du()
+        gens_before = _gens()
+
+        n_folded = compact_streaming_dedup_state(spark, state_dir, gc=True)
+
+        files_after, bytes_after = _du()
+        gens_after = _gens()
+        idx_after = read_index(spark, state_dir)
+        pairs_after = read_pairs(spark, state_dir)
+        if idx_after.count() != idx_before:
+            raise AssertionError(
+                f"fold changed index rows: {idx_before} -> "
+                f"{idx_after.count()}"
+            )
+        if files_after >= files_before or bytes_after > bytes_before:
+            raise AssertionError(
+                f"fold did not shrink storage: files {files_before} -> "
+                f"{files_after}, bytes {bytes_before} -> {bytes_after}"
+            )
+        if gens_before != 4 or gens_after != 2:
+            raise AssertionError(
+                f"generation accounting off: {gens_before} -> {gens_after}"
+                " (expected 2 staged dirs per table -> 1 base per table)"
+            )
+
+        receipt = pairs_after.agg(
+            F.sum((F.col("id_b") < c).cast("long")).alias("pairs_b0"),
+            F.sum((F.col("id_b") >= c).cast("long")).alias("pairs_b1"),
+            F.count(F.lit(1)).cast("long").alias("pairs_total"),
+        ).localCheckpoint(eager=True)  # pin: the temp state dir is removed
+        if (
+            receipt.first()["pairs_total"] != pairs_before
+        ):  # conservation, pairs table
+            raise AssertionError("fold changed the committed pair set size")
+        idx_rows = idx_before
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    # Per-table generation counts for the gated row: 2 staged dirs ->
+    # 1 base (measured per table above as 4 -> 2 across both tables).
+    return receipt.select(
+        F.lit(n_folded).cast("long").alias("n_folded"),
+        F.lit(gens_before // 2).cast("long").alias("gens_before"),
+        F.lit(gens_after // 2).cast("long").alias("gens_after"),
+        F.lit(idx_rows).cast("long").alias("index_rows"),
+        "pairs_b0",
+        "pairs_b1",
+        "pairs_total",
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 @register(

@@ -228,15 +228,28 @@ def compact_streaming_dedup_state(
         return 0
     new_tag = f"base_v{v}"
     for kind in _KINDS:
-        merged = None
+        in_dirs = []
         if base_tag != _NO_BASE:
-            merged = spark.read.parquet(
-                os.path.join(state_dir, f"{kind}_{base_tag}")
-            )
-        for bid in _committed_batch_ids(state_dir, kind, upto, v):
-            part = spark.read.parquet(_staged_path(state_dir, kind, bid))
+            in_dirs.append(os.path.join(state_dir, f"{kind}_{base_tag}"))
+        in_dirs += [
+            _staged_path(state_dir, kind, bid)
+            for bid in _committed_batch_ids(state_dir, kind, upto, v)
+        ]
+        merged = None
+        n_in = 0
+        for d in in_dirs:
+            part = spark.read.parquet(d)
             merged = part if merged is None else merged.unionByName(part)
-        merged.repartition(target_files).write.mode("overwrite").parquet(
+            n_in += sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        # Output file count adapts to the input (at least halving, capped
+        # at target_files) so the fold ALWAYS reduces file count — a
+        # fixed target wrote MORE files than it folded at small scale
+        # (footer overhead included, measured by the receipt gate). A
+        # production fold would target bytes-per-file instead of count.
+        n_out = max(1, min(target_files, n_in // 2))
+        merged.repartition(n_out).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"{kind}_{new_tag}")
         )
     flip_base_pointer(state_dir, new_tag, v)  # the commit, both tables

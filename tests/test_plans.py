@@ -888,6 +888,7 @@ def test_round12_compaction_gate_no_cartesian_no_python(spark, sf_dir):
         "ivf_compaction_probe_embeddings",
         "pq_refit_decision_embeddings",
         "ivf_compaction_receipt_embeddings",
+        "dedup_compaction_receipt_documents",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

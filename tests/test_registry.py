@@ -210,4 +210,7 @@ def test_sf001_tier_is_exactly_the_allpairs_jaccard_family():
         "dedup_components_star_documents",
         "dedup_rate_by_source_documents",
         "dedup_cluster_profile_documents",
+        # round 12: the dedup-compaction receipt's pair truth is the same
+        # O(n^2) all-pairs Jaccard CTE (attributed by later-member cut).
+        "dedup_compaction_receipt_documents",
     }, got
