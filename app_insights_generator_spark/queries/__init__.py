@@ -154,6 +154,8 @@ ROTATION_NEXT: list[str] = [
     "pq_refit_decision_embeddings",
     "ivf_compaction_receipt_embeddings",
     "dedup_compaction_receipt_documents",
+    "sq8_adc_search_embeddings",
+    "matryoshka_prefix_recall_embeddings",
 ]
 
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]

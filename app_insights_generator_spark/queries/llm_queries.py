@@ -4854,6 +4854,225 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sq8_adc_search_embeddings",
+    f"""
+    WITH eall AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    stats AS (SELECT d, MIN(v) AS vmin, MAX(v) AS vmax FROM eall GROUP BY d),
+    recon AS (
+      SELECT e.vid, e.d,
+             s.vmin + (CASE WHEN s.vmax = s.vmin THEN 0
+                            ELSE ((e.v - s.vmin) * 255) // (s.vmax - s.vmin)
+                       END * (s.vmax - s.vmin)) // 255 AS rv
+      FROM eall e JOIN stats s USING (d)
+    ),
+    q AS (SELECT d, v AS qv FROM eall WHERE vid = 0),
+    sq8 AS (
+      SELECT r.vid, CAST(SUM((r.rv - q.qv) * (r.rv - q.qv)) AS BIGINT)
+               AS sq8_dist
+      FROM recon r JOIN q USING (d) WHERE r.vid <> 0 GROUP BY r.vid
+    ),
+    exact AS (
+      SELECT e.vid, CAST(SUM((e.v - q.qv) * (e.v - q.qv)) AS BIGINT)
+               AS exact_dist
+      FROM eall e JOIN q USING (d) WHERE e.vid <> 0 GROUP BY e.vid
+    ),
+    ranked AS (
+      SELECT exact.vid, exact_dist, sq8_dist,
+             ROW_NUMBER() OVER (ORDER BY exact_dist, exact.vid) AS exact_rank,
+             ROW_NUMBER() OVER (ORDER BY sq8_dist, exact.vid) AS sq8_rank
+      FROM exact JOIN sq8 ON sq8.vid = exact.vid
+    )
+    SELECT vid AS vec_id, exact_dist, sq8_dist, exact_rank, sq8_rank
+    FROM ranked WHERE exact_rank <= 10
+    """,
+)
+def sq8_adc_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR QUANTIZATION search — the other classical ANN compression
+    next to PQ (the SQ8 index family in public FAISS): every dimension
+    learns one per-CORPUS [min, max] range, codes are the 8-bit level
+    `(v - min_d) * 255 div (max_d - min_d)`, and search is asymmetric —
+    the query keeps its exact values while each candidate is
+    reconstructed from its codes (`min_d + code * range_d div 255`).
+    This completes the encode->search symmetry the PQ family already
+    has (pq_codes / pq_adc_search): quantize_embeddings_int8 is the
+    per-VECTOR encode summary; this is the per-DIMENSION codebook with
+    the search half. Gated exactly like pq_adc_search: the exact
+    integer-quantized top-10 is the truth anchor, each neighbor rides
+    with its SQ8 distance and SQ8 rank, so the stats table, every code,
+    every reconstruction, and both rankings hash bit-for-bit; the
+    exact-vs-SQ8 rank gap IS the measured 8-bit quantization cost. All
+    arithmetic is integer on the shared fixed-point grid
+    (quantized_long_form), and every numerator is non-negative so
+    Spark's truncating `div` and DuckDB's flooring `//` agree.
+
+    Plan: the stats table is 64 rows (one groupBy over the long form,
+    then broadcast); encode+reconstruct is one map pass; the scan side
+    touches codes only — at 100 TB the corpus is stored as int8 codes
+    (4x bandwidth cut) and the per-dim stats ride in the index
+    metadata, exactly the SQ8 serving shape. The exact side is the
+    deliberate O(n) truth anchor (same posture as cosine_topk /
+    pq_adc_search).
+
+    Registered post-round-12-sweep; on ROTATION_NEXT for the r13 window."""
+    from app_insights_generator_spark.operators.similarity import (
+        quantized_long_form,
+    )
+
+    e_all = quantized_long_form(_embs(spark, sf_dir), "vec_id", "embedding",
+                                _KM_SCALE, _KM_OFF)
+    stats = e_all.groupBy("d").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    recon = e_all.join(F.broadcast(stats), "d").select(
+        "vid",
+        "d",
+        F.expr(
+            "vmin + (CASE WHEN vmax = vmin THEN 0L"
+            " ELSE ((v - vmin) * 255) DIV (vmax - vmin) END"
+            " * (vmax - vmin)) DIV 255"
+        ).alias("rv"),
+    )
+    q = e_all.filter(F.col("vid") == 0).select("d", F.col("v").alias("qv"))
+    sq8 = (
+        recon.filter(F.col("vid") != 0)
+        .join(F.broadcast(q), "d")
+        .groupBy("vid")
+        .agg(F.sum(F.expr("(rv - qv) * (rv - qv)")).cast("long").alias("sq8_dist"))
+    )
+    exact = (
+        e_all.filter(F.col("vid") != 0)
+        .join(F.broadcast(q), "d")
+        .groupBy("vid")
+        .agg(F.sum(F.expr("(v - qv) * (v - qv)")).cast("long").alias("exact_dist"))
+    )
+    ranked = exact.join(sq8, "vid").select(
+        "vid",
+        "exact_dist",
+        "sq8_dist",
+        F.row_number().over(Window.orderBy("exact_dist", "vid")).alias("exact_rank"),
+        F.row_number().over(Window.orderBy("sq8_dist", "vid")).alias("sq8_rank"),
+    )
+    return ranked.filter(F.col("exact_rank") <= 10).select(
+        F.col("vid").alias("vec_id"),
+        "exact_dist",
+        "sq8_dist",
+        "exact_rank",
+        "sq8_rank",
+    )
+
+
+@register(
+    "matryoshka_prefix_recall_embeddings",
+    f"""
+    WITH eall AS (
+      SELECT vid, d, CAST(floor(x * {_KM_SCALE}) AS BIGINT) + {_KM_OFF} AS v
+      FROM (SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS d,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings)
+    ),
+    q AS (SELECT d, v AS qv FROM eall WHERE vid = 0),
+    sq AS (
+      SELECT e.vid, e.d, (e.v - q.qv) * (e.v - q.qv) AS sqd
+      FROM eall e JOIN q USING (d) WHERE e.vid <> 0
+    ),
+    dists AS (
+      SELECT vid,
+             CAST(SUM(sqd) AS BIGINT) AS full_dist,
+             CAST(SUM(CASE WHEN d <= 16 THEN sqd ELSE 0 END) AS BIGINT)
+               AS p16_dist,
+             CAST(SUM(CASE WHEN d <= 32 THEN sqd ELSE 0 END) AS BIGINT)
+               AS p32_dist
+      FROM sq GROUP BY vid
+    ),
+    ranked AS (
+      SELECT vid, full_dist, p16_dist, p32_dist,
+             ROW_NUMBER() OVER (ORDER BY full_dist, vid) AS full_rank,
+             ROW_NUMBER() OVER (ORDER BY p16_dist, vid) AS p16_rank,
+             ROW_NUMBER() OVER (ORDER BY p32_dist, vid) AS p32_rank
+      FROM dists
+    )
+    SELECT vid AS vec_id, full_dist, p16_dist, p32_dist,
+           full_rank, p16_rank, p32_rank
+    FROM ranked WHERE full_rank <= 10
+    """,
+)
+def matryoshka_prefix_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATRYOSHKA over-fetch audit (Kusupati et al. 2022, "Matryoshka
+    Representation Learning") — the DESIGN-PARAMETER companion to
+    matryoshka_recall_embeddings: that query reports recall@10 of a
+    single prefix tier (16 dims, cosine, 20-query panel), which decides
+    WHETHER a prefix tier is viable; this one reports, for the exact
+    full-width top-10 of one query, each true neighbor's prefix-16 AND
+    prefix-32 distances and RANKS — which decides HOW a staged funnel
+    must be sized: the max prefix rank within the true top-10 IS the
+    over-fetch factor the shortlist needs at that width, and the
+    p16→p32 rank contraction measures nesting monotonicity across two
+    widths (recall@k at one width cannot answer either). Also a
+    different ranking space on purpose — squared L2 on the shared
+    fixed-point integer grid (bit-exact, no rounded-cosine bias recipe
+    needed). One scan computes all three distances as conditional sums
+    over the shared (vid, d, squared-delta) long form — the prefixes
+    are free once the full distance is being accumulated. Spark's
+    0-based posexplode dims and DuckDB's 1-based generate_subscripts
+    both select exactly the first 16/32 dimensions.
+
+    Plan: one broadcast of the 64-row query slice, one groupBy(vid)
+    with three conditional partial aggregates — map-side combined, no
+    extra exchange vs the plain exact top-k; the global top-10 window
+    ranks a corpus-sized but 4-column-narrow table. At 100 TB the
+    shortlist side runs at prefix width against an int8/PQ code store
+    and only the ~2-3x over-fetched shortlist touches full vectors.
+
+    Registered post-round-12-sweep; on ROTATION_NEXT for the r13 window."""
+    from app_insights_generator_spark.operators.similarity import (
+        quantized_long_form,
+    )
+
+    e_all = quantized_long_form(_embs(spark, sf_dir), "vec_id", "embedding",
+                                _KM_SCALE, _KM_OFF)
+    q = e_all.filter(F.col("vid") == 0).select("d", F.col("v").alias("qv"))
+    sq = (
+        e_all.filter(F.col("vid") != 0)
+        .join(F.broadcast(q), "d")
+        .select("vid", "d", F.expr("(v - qv) * (v - qv)").alias("sqd"))
+    )
+    dists = sq.groupBy("vid").agg(
+        F.sum("sqd").cast("long").alias("full_dist"),
+        F.sum(F.when(F.col("d") < 16, F.col("sqd")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("p16_dist"),
+        F.sum(F.when(F.col("d") < 32, F.col("sqd")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("p32_dist"),
+    )
+    ranked = dists.select(
+        "vid",
+        "full_dist",
+        "p16_dist",
+        "p32_dist",
+        F.row_number().over(Window.orderBy("full_dist", "vid")).alias("full_rank"),
+        F.row_number().over(Window.orderBy("p16_dist", "vid")).alias("p16_rank"),
+        F.row_number().over(Window.orderBy("p32_dist", "vid")).alias("p32_rank"),
+    )
+    return ranked.filter(F.col("full_rank") <= 10).select(
+        F.col("vid").alias("vec_id"),
+        "full_dist",
+        "p16_dist",
+        "p32_dist",
+        "full_rank",
+        "p16_rank",
+        "p32_rank",
+    )
+
+
+@register(
     "dedup_components_star_documents",
     f"""
     WITH RECURSIVE {_JACCARD_ALL_PAIRS_CTES},
