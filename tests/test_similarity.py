@@ -736,3 +736,45 @@ def test_ann_probe_persisted_prunes_partitions(spark, tmp_path, clustered):
     for ln in list_scans:
         m = re.search(r"PartitionFilters: \[([^\]]*)", ln)
         assert m and re.search(r"list_id#\d+ IN \(", m.group(1)), ln
+
+
+# --- Arrow pair-cosine bit-equivalence (round-12 optimization) ---------------
+
+
+def test_pair_cosine_arrow_bit_identical_to_hof(spark):
+    """pair_cosine (Arrow numpy fold) must be BIT-identical to the HOF
+    expression form it replaced on the pair-verify paths — same
+    left-to-right float64 accumulation — including the edge classes the
+    fallback handles: null vectors, ragged lengths (zip_with null-padding
+    poisons the sum to null), zero norms (when-otherwise 0.0), and
+    embedded nulls inside an array."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in rng.standard_normal(DIM)]))
+    rows.append((100, [0.0] * DIM))              # zero norm -> 0.0 branch
+    rows.append((101, None))                     # null vector -> null sim
+    rows.append((102, [1.0, 2.0]))               # ragged vs DIM -> null sim
+    rows.append((103, [1.0, None] + [0.0] * (DIM - 2)))  # poisoned sum
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        S.norm(F.col("embedding")).alias("_n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+    denom = F.col("a._n") * F.col("b._n")
+    hof = F.when(
+        denom > 0, S.dot(F.col("a._v"), F.col("b._v")) / denom
+    ).otherwise(F.lit(0.0))
+    arrow = S.pair_cosine(
+        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+    )
+    got = pairs.select(
+        F.col("a._id").alias("ia"), F.col("b._id").alias("ib"),
+        hof.alias("h"), arrow.alias("u"),
+    ).collect()
+    assert len(got) > 800
+    for r in got:
+        assert r.h == r.u, (r.ia, r.ib, r.h, r.u)  # exact, incl. None
