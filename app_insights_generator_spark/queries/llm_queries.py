@@ -1045,8 +1045,19 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("q"),
     )
     kept = scored.filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.7))
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Keep-lowest-doc_id per digest as min_by aggregation, not a window:
+    # the rollup below needs only (source, q) of each survivor, so the
+    # exchange carries the 32-byte digest plus two small columns instead
+    # of full document texts (the old window re-evaluated sha2(text)
+    # downstream and therefore shipped text through the shuffle), and
+    # partial aggregation collapses intra-partition duplicates map-side
+    # (guide §2.3: shuffle keys/metadata, not payloads). doc_id is unique,
+    # so min_by picks exactly the window's rn=1 row.
+    deduped = (
+        kept.groupBy(F.sha2(F.col("text"), 256).alias("_dig"))
+        .agg(F.min_by(F.struct("source", "q"), "doc_id").alias("_keep"))
+        .select(F.col("_keep.source").alias("source"), F.col("_keep.q").alias("q"))
+    )
     # q is an exact 1-decimal score, so the mean runs on an exact decimal
     # sum — order-independent, unlike AVG over doubles (see _exact.py).
     return deduped.groupBy("source").agg(
@@ -1163,20 +1174,29 @@ def trainprep_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shard reuse the portable sha-hex expansion; no float reaches
     the gate except q's filter, shared with the green curation gate."""
     docs = _docs(spark, sf_dir)
-    wdig = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    dedup = (
-        docs.select("doc_id", "text")
-        .withColumn("rn", F.row_number().over(wdig))
-        .filter(F.col("rn") == 1)
-    )
-    scored = dedup.select(
+    # Score BEFORE the dedup shuffle: q and n_tokens are pure functions of
+    # text, so every duplicate of a text yields the identical (q, n_tokens)
+    # and the keep-lowest-doc_id rule reduces to one min_by aggregation on
+    # the digest. The exchange then carries (digest, doc_id, q, n_tokens)
+    # — ~50 bytes/row — instead of full document texts through a window
+    # partitioned by sha2(text) (which re-evaluates the digest downstream
+    # and therefore ships text). At 100 TB this turns the pipeline's one
+    # full-payload shuffle into a metadata shuffle (guide §2.3/§8); the
+    # extra map-side scoring of duplicate rows is scan-local CPU.
+    scored = docs.select(
         "doc_id",
+        F.sha2(F.col("text"), 256).alias("_dig"),
         F.round(T.quality_score(F.col("text")) + 1e-9, 1).alias("q"),
         F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias(
             "n_tokens"
         ),
     )
-    kept = scored.filter(F.col("q") >= 0.7)
+    dedup = (
+        scored.groupBy("_dig")
+        .agg(F.min_by(F.struct("doc_id", "q", "n_tokens"), "doc_id").alias("_keep"))
+        .select("_keep.doc_id", "_keep.q", "_keep.n_tokens")
+    )
+    kept = dedup.filter(F.col("q") >= 0.7)
     bucket = (
         F.conv(
             F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4),
@@ -7636,27 +7656,43 @@ def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    h = tok.select(
-        "doc_id",
-        "lang",
-        (F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % 128)
-        .alias("bucket"),
-    ).localCheckpoint(eager=True)  # fan-out: raw model, target model, doc counts
-    rawb = h.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("rc"))
-    tgtb = (
-        h.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    # Pre-aggregate to the (doc, lang, bucket) grain BEFORE pinning: the
+    # three fan-out consumers (raw model, target model, doc scores) all
+    # consume counts, never individual token rows, so materializing the
+    # exploded token table was pure waste — one map-side-partial groupBy
+    # collapses it to <= docs x 128 rows, and the pinned table (plus every
+    # downstream scan and shuffle) shrinks by the tokens-per-doc factor
+    # (guide §2.3: aggregate before you shuffle). Counts are identical:
+    # rc/tc/c below are sums of these partial counts.
+    h = (
+        tok.select(
+            "doc_id",
+            "lang",
+            (F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long") % 128)
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)  # fan-out: raw model, target model, doc counts
     )
-    rtot = rawb.agg(F.sum("rc").cast("long").alias("rt"))
-    ttot = tgtb.agg(F.sum("tc").cast("long").alias("tt"))
+    # Both models in ONE aggregation over the pinned table: tc is the
+    # lang='en' slice as a conditional sum (NULL when no target rows hit
+    # the bucket — exactly the rows the old rawb LEFT JOIN tgtb produced,
+    # and the COALESCE(tc, 0) below is unchanged), so the second scan of
+    # h and the bucket-grain join disappear from the plan.
+    models = h.groupBy("bucket").agg(
+        F.sum("_c").cast("long").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("_c"))).cast("long").alias("tc"),
+    )
+    rtot = models.agg(F.sum("rc").cast("long").alias("rt"))
+    ttot = models.agg(F.sum("tc").cast("long").alias("tt"))
     nll = spark.createDataFrame(
         list(enumerate(_IDF_PPM_1024)), "b long, nll_ppm long"
     )
     nr = nll.select(F.col("b").alias("br"), F.col("nll_ppm").alias("nllr"))
     nt = nll.select(F.col("b").alias("bt"), F.col("nll_ppm").alias("nllt"))
     delta = (
-        rawb.join(tgtb, "bucket", "left")
+        models
         .crossJoin(F.broadcast(rtot))
         .crossJoin(F.broadcast(ttot))
         .join(F.broadcast(nr), F.expr("rc * 1024 DIV rt") == F.col("br"))
@@ -7667,7 +7703,7 @@ def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", F.expr("nllr - nllt").alias("delta_ppm"))
     )
     docbkt = h.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        F.sum("_c").cast("long").alias("c")
     )
     docw = (
         docbkt.join(F.broadcast(delta), "bucket")
@@ -7811,16 +7847,15 @@ def kmv_vocab_ndv_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").cast("long").alias("exact_ndv")
     )
     persrc = exact.join(kth, "source")
-    uh = (
-        h.select("hv")
-        .distinct()
-        .select(
-            "hv",
-            F.row_number().over(Window.orderBy("hv")).cast("long").alias("rk"),
-        )
-    )
+    # Union kth: only the 64 smallest distinct hashes matter, so a
+    # sort+limit (planned as distributed TakeOrderedAndProject) replaces
+    # the unpartitioned row_number window — the old plan shuffled EVERY
+    # distinct hash to one task and sorted them all there, the classic
+    # global-window scale cliff (guide §2.4). max-of-bottom-64 == the
+    # rank-64 value; fewer than 64 distinct hashes -> NULL, as before.
+    uh = h.select("hv").distinct().orderBy("hv").limit(64)
     ukth = uh.agg(
-        F.max(F.when(F.col("rk") == 64, F.col("hv")))
+        F.when(F.count(F.lit(1)) >= 64, F.max("hv"))
         .cast("long")
         .alias("kth_hash")
     )
