@@ -9,9 +9,11 @@ Design for 100 TB:
   evaluated ONCE per document (inlining 64 per-seed array expressions made
   Catalyst re-evaluate the shingling 64x per row), and partial aggregation
   does the mins map-side;
-- LSH banding turns the O(n^2) pair space into per-bucket candidate joins:
-  explode b bands -> shuffle on (band, band_hash) -> join inside buckets
-  only. Skewed buckets (boilerplate docs) are bounded by AQE skew-join.
+- LSH banding turns the O(n^2) pair space into per-bucket candidate
+  generation: explode b bands -> ONE groupBy on (band, band_hash) -> emit
+  the i<j combinations of each bucket's sorted id list (round 12: the
+  previous banded self-join computed the signature aggregation once per
+  join side — aliased subtrees get no ReusedExchange).
 - candidate pairs are verified with exact Jaccard on shingle arrays, so
   the output has no LSH false positives — only (tunable) false negatives.
 """
@@ -116,6 +118,17 @@ def minhash_signatures(
 def _candidates_from_sets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows = num_hashes // bands
     sig = _signatures_from_sets(sh, num_hashes)
+    # Pairs come from a per-bucket GROUP, not a banded self-join: the two
+    # sides of the old self-join were not recognized as one exchange
+    # (different aliases → no ReusedExchange), so the 64-hash explode+min
+    # signature aggregation — the costliest stage after shingling — ran
+    # TWICE, once per side (observed: 132 xxhash64 exprs in the plan).
+    # Grouping by (band, bhash) and emitting the i<j combinations of each
+    # bucket's sorted id list computes signatures ONCE and replaces the
+    # join+exchange pair with one aggregation (measured end-to-end at
+    # sf0.1: 4.0s -> 3.2s, pair set identical). The per-bucket pair count
+    # is |bucket|^2 either way — same as the self-join's per-key fanout;
+    # banding parameters, not execution form, bound hot buckets.
     banded = sig.select(
         "_id",
         F.explode(
@@ -132,16 +145,25 @@ def _candidates_from_sets(sh: DataFrame, num_hashes: int, bands: int) -> DataFra
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bhash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # NULL-id guard replicates the old join's a._id < b._id semantics
+    # (NULL ids never matched; collect_list would otherwise admit them).
+    buckets = (
+        banded.filter(F.col("_id").isNotNull())
+        .groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a._id") < F.col("b._id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -293,20 +315,37 @@ def hamming_band_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_sig", "ck.chunk", "ck.cval")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    # Per-bucket pair generation instead of a banded self-join — the same
+    # round-12 rewrite as _candidates_from_sets: aliased self-join sides
+    # get no ReusedExchange, so the upstream signature aggregation (64
+    # bit-sums for SimHash) was computed once PER SIDE. One groupBy emits
+    # the i<j combinations of each bucket's id-sorted (id, sig) list;
+    # pair set and hamming values are identical.
+    # NULL guard replicates equi-join semantics exactly: a NULL cval/_id
+    # never matched in the old join, while groupBy would bucket NULLs.
+    buckets = (
+        chunked.filter(F.col("cval").isNotNull() & F.col("_id").isNotNull())
+        .groupBy("chunk", "cval")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                "y -> struct(x.i AS id_a, y.i AS id_b, "
+                "x.s AS sig_a, y.s AS sig_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cval") == F.col("b.cval"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
+        pairs.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -673,20 +712,31 @@ def jaccard_join_prefix_filter(
         ).alias("toks")
     )
     # Positions in the canonical order ride along on both join sides.
-    full = ordered.select(
+    # ONE positional explode feeds both sides: the prefix rows are exactly
+    # the full rows with pos < prefix_len, so deriving pref by a position
+    # filter over a persisted (id, sz, pos, sh) table removes the second
+    # collect_list+sort aggregation the old twin posexplode subtrees each
+    # re-ran (guide §1.2: don't compute things twice; measured on the
+    # containment twin: 4.3s -> 2.6s at sf0.1, rows identical).
+    pos_rows = ordered.select(
+        "_id",
+        F.size("toks").alias("sz"),
+        F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos", "_sh"),
+    ).persist()
+    full = pos_rows.select(
         F.col("_id").alias("id_f"),
-        F.size("toks").alias("sz_f"),
-        F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos_f", "_sh"),
+        F.col("sz").alias("sz_f"),
+        F.col("pos").alias("pos_f"),
+        "_sh",
     )
-    pref = ordered.select(
+    pref = pos_rows.filter(
+        F.col("pos")
+        < F.expr(f"sz - CAST(ceil({threshold} * sz) AS INT) + 1")
+    ).select(
         F.col("_id").alias("id_p"),
-        F.size("toks").alias("sz_p"),
-        F.posexplode(
-            F.expr(
-                f"transform(slice(toks, 1, size(toks) "
-                f"- CAST(ceil({threshold} * size(toks)) AS INT) + 1), x -> x.s)"
-            )
-        ).alias("pos_p", "_sh"),
+        F.col("sz").alias("sz_p"),
+        F.col("pos").alias("pos_p"),
+        "_sh",
     )
     matches = pref.join(full, "_sh").filter(F.col("id_p") != F.col("id_f"))
     if positional:
@@ -708,6 +758,7 @@ def jaccard_join_prefix_filter(
     )
     pairs = _jaccard_from_sets(sh, cand, threshold)
     pinned = _pin(pairs, checkpoint_dir)
+    pos_rows.unpersist()
     sh.unpersist()
     return pinned
 
@@ -903,22 +954,29 @@ def containment_join_prefix_filter(
             F.collect_list(F.struct(F.col("_c").alias("c"), F.col("_sh").alias("s")))
         ).alias("toks")
     )
-    full = ordered.select(
+    # ONE positional explode feeds both sides (see the Jaccard twin above):
+    # pref == full rows with pos < prefix_len, where prefix length =
+    # |A| - ceil(t*|A|) + 1, ceil in exact integer bp. Measured at sf0.1:
+    # 4.3s -> 2.6s, output identical.
+    pos_rows = ordered.select(
+        "_id",
+        F.size("toks").alias("sz"),
+        F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos", "_sh"),
+    ).persist()
+    full = pos_rows.select(
         F.col("_id").alias("id_f"),
-        F.size("toks").alias("sz_f"),
-        F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos_f", "_sh"),
+        F.col("sz").alias("sz_f"),
+        F.col("pos").alias("pos_f"),
+        "_sh",
     )
-    # prefix length = |A| - ceil(t*|A|) + 1, ceil in exact integer bp.
-    pref = ordered.select(
+    pref = pos_rows.filter(
+        F.col("pos")
+        < F.expr(f"sz - CAST(({threshold_bp} * sz + 9999) DIV 10000 AS INT) + 1")
+    ).select(
         F.col("_id").alias("id_p"),
-        F.size("toks").alias("sz_p"),
-        F.posexplode(
-            F.expr(
-                f"transform(slice(toks, 1, size(toks) "
-                f"- CAST(({threshold_bp} * size(toks) + 9999) DIV 10000 AS INT)"
-                f" + 1), x -> x.s)"
-            )
-        ).alias("pos_p", "_sh"),
+        F.col("sz").alias("sz_p"),
+        F.col("pos").alias("pos_p"),
+        "_sh",
     )
     matches = pref.join(full, "_sh").filter(F.col("id_p") != F.col("id_f"))
     if positional:
@@ -953,5 +1011,6 @@ def containment_join_prefix_filter(
         )
     )
     pinned = _pin(verified, checkpoint_dir)
+    pos_rows.unpersist()
     sh.unpersist()
     return pinned
