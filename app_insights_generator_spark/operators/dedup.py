@@ -778,6 +778,17 @@ def winnowing_fingerprint_rows(
     cannot survive executor loss). Shared core of :func:`winnowing_stats`
     and the cross-split contamination audit — same grams, window minima,
     and clamped-window semantics."""
+    return _pin(
+        _winnowing_selected_rows(df, id_col, text_col, k, w), checkpoint_dir
+    )
+
+
+def _winnowing_selected_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Unpinned core of :func:`winnowing_fingerprint_rows`: the exploded
+    gram rows with their sliding-window minima, one row per selected
+    window end position (doc_id, m, i, wmin)."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -806,12 +817,9 @@ def winnowing_fingerprint_rows(
         )
     )
     wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    return _pin(
-        g.select("doc_id", "m", "i", F.min("h").over(wspec).alias("wmin")).filter(
-            F.col("i") >= F.least(F.lit(w), F.col("m"))
-        ),
-        checkpoint_dir,
-    )
+    return g.select(
+        "doc_id", "m", "i", F.min("h").over(wspec).alias("wmin")
+    ).filter(F.col("i") >= F.least(F.lit(w), F.col("m")))
 
 
 def winnowing_stats(
@@ -863,27 +871,36 @@ def winnowing_stats(
         "doc_id",
         F.greatest(F.size("toks") - k + 1, F.lit(0)).alias("m"),
     )
-    # kept fans out into three branches (per-doc stats, the shared-hash
-    # frequency table, the share-count join); the helper's localCheckpoint
-    # materializes the explode+window subtree ONCE instead of three times
-    # per action (the plan otherwise shows 3 Window nodes — guarded in
+    # The pinned fan-out table is the (doc, wmin) GRAIN, not the raw
+    # selected-window rows (round 12): every downstream branch consumes
+    # either distinct fingerprints or their per-doc multiplicities, so one
+    # groupBy right after the window collapses the pin to the fingerprint
+    # set (cnt = selected window-ends per fingerprint, i.e. the old
+    # per-row count; m rides along, constant per doc) — fewer pinned rows
+    # and the old separate stats-vs-sel scans become scans of one smaller
+    # table. The explode+window subtree still runs ONCE, inside the pin's
+    # lineage (zero Window nodes in the final plan — guarded in
     # test_plans).
-    kept = winnowing_fingerprint_rows(df, id_col, text_col, k, w, checkpoint_dir)
-    stats = kept.groupBy("doc_id").agg(
-        F.any_value(F.col("m")).cast("long").alias("n_grams"),
-        F.count(F.lit(1)).cast("long").alias("n_windows"),
-        F.countDistinct("wmin").cast("long").alias("n_selected"),
+    d = _pin(
+        _winnowing_selected_rows(df, id_col, text_col, k, w)
+        .groupBy("doc_id", "wmin")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.any_value("m").alias("m")),
+        checkpoint_dir,
     )
-    sel = kept.select("doc_id", "wmin").distinct()
-    # sel is distinct per doc, so count(*) per hash == number of docs
-    # selecting it; >=2 means shared with at least one other document.
+    stats = d.groupBy("doc_id").agg(
+        F.any_value(F.col("m")).cast("long").alias("n_grams"),
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+    )
+    # d is distinct per (doc, wmin), so count(*) per hash == number of
+    # docs selecting it; >=2 means shared with at least one other document.
     shared_h = (
-        sel.groupBy("wmin")
+        d.groupBy("wmin")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
     )
     shared = (
-        sel.join(shared_h.select("wmin"), "wmin")
+        d.join(shared_h.select("wmin"), "wmin")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("shared_sel"))
     )

@@ -354,17 +354,38 @@ def sweep_apriori(
     # so a 2^14 lattice can never generate a 16k-projection plan.
     # Measured (sf0.1, 1,023 sets, 2.5k tuples): 20.6s level-wise ->
     # ~12s exhaustive cube.
+    #
+    # The bailout job runs with INTERPRETED expression evaluation
+    # (round 12): thread dumps of the 1,024-set cube showed every worker
+    # inside org.codehaus.janino.UnitCompiler — a 2^n-list Expand
+    # generates one projection class per grouping set, blowing past the
+    # 100-entry codegen cache, so Janino COMPILATION, not execution,
+    # dominated the job (guide §7.3). Below the same 20M-row volume cap
+    # that already defines "trivial Expand output", interpreted eval is
+    # strictly cheaper than compiling (synthetic 1,024-set cube over
+    # 2,550 rows: 6.0s codegen -> 1.5s interpreted per run; the real
+    # lowcard sweep: 8.2s -> ~5s). Big-volume sweeps never enter this
+    # branch and keep whole-stage codegen, where per-row speed wins.
     n_sets_full = sum(1 for _ in all_combinations(cfg, cols))
     if n_tuples * n_sets_full <= 20_000_000 and n_sets_full <= 1100:
-        return sweep_grouping_sets(
-            df,
-            cfg,
-            cols,
-            total_count=total_count,
-            expand_batch_size=None,
-            checkpoint_dir=checkpoint_dir,
-            _base=base,
-        )
+        spark = df.sparkSession
+        prev_factory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+        prev_wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            return sweep_grouping_sets(
+                df,
+                cfg,
+                cols,
+                total_count=total_count,
+                expand_batch_size=None,
+                checkpoint_dir=checkpoint_dir,
+                _base=base,
+            )
+        finally:
+            spark.conf.set("spark.sql.codegen.factoryMode", prev_factory)
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_wscg)
 
     if max_sets_per_job is None:
         # Chunk by the pre-agg tuple count (what Expand multiplies), not
