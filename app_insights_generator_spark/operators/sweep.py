@@ -339,10 +339,16 @@ def sweep_apriori(
     base = _preaggregate(df, cols, display).persist()
     # Threshold denominator from the persisted pre-aggregation, not a
     # separate df.count() — the count action was a second full pass over
-    # the raw input (see sweep_grouping_sets).
+    # the raw input (see sweep_grouping_sets). The denominator and the
+    # tuple count come from ONE action (round 12: the follow-up count()
+    # was a cached-scan job of its own — cheap, but pure per-job fixed
+    # cost at any scale).
+    stats_row = base.agg(
+        F.sum("_pre_count").alias("n"), F.count(F.lit(1)).alias("m")
+    ).collect()[0]
+    n_tuples = stats_row["m"]
     if total_count is None:
-        total_count = base.agg(F.sum("_pre_count").alias("n")).collect()[0]["n"] or 0
-    n_tuples = base.count()  # cached-scan no-op: materialized by the sum above
+        total_count = stats_row["n"] or 0
 
     # Exhaustive bailout for COMPRESSIBLE distributions: when the full
     # lattice's Expand volume over the tuple table is trivial, level-wise
