@@ -1004,7 +1004,15 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 2
         )
         & (F.col("a.p_name") != F.col("b.p_name")),
-    ).filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+    ).filter(
+        # Bounded 3-arg levenshtein (round 12): banded DP with early exit —
+        # O(len*k) per pair instead of O(len*len); returns -1 above the
+        # threshold, so >= 0 is the identical predicate (measured at
+        # sf0.1: 14.0 -> 6.2s, counts equal). A (brand, length-band)
+        # blocking key was ALSO measured and rejected: the 5x explode
+        # outweighs its pruning at these block sizes (6.1 -> 7.3s).
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0
+    )
     return pairs.groupBy(F.col("a.p_brand").alias("p_brand")).agg(
         F.count(F.lit(1)).alias("n_fuzzy_pairs")
     )
@@ -3265,7 +3273,10 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
             & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2),
         )
-        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .filter(
+            # Bounded 3-arg levenshtein — see fuzzy_join_part_names.
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2) >= 0
+        )
         .select(F.col("a.p_partkey").alias("id_a"), F.col("b.p_partkey").alias("id_b"))
     )
     comps = connected_components(pairs, p, "p_partkey")
