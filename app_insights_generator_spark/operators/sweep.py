@@ -24,6 +24,7 @@ Two modes with identical output semantics:
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import time
 from collections.abc import Sequence
@@ -39,6 +40,43 @@ from app_insights_generator_spark.operators.insights import (
     qcol,
     threshold_count,
 )
+
+
+#: Expand-output volume (tuples x grouping sets) below which interpreted
+#: expression evaluation beats whole-stage codegen for grouping-set jobs:
+#: a many-set Expand emits one generated projection per set, so Janino
+#: COMPILATION dominates small-volume jobs (round 12 thread dumps; synthetic
+#: 1,024-set cube over 2,550 rows: 6.0s codegen -> 1.5s interpreted).
+#: Shared by the sweep_apriori bailout (round 12), the per-level toggle and
+#: the chunked exhaustive path (round 13 — measured on the sf0.01 1,023-set
+#: exhaustive cube: 26.6s -> 20.5s warm, 52s -> 29s cold; on the sf0.1
+#: Apriori wide sweep: cold 25.3s -> 17.9s, warm a wash).
+_INTERPRETED_VOLUME_CAP = 20_000_000
+
+
+@contextlib.contextmanager
+def _interpreted_eval(spark):
+    """Run the enclosed EAGER evaluation with interpreted expression eval
+    (``codegen.factoryMode=NO_CODEGEN`` + ``wholeStage=false``), restoring
+    the previous values on exit.
+
+    NOTE (ADVICE r12): these are SESSION-level SQL confs — any query
+    executing concurrently on the same SparkSession during the window also
+    runs interpreted, and overlapping toggles on one session can restore
+    each other's values out of order. The engine's entry points (driver
+    gate, bench, sweeps) run queries strictly sequentially per session, so
+    this is safe here; a concurrent-scheduler deployment should either run
+    sweeps on ``spark.newSession()`` (SQL confs are per-session) or take a
+    lock around the toggle."""
+    prev_factory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    prev_wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_factory)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wscg)
 
 
 def all_combinations(cfg: InsightsConfig, cols: Sequence[str] | None = None):
@@ -214,6 +252,7 @@ def sweep_grouping_sets(
     # A caller-provided _base arrives persisted: pin the result and release
     # the cache on the way out exactly as for a locally-persisted base.
     persisted_base = counted_from_base or _base is not None
+    interp_small = False
     if expand_batch_size is None and max_size >= len(cols):
         grouped = [base.cube(*key_cols).agg(*aggs)]
     else:
@@ -238,6 +277,16 @@ def sweep_grouping_sets(
             # Several jobs will scan the pre-aggregated table; pay it once.
             base = base.persist()
             persisted_base = True
+        # Chunked exhaustive sweeps under the small-volume cap evaluate
+        # interpreted (round 13, extending the round-12 bailout finding to
+        # the direct chunked path — the sf0.01 1,023-set exhaustive cube
+        # was Janino-bound exactly like the bailout shape). Only decidable
+        # when the tuple count is known (auto mode / persisted base).
+        interp_small = (
+            preaggregate
+            and expand_batch_size in (None, "auto")
+            and expand_rows * len(sets) <= _INTERPRETED_VOLUME_CAP
+        )
         grouped = [
             base.groupingSets([[qcol(c) for c in s] for s in chunk], *key_cols).agg(*aggs)
             for chunk in (
@@ -274,7 +323,11 @@ def sweep_grouping_sets(
         # Materialize once (the thresholded output is tiny next to the
         # input), then release the cached pre-aggregation — otherwise every
         # chunked sweep in a long-lived session leaks its cache (ADVICE r1).
-        result = _pin_result(result, checkpoint_dir)
+        if interp_small:
+            with _interpreted_eval(df.sparkSession):
+                result = _pin_result(result, checkpoint_dir)
+        else:
+            result = _pin_result(result, checkpoint_dir)
         base.unpersist()
     return result
 
@@ -373,13 +426,8 @@ def sweep_apriori(
     # lowcard sweep: 8.2s -> ~5s). Big-volume sweeps never enter this
     # branch and keep whole-stage codegen, where per-row speed wins.
     n_sets_full = sum(1 for _ in all_combinations(cfg, cols))
-    if n_tuples * n_sets_full <= 20_000_000 and n_sets_full <= 1100:
-        spark = df.sparkSession
-        prev_factory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-        prev_wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        try:
+    if n_tuples * n_sets_full <= _INTERPRETED_VOLUME_CAP and n_sets_full <= 1100:
+        with _interpreted_eval(df.sparkSession):
             return sweep_grouping_sets(
                 df,
                 cfg,
@@ -389,9 +437,6 @@ def sweep_apriori(
                 checkpoint_dir=checkpoint_dir,
                 _base=base,
             )
-        finally:
-            spark.conf.set("spark.sql.codegen.factoryMode", prev_factory)
-            spark.conf.set("spark.sql.codegen.wholeStage", prev_wscg)
 
     if max_sets_per_job is None:
         # Chunk by the pre-agg tuple count (what Expand multiplies), not
@@ -443,12 +488,24 @@ def sweep_apriori(
         # instead of running the <=40-set chunks back-to-back from the
         # driver — the level's wall-clock becomes the slowest chunk, not
         # the sum of chunks.
-        flag_rows = union_all(
+        #
+        # Small-volume levels evaluate interpreted (round 13): the same
+        # Janino-dominates-small-jobs physics as the exhaustive bailout
+        # applies per LEVEL — each level chunk compiles a fresh Expand
+        # projection class per grouping set. Measured on the sf0.1 wide
+        # sweep (levels 1, 2 and 5 under the cap): first run in a session
+        # 25.3s -> 17.9s; warm runs unchanged (classes already cached).
+        flags_df = union_all(
             [
                 g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct()
                 for g in chunks
             ]
-        ).distinct().collect()
+        ).distinct()
+        if n_tuples * (len(current) + 1) <= _INTERPRETED_VOLUME_CAP:
+            with _interpreted_eval(df.sparkSession):
+                flag_rows = flags_df.collect()
+        else:
+            flag_rows = flags_df.collect()
         survivors = {
             frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
             for row in flag_rows
