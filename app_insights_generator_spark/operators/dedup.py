@@ -9,11 +9,13 @@ Design for 100 TB:
   evaluated ONCE per document (inlining 64 per-seed array expressions made
   Catalyst re-evaluate the shingling 64x per row), and partial aggregation
   does the mins map-side;
-- LSH banding turns the O(n^2) pair space into per-bucket candidate
-  generation: explode b bands -> ONE groupBy on (band, band_hash) -> emit
-  the i<j combinations of each bucket's sorted id list (round 12: the
-  previous banded self-join computed the signature aggregation once per
-  join side — aliased subtrees get no ReusedExchange).
+- LSH banding turns the O(n^2) pair space into a banded equi self-join
+  over a PINNED narrow (id, band, band_hash) table (round 13): the pin
+  computes the signature aggregation exactly once (the round-11 aliased
+  self-join ran it once per side; the round-12 per-bucket collect_list
+  form ran it once but parked each bucket's O(|bucket|^2) pair array in
+  a single task — an OOM/straggler cliff on boilerplate-heavy corpora),
+  while the join streams pairs and AQE skew-splitting bounds hot buckets.
 - candidate pairs are verified with exact Jaccard on shingle arrays, so
   the output has no LSH false positives — only (tunable) false negatives.
 """
@@ -115,55 +117,59 @@ def minhash_signatures(
     return _signatures_from_sets(_shingle_sets(df, id_col, text_col, shingle_n), num_hashes)
 
 
-def _candidates_from_sets(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _candidates_from_sets(
+    sh: DataFrame, num_hashes: int, bands: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     rows = num_hashes // bands
     sig = _signatures_from_sets(sh, num_hashes)
-    # Pairs come from a per-bucket GROUP, not a banded self-join: the two
-    # sides of the old self-join were not recognized as one exchange
-    # (different aliases → no ReusedExchange), so the 64-hash explode+min
-    # signature aggregation — the costliest stage after shingling — ran
-    # TWICE, once per side (observed: 132 xxhash64 exprs in the plan).
-    # Grouping by (band, bhash) and emitting the i<j combinations of each
-    # bucket's sorted id list computes signatures ONCE and replaces the
-    # join+exchange pair with one aggregation (measured end-to-end at
-    # sf0.1: 4.0s -> 3.2s, pair set identical). The per-bucket pair count
-    # is |bucket|^2 either way — same as the self-join's per-key fanout;
-    # banding parameters, not execution form, bound hot buckets.
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[f"_m{b * rows + r}" for r in range(rows)])
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bhash")
-    # NULL-id guard replicates the old join's a._id < b._id semantics
-    # (NULL ids never matched; collect_list would otherwise admit them).
-    buckets = (
-        banded.filter(F.col("_id").isNotNull())
-        .groupBy("band", "bhash")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    return (
-        buckets.select(
+    # Pairs come from an equi self-join over a PINNED narrow banded table
+    # (round 13). History: the round-11 banded self-join recomputed the
+    # 64-hash signature aggregation once per join side (aliased subtrees
+    # get no ReusedExchange — 132 xxhash64 exprs in the plan); round 12
+    # replaced it with per-bucket collect_list + i<j combinations, which
+    # computed signatures once but concentrated every bucket in ONE
+    # aggregation row and ONE task — flatten(transform(...)) built the
+    # O(|bucket|^2) pair array in memory before explode, an OOM/straggler
+    # cliff on boilerplate-heavy corpora where exact-duplicate docs share
+    # identical band hashes at ANY banding parameters (ADVICE r12, high).
+    # Pinning the (id, band, bhash) rows first gets both properties at
+    # once: the signature subtree runs exactly once (both join sides scan
+    # the pin), pairs STREAM out of the join (no materialized pair
+    # array), and AQE's skew-join splitting can break a hot (band, bhash)
+    # key across tasks — which per-bucket arrays structurally cannot.
+    # Measured at sf0.1 (interleaved, full minhash pipeline): 3.2-3.6s ->
+    # 2.5-2.9s; synthetic hot bucket (2,000 identical docs, ~2.0M pairs):
+    # 26.7s -> 12.2s, pair sets identical in both cases.
+    # NULL-id guard replicates the old join's a._id < b._id semantics.
+    banded = _pin(
+        sig.select(
+            "_id",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",", *[f"_m{b * rows + r}" for r in range(rows)]
+                                )
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
                 )
-            ).alias("p")
+            ).alias("bk"),
         )
-        .select("p.id_a", "p.id_b")
+        .select("_id", "bk.band", "bk.bhash")
+        .filter(F.col("_id").isNotNull()),
+        checkpoint_dir,
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -248,7 +254,7 @@ def near_dedup_minhash(
     loss."""
     sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
     pairs = _jaccard_from_sets(
-        sh, _candidates_from_sets(sh, num_hashes, bands), threshold
+        sh, _candidates_from_sets(sh, num_hashes, bands, checkpoint_dir), threshold
     )
     pinned = _pin(pairs, checkpoint_dir)
     sh.unpersist()
@@ -315,37 +321,32 @@ def hamming_band_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_sig", "ck.chunk", "ck.cval")
-    # Per-bucket pair generation instead of a banded self-join — the same
-    # round-12 rewrite as _candidates_from_sets: aliased self-join sides
-    # get no ReusedExchange, so the upstream signature aggregation (64
-    # bit-sums for SimHash) was computed once PER SIDE. One groupBy emits
-    # the i<j combinations of each bucket's id-sorted (id, sig) list;
-    # pair set and hamming values are identical.
+    # Equi self-join over a PINNED narrow chunked table — same round-13
+    # rewrite as _candidates_from_sets (see its comment for the history):
+    # the pin computes the upstream signature aggregation (64 bit-sums for
+    # SimHash) exactly once, the join streams pairs instead of building a
+    # per-bucket O(|bucket|^2) struct array in one task's memory, and a
+    # hot (chunk, cval) bucket is AQE-skew-splittable again. The round-12
+    # per-bucket array form was strictly worse here: collect_list gathered
+    # (id, full 64-bit signature) structs, duplicating both signatures per
+    # pair inside the flattened array (ADVICE r12, medium).
     # NULL guard replicates equi-join semantics exactly: a NULL cval/_id
-    # never matched in the old join, while groupBy would bucket NULLs.
-    buckets = (
-        chunked.filter(F.col("cval").isNotNull() & F.col("_id").isNotNull())
-        .groupBy("chunk", "cval")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
+    # never matched in the old join.
+    pinned = _pin(
+        chunked.filter(F.col("cval").isNotNull() & F.col("_id").isNotNull()),
+        None,
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms) - i - 1), "
-                "y -> struct(x.i AS id_a, y.i AS id_b, "
-                "x.s AS sig_a, y.s AS sig_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+    a = pinned.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "chunk", "cval"
+    )
+    b = pinned.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "chunk", "cval"
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        pairs.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -362,10 +362,13 @@ def dedup_compaction_receipt_documents(
         # 12): merging files re-chunks row groups / dictionaries /
         # footers, which can GROW bytes by metadata-scale amounts even as
         # file count halves (observed at sf0.1: 4 -> 2 files, +606
-        # bytes). The allowance scales with the pre-fold file count —
-        # metadata noise — never with payload, so a fold that duplicated
-        # data still fails it.
-        byte_allowance = 32 * 1024 * max(1, files_before)
+        # bytes). Capped at 10% of the pre-fold payload (ADVICE r12): at
+        # small scale factors 32 KiB x files could exceed the table's
+        # whole payload, which would have let a fold that duplicated a
+        # small table's data pass the "no byte growth" claim.
+        byte_allowance = min(
+            32 * 1024 * max(1, files_before), max(4096, bytes_before // 10)
+        )
         if files_after >= files_before or bytes_after > bytes_before + byte_allowance:
             raise AssertionError(
                 f"fold did not shrink storage: files {files_before} -> "
@@ -3344,8 +3347,12 @@ def ivf_compaction_receipt_embeddings(
                 f"{rows_before} -> {rows_after}"
             )
         # Same per-file layout allowance as the dedup receipt: the byte
-        # claim gates payload growth, not parquet metadata re-chunking.
-        byte_allowance = 32 * 1024 * max(1, files_before)
+        # claim gates payload growth, not parquet metadata re-chunking;
+        # capped at 10% of pre-fold payload (ADVICE r12) so the allowance
+        # can never exceed what a duplicated small table would add.
+        byte_allowance = min(
+            32 * 1024 * max(1, files_before), max(4096, bytes_before // 10)
+        )
         if files_after >= files_before or bytes_after > bytes_before + byte_allowance:
             raise AssertionError(  # invariant (2): the OPTIMIZE claim
                 f"fold did not shrink storage: files {files_before} -> "

@@ -601,3 +601,41 @@ def test_dedup_cluster_profile_conservation(spark, sf_dir):
     comp = dedup_components_documents(spark, sf_dir).collect()
     sizes = Counter(Counter(r.component for r in comp).values())
     assert {(r.cluster_size, r.n_clusters) for r in rows} == set(sizes.items())
+
+
+def test_hot_bucket_pair_generation_is_streamed_and_exact(spark):
+    """ADVICE r12 (high): exact-duplicate boilerplate docs share identical
+    band hashes at ANY banding parameters, so one LSH bucket holds the
+    whole cluster. The round-12 per-bucket collect_list form materialized
+    that bucket's O(|bucket|^2) pair array inside ONE aggregation row/task
+    — an OOM/straggler cliff at scale. The round-13 pinned-banded equi
+    self-join must (a) emit the exact i<j pair set for a hot cluster and
+    (b) plan the pair stage as a JOIN over the pinned table (streamed,
+    AQE-skew-splittable), with no collect_list bucket arrays anywhere."""
+    hot_n = 60
+    rows = [(i, "boilerplate header the same every time " * 4) for i in range(hot_n)]
+    rows += [(1000 + i, f"unique doc {i} " + " ".join(f"tok{i}_{j}" for j in range(30)))
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = D._shingle_sets(docs, "doc_id", "text", 3)
+    cands = D._candidates_from_sets(sh, 64, 16)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, "pair stage regressed to bucket arrays"
+    assert "Join" in plan, "pair stage must be a (skew-splittable) join"
+
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    expected = {(a, b) for a in range(hot_n) for b in range(hot_n) if a < b}
+    assert expected <= got, "hot-cluster pair set incomplete"
+    # strict inequality contract: no self-pairs even with duplicate texts
+    assert all(a < b for a, b in got)
+
+    # SimHash/dHash twin: same contract through hamming_band_pairs.
+    sig = D.simhash_signatures(docs, "doc_id", "text", 3)
+    hp = D.hamming_band_pairs(sig, "_id", "_sim", max_hamming=3)
+    hplan = hp._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in hplan
+    assert "Join" in hplan
+    hgot = {(r.id_a, r.id_b) for r in hp.collect()}
+    assert expected <= hgot
+    assert all(a < b for a, b in hgot)
