@@ -488,6 +488,7 @@ def incremental_near_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     broadcast_probe: bool | None = None,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between an ingest batch and an EXISTING corpus index
     (plus within the batch itself) without re-sketching the corpus:
@@ -514,10 +515,21 @@ def incremental_near_dedup(
     oversized broadcast that OOMs where a shuffle join degrades
     gracefully. Pass True only when the caller KNOWS the batch is tiny.
     At 100 TB store the index bucketed on (band, bhash): the probe then
-    prunes to the batch's buckets instead of scanning the index at all."""
-    batch_index = build_band_index(
-        new_df, id_col, text_col, shingle_n, num_hashes, bands
-    )
+    prunes to the batch's buckets instead of scanning the index at all.
+
+    ``batch_index``: the batch's ALREADY-MATERIALIZED band-index rows
+    (build_band_index shape) — callers that stage the batch index to
+    storage anyway (the streaming ingest, the compaction receipts) pass
+    the read-back staged table so the batch's shingle+signature subtree
+    is computed exactly once per batch. When None it is built here and
+    PINNED (round 13): the batch index feeds the probe side, the union
+    target AND the verify shingle lookup — without the pin the costliest
+    per-batch work (tokenize/shingle/64-hash-min) ran up to three times."""
+    if batch_index is None:
+        batch_index = _pin(
+            build_band_index(new_df, id_col, text_col, shingle_n, num_hashes, bands),
+            None,
+        )
     full = index.unionByName(batch_index)
     probe = batch_index.select("band", "bhash", F.col("_id").alias("_bid"))
     if broadcast_probe:

@@ -296,14 +296,9 @@ def dedup_compaction_receipt_documents(
             prev = read_index(spark, state_dir)
             if prev is None:
                 prev = spark.createDataFrame([], _INDEX_SCHEMA)
-            new_pairs = D.incremental_near_dedup(
-                batch, prev, "doc_id", "text",
-                shingle_n=3, num_hashes=64, bands=16, threshold=0.7,
-            ).select(
-                F.col("id_a").cast("bigint"),
-                F.col("id_b").cast("bigint"),
-                F.col("jaccard").cast("double"),
-            )
+            # Stage the batch index first, read it back, feed it to the
+            # pair probe (round 13, mirrors streaming/dedup_stream.py):
+            # the batch's shingle+signature subtree runs once per batch.
             batch_index = D.build_band_index(
                 batch, "doc_id", "text", 3, 64, 16
             ).select(
@@ -314,6 +309,18 @@ def dedup_compaction_receipt_documents(
             )
             batch_index.write.mode("overwrite").parquet(
                 _staged_path(state_dir, "index", bid)
+            )
+            staged_index = spark.read.parquet(
+                _staged_path(state_dir, "index", bid)
+            )
+            new_pairs = D.incremental_near_dedup(
+                batch, prev, "doc_id", "text",
+                shingle_n=3, num_hashes=64, bands=16, threshold=0.7,
+                batch_index=staged_index,
+            ).select(
+                F.col("id_a").cast("bigint"),
+                F.col("id_b").cast("bigint"),
+                F.col("jaccard").cast("double"),
             )
             new_pairs.write.mode("overwrite").parquet(
                 _staged_path(state_dir, "pairs", bid)

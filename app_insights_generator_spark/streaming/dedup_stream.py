@@ -151,6 +151,29 @@ def run_streaming_dedup(
         if prev_index is None:
             prev_index = spark.createDataFrame([], _INDEX_SCHEMA)
 
+        # Staged, idempotent, O(batch): ONLY this batch's rows are
+        # written; a replay of an uncommitted batch overwrites its own
+        # half-written dirs. The pointer flip below makes both tables'
+        # stagings visible atomically. The batch index is written FIRST
+        # and the staged parquet is read back into the pair probe (round
+        # 13): the batch's shingle+signature subtree — the costliest
+        # per-batch work — is computed exactly once per batch instead of
+        # once for the staging write plus up to three more times inside
+        # incremental_near_dedup's probe/union/verify consumers.
+        batch_index = build_band_index(
+            batch_df, id_col, text_col, shingle_n, num_hashes, bands
+        ).select(
+            F.col("band").cast("int"),
+            F.col("bhash").cast("bigint"),
+            F.col("_id").cast("bigint"),
+            "_sh",
+        )
+        batch_index.write.mode("overwrite").parquet(
+            _staged_path(state_dir, "index", batch_id)
+        )
+        staged_index = spark.read.parquet(
+            _staged_path(state_dir, "index", batch_id)
+        )
         new_pairs = incremental_near_dedup(
             batch_df,
             prev_index,
@@ -160,26 +183,11 @@ def run_streaming_dedup(
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
+            batch_index=staged_index,
         ).select(
             F.col("id_a").cast("bigint"),
             F.col("id_b").cast("bigint"),
             F.col("jaccard").cast("double"),
-        )
-        batch_index = build_band_index(
-            batch_df, id_col, text_col, shingle_n, num_hashes, bands
-        ).select(
-            F.col("band").cast("int"),
-            F.col("bhash").cast("bigint"),
-            F.col("_id").cast("bigint"),
-            "_sh",
-        )
-
-        # Staged, idempotent, O(batch): ONLY this batch's rows are
-        # written; a replay of an uncommitted batch overwrites its own
-        # half-written dirs. The pointer flip below makes both tables'
-        # stagings visible atomically.
-        batch_index.write.mode("overwrite").parquet(
-            _staged_path(state_dir, "index", batch_id)
         )
         new_pairs.write.mode("overwrite").parquet(
             _staged_path(state_dir, "pairs", batch_id)
