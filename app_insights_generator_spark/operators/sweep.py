@@ -47,10 +47,11 @@ from app_insights_generator_spark.operators.insights import (
 #: a many-set Expand emits one generated projection per set, so Janino
 #: COMPILATION dominates small-volume jobs (round 12 thread dumps; synthetic
 #: 1,024-set cube over 2,550 rows: 6.0s codegen -> 1.5s interpreted).
-#: Shared by the sweep_apriori bailout (round 12), the per-level toggle and
-#: the chunked exhaustive path (round 13 — measured on the sf0.01 1,023-set
-#: exhaustive cube: 26.6s -> 20.5s warm, 52s -> 29s cold; on the sf0.1
-#: Apriori wide sweep: cold 25.3s -> 17.9s, warm a wash).
+#: Shared by the sweep_apriori bailout (round 12) and the chunked exhaustive
+#: path (round 13 — order-balanced warm A/B on the sf0.01 1,023-set
+#: exhaustive cube: 28.6/25.5/28.2s -> 25.5/25.6/26.5s, cold ~1.35x). Both
+#: run >40-set chunks, past the Expand codegen cliff; the <=40-set Apriori
+#: level chunks measured FASTER compiled and deliberately stay on codegen.
 _INTERPRETED_VOLUME_CAP = 20_000_000
 
 
@@ -277,14 +278,21 @@ def sweep_grouping_sets(
             # Several jobs will scan the pre-aggregated table; pay it once.
             base = base.persist()
             persisted_base = True
-        # Chunked exhaustive sweeps under the small-volume cap evaluate
-        # interpreted (round 13, extending the round-12 bailout finding to
-        # the direct chunked path — the sf0.01 1,023-set exhaustive cube
-        # was Janino-bound exactly like the bailout shape). Only decidable
-        # when the tuple count is known (auto mode / persisted base).
+        # Chunked exhaustive sweeps evaluate interpreted when BOTH hold
+        # (round 13, extending the round-12 bailout finding to the direct
+        # chunked path): total Expand volume under the cap (same constant
+        # as the bailout) AND chunks past the ~40-set Expand codegen
+        # cliff, where generated per-row code is slower than interpreted
+        # eval AND each chunk compiles a fresh many-projection class.
+        # Order-balanced warm A/B on the sf0.01 1,023-set exhaustive cube
+        # (256-set chunks): 28.6/25.5/28.2s codegen -> 25.5/25.6/26.5s
+        # interpreted, plus a ~1.35x first-run win; <=40-set chunks (the
+        # Apriori levels) measured FASTER compiled and stay codegen.
+        # Only decidable when the tuple count is known (auto mode).
         interp_small = (
             preaggregate
             and expand_batch_size in (None, "auto")
+            and chunk_size > 40
             and expand_rows * len(sets) <= _INTERPRETED_VOLUME_CAP
         )
         grouped = [
@@ -489,23 +497,21 @@ def sweep_apriori(
         # driver — the level's wall-clock becomes the slowest chunk, not
         # the sum of chunks.
         #
-        # Small-volume levels evaluate interpreted (round 13): the same
-        # Janino-dominates-small-jobs physics as the exhaustive bailout
-        # applies per LEVEL — each level chunk compiles a fresh Expand
-        # projection class per grouping set. Measured on the sf0.1 wide
-        # sweep (levels 1, 2 and 5 under the cap): first run in a session
-        # 25.3s -> 17.9s; warm runs unchanged (classes already cached).
-        flags_df = union_all(
+        # Levels deliberately stay on CODEGEN (round 13, measured): the
+        # level chunks are <= ~40 grouping sets (the _adaptive_chunk_size
+        # high-card regime), which is on the Expand codegen fast path —
+        # order-balanced interleaved A/Bs of per-level interpreted eval
+        # read 1-2s SLOWER warm at sf0.1 (15.6/17.0/15.3 vs
+        # 15.0/14.4/13.6 even with only the tiny levels interpreted) for
+        # a first-run-only Janino saving. Interpreted eval pays only past
+        # the >40-set cliff — the exhaustive bailout and the chunked
+        # exhaustive path in sweep_grouping_sets, where it is applied.
+        flag_rows = union_all(
             [
                 g.select(*[F.col(f"_g{i}") for i in range(len(cols))]).distinct()
                 for g in chunks
             ]
-        ).distinct()
-        if n_tuples * (len(current) + 1) <= _INTERPRETED_VOLUME_CAP:
-            with _interpreted_eval(df.sparkSession):
-                flag_rows = flags_df.collect()
-        else:
-            flag_rows = flags_df.collect()
+        ).distinct().collect()
         survivors = {
             frozenset(c for i, c in enumerate(cols) if row[f"_g{i}"] == 0)
             for row in flag_rows
