@@ -6112,12 +6112,19 @@ def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard dedup family, so 'novel' means exactly 'would not have hit
     the dedup index'.
 
-    Plan: one explode of DISTINCT per-doc shingles, one groupBy(gram)
-    for the global first-occurrence (MIN doc_id — associative, exact),
-    one keyed join back, one groupBy(doc). All counts integers, ratio in
-    basis points by integer DIV — no drift classes. At 100 TB the gram
-    table is the same shuffle the MinHash index already pays; no new
-    scale cost class.
+    Plan: one explode of DISTINCT per-doc shingles (pinned — it feeds two
+    aggregations), one groupBy(gram) for the global first-occurrence
+    (MIN doc_id — associative, exact), then n_new per doc is simply the
+    COUNT of first-occurrence rows grouped by their first_doc — the
+    round-13 form (guide §2.4): the old plan joined the FULL exploded
+    gram table back to the first-occurrence table on the string gram key
+    just to test ``first_doc == doc_id``, a second full-gram-table
+    shuffle that the per-first_doc count makes redundant. Rows proved
+    identical at sf0.1 (5,000 docs); local timing a wash (the pin
+    dominates at this SF), the removed string-keyed shuffle+join is the
+    100 TB saving. All counts integers, ratio in basis points by integer
+    DIV — no drift classes. At 100 TB the gram table is the same shuffle
+    the MinHash index already pays; no new scale cost class.
 
     Reference parity: no counterpart; §2.3 curation-analytics extension.
 
@@ -6136,18 +6143,21 @@ def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("grams").alias("g")).localCheckpoint(
         eager=True
     )
-    fst = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per = ex.join(fst, "g").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(
-            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-        ).alias("n_new"),
+    n_grams = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_new = (
+        ex.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
     )
+    per = n_grams.join(n_new, "doc_id", "left")
     return per.select(
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
-        F.col("n_new").cast("long").alias("n_new"),
-        F.expr("CAST(n_new * 10000 DIV n_grams AS LONG)").alias("novelty_bp"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        F.expr(
+            "CAST(coalesce(n_new, 0) * 10000 DIV n_grams AS LONG)"
+        ).alias("novelty_bp"),
     )
 
 
