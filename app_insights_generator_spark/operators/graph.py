@@ -148,6 +148,8 @@ def bfs_depths(
         .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
         .transform(_ck)
     )
+    from pyspark.sql import Observation
+
     dist = sources.select(
         F.col("node"), F.lit(0).cast("int").alias("depth")
     ).distinct().transform(_ck)
@@ -158,10 +160,22 @@ def bfs_depths(
             .select(F.col("_dst").alias("node"), F.lit(i).cast("int").alias("depth"))
             .distinct()
         )
-        fresh = candidates.join(dist, "node", "left_anti").transform(_ck)
-        if fresh.isEmpty():
+        # ONE job per round (round 13): the frontier-empty check is an
+        # observe() metric on the fresh-frontier pin (the old isEmpty was
+        # a separate action), and the visited set is NOT re-pinned — it
+        # is a flat union of already-pinned frontier frames, so its
+        # lineage stays constant-depth without re-materializing every
+        # visited node each round (that re-pin was O(visited) work per
+        # round at scale).
+        obs = Observation()
+        fresh = (
+            candidates.join(dist, "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .transform(_ck)
+        )
+        if obs.get["n"] == 0:
             break
-        dist = dist.unionByName(fresh).transform(_ck)
+        dist = dist.unionByName(fresh)
         frontier = fresh
     return dist
 
